@@ -1,0 +1,231 @@
+"""Late-interaction (ColBERT/FLMR) MaxSim scoring ops.
+
+Semantics match the reference engine's scoring
+(/root/reference/third_party/ColBERT/colbert/modeling/colbert.py:235-286):
+per query token, take the max dot-product over a candidate document's token
+embeddings (padded doc positions filled with -9999 before the max), then sum
+over query tokens. Zeroed query rows (FLMR masks query embeddings to zero,
+/root/reference/src/models/retriever/FLMR.py:73-99) contribute a max of at
+most 0 and are additionally suppressed by the optional ``q_mask``.
+
+Two implementations:
+
+- ``maxsim_*_xla``: pure jax.numpy; runs anywhere (CPU tests, autodiff in
+  training losses). XLA fuses the matmul + masked max + sum reasonably well.
+- ``maxsim_search_pallas``: a fused Pallas TPU kernel for the serving path —
+  a tiled D@Qᵀ on the MXU with the masked max-reduce and query-token sum done
+  in VMEM, so the (doc_tokens × query_tokens) score matrix never touches HBM.
+  This replaces the reference's segmented_maxsim.cpp / filter_pids.cpp /
+  decompress_residuals.cpp C++ search path (SURVEY.md §2.4 N1/N4/N5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -9999.0  # the reference's padding fill value (colbert.py:240)
+
+
+# ---------------------------------------------------------------------------
+# Pure-XLA reference implementations
+# ---------------------------------------------------------------------------
+
+def maxsim_reduce(scores: jax.Array, d_mask: jax.Array,
+                  q_mask: jax.Array | None = None) -> jax.Array:
+    """Reduce a token-score tensor to per-pair scores.
+
+    Args:
+      scores: (..., Ld, Lq) dot products between doc tokens and query tokens.
+      d_mask: (..., Ld) 1/True for valid doc tokens.
+      q_mask: optional (..., Lq) 1/True for valid query tokens.
+
+    Returns:
+      (...,) MaxSim scores: sum over query tokens of max over doc tokens.
+    """
+    d_mask = d_mask.astype(bool)[..., :, None]          # (..., Ld, 1)
+    scores = jnp.where(d_mask, scores, NEG_INF)
+    per_q = jnp.max(scores, axis=-2)                    # (..., Lq)
+    if q_mask is not None:
+        per_q = per_q * q_mask.astype(per_q.dtype)
+    return jnp.sum(per_q, axis=-1)
+
+
+def maxsim_pair_xla(q: jax.Array, d: jax.Array, d_mask: jax.Array,
+                    q_mask: jax.Array | None = None) -> jax.Array:
+    """Paired MaxSim: query i scores doc i.
+
+    Args:
+      q: (B, Lq, dim) query token embeddings (L2-normalized).
+      d: (B, Ld, dim) doc token embeddings.
+      d_mask: (B, Ld).
+    Returns: (B,) scores.
+    """
+    scores = jnp.einsum("bld,bqd->blq", d, q,
+                        preferred_element_type=jnp.float32)
+    return maxsim_reduce(scores, d_mask, q_mask)
+
+
+def maxsim_all_pairs_xla(q: jax.Array, d: jax.Array, d_mask: jax.Array,
+                         q_mask: jax.Array | None = None) -> jax.Array:
+    """All-pairs MaxSim score matrix (training in-batch negatives).
+
+    Args:
+      q: (Bq, Lq, dim); d: (Bd, Ld, dim); d_mask: (Bd, Ld); q_mask: (Bq, Lq).
+    Returns: (Bq, Bd) scores.
+    """
+    # (Bd, Ld, Bq, Lq)
+    scores = jnp.einsum("nld,bqd->nlbq", d, q,
+                        preferred_element_type=jnp.float32)
+    scores = jnp.where(d_mask.astype(bool)[:, :, None, None], scores, NEG_INF)
+    per_q = jnp.max(scores, axis=1)                     # (Bd, Bq, Lq)
+    if q_mask is not None:
+        per_q = per_q * q_mask.astype(per_q.dtype)[None, :, :]
+    return jnp.sum(per_q, axis=-1).T                    # (Bq, Bd)
+
+
+def maxsim_search_xla(q: jax.Array, index_tokens: jax.Array,
+                      index_mask: jax.Array,
+                      q_mask: jax.Array | None = None) -> jax.Array:
+    """Score a query batch against every doc in a (padded) index. XLA path.
+
+    Args:
+      q: (B, Lq, dim); index_tokens: (N, Ld, dim); index_mask: (N, Ld).
+    Returns: (B, N) float32 scores.
+    """
+    return maxsim_all_pairs_xla(q, index_tokens, index_mask, q_mask)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel: fused search over an HBM-resident index
+# ---------------------------------------------------------------------------
+
+def _maxsim_kernel(q_ref, d_ref, m_ref, out_ref, *, tile_d: int, ld: int,
+                   b: int, lq: int):
+    """One grid step: score all B queries against TILE_D docs.
+
+    q_ref: (B*Lq, dim) VMEM — the full (flattened) query batch.
+    d_ref: (TILE_D*Ld, dim) VMEM — this tile's doc tokens, flattened.
+    m_ref: (TILE_D*Ld, 1) VMEM — validity mask, pre-flattened on host
+      (Mosaic cannot shape-cast (TILE_D, Ld) -> (TILE_D*Ld, 1) in-kernel).
+    out_ref: (TILE_D, B) VMEM — output scores tile (doc-major so the block's
+      trailing dim equals the full array dim, per TPU tiling rules).
+    """
+    # MXU: (TILE_D*Ld, dim) @ (dim, B*Lq) -> (TILE_D*Ld, B*Lq)
+    s = jax.lax.dot_general(
+        d_ref[:], q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = jnp.where(m_ref[:] > 0, s, NEG_INF)
+    s = s.reshape(tile_d, ld, b * lq)
+    per_q = jnp.max(s, axis=1)                          # (TILE_D, B*Lq)
+    # Sum per_q over each query's Lq columns. Mosaic can't shape-cast the
+    # lane dim (B*Lq) -> (B, Lq), so do it as a matmul with a block-diagonal
+    # 0/1 selector: out[t, b] = sum_c per_q[t, c] * [c // Lq == b].
+    row = jax.lax.broadcasted_iota(jnp.int32, (b * lq, b), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b * lq, b), 1)
+    sel = (row // lq == col).astype(jnp.float32)
+    out_ref[:] = jax.lax.dot_general(
+        per_q, sel,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # (TILE_D, B)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_d",))
+def maxsim_search_pallas(q: jax.Array, index_tokens: jax.Array,
+                         index_mask: jax.Array, tile_d: int = 16) -> jax.Array:
+    """Fused MaxSim search on TPU.
+
+    Args:
+      q: (B, Lq, dim) query token embeddings (bf16 or f32). Masked-out query
+         rows must be zero vectors (they then contribute max(q·d)=0 ≤ any
+         valid contribution only when scores are ≥0; FLMR normalizes rows so
+         zero rows give exactly 0, matching the reference searcher's
+         remove_zero_tensors handling when summed).
+      index_tokens: (N, Ld, dim), N divisible by tile_d (pad with masked docs).
+      index_mask: (N, Ld) int/bool, 0 on padded doc tokens.
+      tile_d: docs per grid step; tile_d*Ld*dim*2B must fit VMEM comfortably.
+
+    Returns: (B, N) float32 scores.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, lq, dim = q.shape
+    n, ld, dim2 = index_tokens.shape
+    assert dim == dim2
+    assert n % tile_d == 0, f"pad index to multiple of tile_d={tile_d}"
+
+    q_flat = q.reshape(b * lq, dim)
+    d_flat = index_tokens.reshape(n * ld, dim)
+    mask = index_mask.astype(jnp.float32).reshape(n * ld, 1)
+
+    kernel = functools.partial(_maxsim_kernel, tile_d=tile_d, ld=ld, b=b,
+                               lq=lq)
+    grid = (n // tile_d,)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b * lq, dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_d * ld, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_d * ld, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_d, b), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, b), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * ld * b * lq * dim,
+            bytes_accessed=(d_flat.size * d_flat.dtype.itemsize
+                            + q_flat.size * q_flat.dtype.itemsize
+                            + b * n * 4),
+            transcendentals=0,
+        ),
+    )(q_flat, d_flat, mask)
+    return out.T  # (B, N)
+
+
+def maxsim_search(q: jax.Array, index_tokens: jax.Array,
+                  index_mask: jax.Array,
+                  q_mask: jax.Array | None = None,
+                  tile_d: int = 16) -> jax.Array:
+    """Dispatch: Pallas on TPU, XLA elsewhere. Returns (B, N) f32 scores."""
+    platform = jax.default_backend()
+    if platform == "tpu" and q_mask is None and (index_tokens.shape[0]
+                                                 % tile_d == 0):
+        return maxsim_search_pallas(q, index_tokens, index_mask,
+                                    tile_d=tile_d)
+    return maxsim_search_xla(q, index_tokens, index_mask, q_mask)
+
+
+# ---------------------------------------------------------------------------
+# FLIPR interaction (PreFLMR): partial top-K sums over query-token maxima
+# ---------------------------------------------------------------------------
+
+def flipr_reduce(scores: jax.Array, d_mask: jax.Array,
+                 query_part_len: int, k1: int, k2: int) -> jax.Array:
+    """FLIPR interaction (reference colbert.py:248-261): split query tokens
+    into [question-part | context-part], keep top-k1 of the question-part
+    per-token maxima and top-k2 of the context-part, sum both.
+
+    Args:
+      scores: (..., Ld, Lq); d_mask: (..., Ld).
+    """
+    d_mask = d_mask.astype(bool)[..., :, None]
+    scores = jnp.where(d_mask, scores, NEG_INF)
+    per_q = jnp.max(scores, axis=-2)                     # (..., Lq)
+    first = per_q[..., :query_part_len]
+    rest = per_q[..., query_part_len:]
+    top1, _ = jax.lax.top_k(first, min(k1, first.shape[-1]))
+    out = jnp.sum(top1, axis=-1)
+    if rest.shape[-1] > 0 and k2 > 0:
+        top2, _ = jax.lax.top_k(rest, min(k2, rest.shape[-1]))
+        out = out + jnp.sum(top2, axis=-1)
+    return out
