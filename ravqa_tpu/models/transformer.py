@@ -1,0 +1,128 @@
+"""Shared Flax transformer-encoder building blocks.
+
+Used by the BERT text encoder (post-LayerNorm, learned positions) and the
+CLIP/ViT vision encoders (pre-LayerNorm, patch embeddings). Written for TPU:
+bf16-friendly compute dtype with f32 LayerNorm/softmax accumulation, static
+shapes, no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import jax
+
+
+def quick_gelu(x):
+    """CLIP's gelu variant: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACTIVATIONS: dict[str, Callable] = {
+    "gelu": nn.gelu,
+    "gelu_new": nn.gelu,
+    "quick_gelu": quick_gelu,
+    "relu": nn.relu,
+    "tanh": nn.tanh,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    activation: str = "gelu"
+    layer_norm_eps: float = 1e-12
+    pre_layernorm: bool = False          # False: BERT post-LN; True: ViT/CLIP
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32       # compute dtype (bf16 on TPU)
+
+
+class MultiHeadAttention(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, attention_bias=None, deterministic=True):
+        cfg = self.cfg
+        head_dim = cfg.hidden_size // cfg.num_heads
+        dense = lambda name: nn.DenseGeneral(
+            (cfg.num_heads, head_dim), axis=-1, dtype=cfg.dtype, name=name)
+        q = dense("query")(x)
+        k = dense("key")(x)
+        v = dense("value")(x)
+        scale = head_dim ** -0.5
+        # (B, H, Tq, Tk), accumulate in f32 for stability.
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                            preferred_element_type=jnp.float32)
+        if attention_bias is not None:
+            logits = logits + attention_bias
+        probs = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
+        if cfg.dropout_rate > 0:
+            probs = nn.Dropout(cfg.dropout_rate)(probs,
+                                                 deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = nn.DenseGeneral(cfg.hidden_size, axis=(-2, -1), dtype=cfg.dtype,
+                              name="out")(ctx)
+        return out
+
+
+class MlpBlock(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.cfg
+        act = ACTIVATIONS[cfg.activation]
+        h = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype, name="fc1")(x)
+        h = act(h)
+        h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="fc2")(h)
+        if cfg.dropout_rate > 0:
+            h = nn.Dropout(cfg.dropout_rate)(h, deterministic=deterministic)
+        return h
+
+
+class EncoderLayer(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, attention_bias=None, deterministic=True):
+        cfg = self.cfg
+        ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                                       dtype=jnp.float32, name=name)
+        if cfg.pre_layernorm:
+            h = MultiHeadAttention(cfg, name="attention")(
+                ln("ln1")(x).astype(cfg.dtype), attention_bias, deterministic)
+            x = x + h
+            h = MlpBlock(cfg, name="mlp")(
+                ln("ln2")(x).astype(cfg.dtype), deterministic)
+            x = x + h
+        else:
+            h = MultiHeadAttention(cfg, name="attention")(
+                x, attention_bias, deterministic)
+            x = ln("ln1")(x + h).astype(cfg.dtype)
+            h = MlpBlock(cfg, name="mlp")(x, deterministic)
+            x = ln("ln2")(x + h).astype(cfg.dtype)
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, attention_bias=None, deterministic=True):
+        for i in range(self.cfg.num_layers):
+            x = EncoderLayer(self.cfg, name=f"layer_{i}")(
+                x, attention_bias, deterministic)
+        return x
+
+
+def attention_bias_from_mask(attention_mask: jnp.ndarray,
+                             dtype=jnp.float32) -> jnp.ndarray:
+    """(B, T) 1/0 mask -> (B, 1, 1, T) additive bias with -1e9 on pads."""
+    bias = (1.0 - attention_mask.astype(jnp.float32)) * -1e9
+    return bias[:, None, None, :].astype(dtype)
