@@ -1,0 +1,182 @@
+"""TPU-native late-interaction index.
+
+Replaces the reference's ColBERT indexing stack (CollectionIndexer /
+ResidualCodec / IVF / chunked .pt files — SURVEY.md §2.3 R10-R15) with an
+HBM-resident padded token-embedding array sharded across the device mesh:
+
+    tokens: (N_pad, Ld, dim)   bf16 (or int8 + scales, see codec)
+    mask:   (N_pad, Ld)        int8   (0 on padded doc tokens / padded docs)
+
+Indexing is a jitted sharded encode of the corpus; search is a collective
+MaxSim + cross-shard top-k (search.py). For a 1M-passage corpus at Ld=256,
+dim=128 the bf16 index is 64 GiB — sharded over a v5e-8 pod slice that is
+8 GiB/chip; the int8 codec (ravqa_tpu.ops.quant) halves it again.
+
+Save format: one .npz per index + a JSON sidecar (metadata), replacing the
+reference's plan.json/centroids.pt/chunk files.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Callable, Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass
+class TokenIndex:
+    """A (possibly sharded) late-interaction token index."""
+    tokens: jax.Array          # (N_pad, Ld, dim) bf16/f32/int8
+    mask: jax.Array            # (N_pad, Ld) int8/float
+    pids: np.ndarray           # (N_pad,) int64 global passage ids; -1 = pad
+    num_docs: int              # real (unpadded) doc count
+    scales: Optional[jax.Array] = None   # (N_pad, Ld) f32 if int8-quantized
+    meta: dict = dataclasses.field(default_factory=dict)
+
+    @property
+    def n_pad(self) -> int:
+        return self.tokens.shape[0]
+
+    @property
+    def doc_maxlen(self) -> int:
+        return self.tokens.shape[1]
+
+    @property
+    def dim(self) -> int:
+        return self.tokens.shape[2]
+
+
+def pad_to(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def build_index_from_embeddings(
+    embs: Sequence[np.ndarray] | np.ndarray,
+    masks: Sequence[np.ndarray] | np.ndarray,
+    pids: Optional[Sequence[int]] = None,
+    pad_multiple: int = 128,
+    dtype=jnp.bfloat16,
+    mesh: Optional[Mesh] = None,
+    axis: str = "index",
+) -> TokenIndex:
+    """Assemble an index from per-doc token embeddings.
+
+    Args:
+      embs: (N, Ld, dim) array or list of (Ld_i, dim) arrays (padded to the
+        max Ld). Embeddings must already be L2-normalized (model.doc does).
+      masks: matching validity masks.
+      pad_multiple: N is padded so every mesh shard divides evenly and the
+        Pallas tile size divides the shard.
+      mesh: if given, the index is device_put sharded over `axis` (dim 0).
+    """
+    if isinstance(embs, (list, tuple)):
+        n = len(embs)
+        ld = max(e.shape[0] for e in embs)
+        dim = embs[0].shape[1]
+        tok = np.zeros((n, ld, dim), np.float32)
+        msk = np.zeros((n, ld), np.int8)
+        for i, (e, m) in enumerate(zip(embs, masks)):
+            tok[i, :e.shape[0]] = e
+            msk[i, :m.shape[0]] = np.asarray(m, np.int8)
+    else:
+        tok = np.asarray(embs, np.float32)
+        msk = np.asarray(masks, np.int8)
+        n, ld, dim = tok.shape
+
+    if pids is None:
+        pids = np.arange(n, dtype=np.int64)
+    else:
+        pids = np.asarray(pids, np.int64)
+
+    n_pad = pad_to(max(n, 1), pad_multiple)
+    if mesh is not None:
+        n_pad = pad_to(n_pad, pad_multiple * mesh.shape[axis])
+    if n_pad != n:
+        tok = np.concatenate(
+            [tok, np.zeros((n_pad - n, ld, dim), np.float32)], axis=0)
+        msk = np.concatenate(
+            [msk, np.zeros((n_pad - n, ld), np.int8)], axis=0)
+        pids = np.concatenate(
+            [pids, np.full((n_pad - n,), -1, np.int64)], axis=0)
+
+    tokens = jnp.asarray(tok, dtype)
+    mask = jnp.asarray(msk)
+    if mesh is not None:
+        tokens = jax.device_put(tokens, NamedSharding(mesh, P(axis)))
+        mask = jax.device_put(mask, NamedSharding(mesh, P(axis)))
+    return TokenIndex(tokens=tokens, mask=mask, pids=pids, num_docs=n,
+                      meta={"doc_maxlen": ld, "dim": dim})
+
+
+def encode_corpus(
+    doc_encode_fn: Callable,
+    batches: Iterable[dict],
+    pad_multiple: int = 128,
+    dtype=jnp.bfloat16,
+    mesh: Optional[Mesh] = None,
+    axis: str = "index",
+    pids: Optional[Sequence[int]] = None,
+) -> TokenIndex:
+    """Encode a corpus into a TokenIndex.
+
+    doc_encode_fn(batch) -> (D (B, Ld, dim), mask (B, Ld)); should be jitted
+    (and may itself be pjit-sharded over the data axis). Replaces the
+    reference's Launcher-spawned multi-process CollectionIndexer
+    (collection_indexer.py:321-339) with a single-program loop.
+    """
+    embs, msks = [], []
+    for batch in batches:
+        d, m = doc_encode_fn(batch)
+        embs.append(np.asarray(d, np.float32))
+        msks.append(np.asarray(m, np.int8))
+    tok = np.concatenate(embs, axis=0)
+    msk = np.concatenate(msks, axis=0)
+    return build_index_from_embeddings(tok, msk, pids=pids,
+                                       pad_multiple=pad_multiple, dtype=dtype,
+                                       mesh=mesh, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# Persistence (replaces index chunk files + plan.json, index_saver.py:80-90)
+# ---------------------------------------------------------------------------
+
+def save_index(index: TokenIndex, path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    np.savez(
+        os.path.join(path, "index.npz"),
+        tokens=np.asarray(index.tokens, np.float32
+                          if index.tokens.dtype != jnp.int8 else np.int8),
+        mask=np.asarray(index.mask, np.int8),
+        pids=index.pids,
+        scales=(np.asarray(index.scales, np.float32)
+                if index.scales is not None else np.zeros((0,))),
+    )
+    with open(os.path.join(path, "metadata.json"), "w") as f:
+        json.dump({"num_docs": index.num_docs,
+                   "quantized": index.scales is not None,
+                   **index.meta}, f)
+
+
+def load_index(path: str, dtype=jnp.bfloat16, mesh: Optional[Mesh] = None,
+               axis: str = "index") -> TokenIndex:
+    with open(os.path.join(path, "metadata.json")) as f:
+        meta = json.load(f)
+    z = np.load(os.path.join(path, "index.npz"))
+    quantized = meta.pop("quantized", False)
+    tokens = jnp.asarray(z["tokens"], jnp.int8 if quantized else dtype)
+    mask = jnp.asarray(z["mask"])
+    scales = jnp.asarray(z["scales"], jnp.float32) if quantized else None
+    if mesh is not None:
+        sh = NamedSharding(mesh, P(axis))
+        tokens = jax.device_put(tokens, sh)
+        mask = jax.device_put(mask, sh)
+        if scales is not None:
+            scales = jax.device_put(scales, sh)
+    return TokenIndex(tokens=tokens, mask=mask, pids=z["pids"],
+                      num_docs=meta.pop("num_docs"), scales=scales, meta=meta)

@@ -1,0 +1,145 @@
+"""SPMD late-interaction search over a sharded TokenIndex.
+
+Replaces the reference's multi-stage CPU/CUDA searcher (candidate generation
+-> centroid pruning -> decompress -> exact MaxSim; SURVEY.md §2.3 R16-R18,
+§2.4 N1/N4/N5) with one collective program: each device scores the query
+batch against its HBM-resident index shard (fused Pallas MaxSim on TPU),
+takes a local top-k, and the shards merge via all_gather + final top-k over
+ICI. Exact by construction at OK-VQA scale (no quantization error unless the
+int8 codec is enabled); a centroid coarse stage for >10M-token corpora lives
+in centroids.py.
+
+Zero query rows (masked [MASK]-augmentation rows removed by the reference's
+`remove_zero_tensors`, searcher.py:120-128) contribute exactly 0 to every
+doc's score here, which is equivalent to removing them.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.maxsim import maxsim_search_pallas, maxsim_search_xla
+from ..ops.quant import maxsim_search_int8_xla
+from .index import TokenIndex
+
+def shard_map(f, mesh, in_specs, out_specs):
+    # check_vma=False: outputs are replicated by construction (every shard
+    # computes the same merged top-k after all_gather) but the static
+    # varying-manifest check cannot infer that.
+    return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+
+def _local_scores(q, tokens, mask, scales, use_pallas: bool, tile_d: int):
+    if scales is not None:
+        return maxsim_search_int8_xla(q, tokens, scales, mask)
+    if use_pallas:
+        return maxsim_search_pallas(q, tokens, mask, tile_d=tile_d)
+    return maxsim_search_xla(q, tokens, mask)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "use_pallas", "tile_d"))
+def search_single_device(q, tokens, mask, scales=None, *, k: int,
+                         use_pallas: bool = False, tile_d: int = 16):
+    """Exact search on one device. Returns (scores (B,k), rows (B,k))."""
+    scores = _local_scores(q, tokens, mask, scales, use_pallas, tile_d)
+    return jax.lax.top_k(scores, k)
+
+
+def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
+                        axis: str = "index", use_pallas: bool = False,
+                        tile_d: int = 16, quantized: bool = False):
+    """Build a jitted collective search fn over `mesh`.
+
+    Returned fn(q, tokens, mask[, scales]) -> (scores (B,k), rows (B,k)),
+    with tokens/mask sharded over dim 0 on `axis` and q replicated. Rows are
+    global (pre-pid-mapping) indices into the padded index.
+    """
+    nshards = mesh.shape[axis]
+    n_local = n_pad // nshards
+    k_local = min(k, n_local)
+
+    def _local(q, tok, msk, scl):
+        scores = _local_scores(q, tok, msk, scl, use_pallas, tile_d)
+        s, i = jax.lax.top_k(scores, k_local)
+        i = i + jax.lax.axis_index(axis) * n_local
+        s_all = jax.lax.all_gather(s, axis)          # (nshards, B, k_local)
+        i_all = jax.lax.all_gather(i, axis)
+        b = q.shape[0]
+        s_cat = jnp.moveaxis(s_all, 0, 1).reshape(b, nshards * k_local)
+        i_cat = jnp.moveaxis(i_all, 0, 1).reshape(b, nshards * k_local)
+        s_top, sel = jax.lax.top_k(s_cat, min(k, nshards * k_local))
+        i_top = jnp.take_along_axis(i_cat, sel, axis=1)
+        return s_top, i_top
+
+    if quantized:
+        f = shard_map(lambda q, t, m, s: _local(q, t, m, s), mesh,
+                      in_specs=(P(), P(axis), P(axis), P(axis)),
+                      out_specs=(P(), P()))
+        return jax.jit(f)
+    f = shard_map(lambda q, t, m: _local(q, t, m, None), mesh,
+                  in_specs=(P(), P(axis), P(axis)),
+                  out_specs=(P(), P()))
+    return jax.jit(f)
+
+
+class LateInteractionSearcher:
+    """High-level searcher over a TokenIndex (reference Searcher, R18).
+
+    Handles device dispatch (sharded collective search when a mesh is given,
+    single-device otherwise), pid mapping, and padded-doc suppression.
+    """
+
+    def __init__(self, index: TokenIndex, mesh: Optional[Mesh] = None,
+                 axis: str = "index", use_pallas: Optional[bool] = None,
+                 tile_d: int = 16):
+        self.index = index
+        self.mesh = mesh
+        self.axis = axis
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() == "tpu"
+                          and index.scales is None)
+        self.use_pallas = use_pallas
+        self.tile_d = tile_d
+        self._sharded_fns: dict[int, callable] = {}
+
+    def _search_fn(self, k: int):
+        if self.mesh is None:
+            return None
+        if k not in self._sharded_fns:
+            self._sharded_fns[k] = make_sharded_search(
+                self.mesh, self.index.n_pad, k=k, axis=self.axis,
+                use_pallas=self.use_pallas, tile_d=self.tile_d,
+                quantized=self.index.scales is not None)
+        return self._sharded_fns[k]
+
+    def search_device(self, q: jax.Array, k: int):
+        """(B, Lq, dim) -> (scores (B,k), padded-index rows (B,k)), on device."""
+        idx = self.index
+        if self.mesh is not None:
+            fn = self._search_fn(k)
+            args = (q, idx.tokens, idx.mask)
+            if idx.scales is not None:
+                args += (idx.scales,)
+            return fn(*args)
+        return search_single_device(
+            q, idx.tokens, idx.mask, idx.scales, k=k,
+            use_pallas=self.use_pallas, tile_d=self.tile_d)
+
+    def search(self, q, k: int):
+        """Host-facing search: returns (scores (B,k) np, pids (B,k) np).
+
+        Padded rows (pid -1) score ≈ -9999*Lq and only appear when
+        k > num_docs.
+        """
+        scores, rows = self.search_device(jnp.asarray(q), k)
+        scores = np.asarray(scores)
+        rows = np.asarray(rows)
+        return scores, self.index.pids[rows]

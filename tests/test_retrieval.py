@@ -1,0 +1,131 @@
+"""Retrieval engine tests: index build/save/load, exact single-device and
+sharded collective search on the 8-device CPU mesh, int8 codec."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from ravqa_tpu.ops.quant import (dequantize_int8, maxsim_search_int8_xla,
+                                 quantize_index_int8)
+from ravqa_tpu.ops import maxsim_search_xla
+from ravqa_tpu.retrieval import (LateInteractionSearcher, TokenIndex,
+                                 build_index_from_embeddings, load_index,
+                                 save_index)
+
+
+def normed(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(0)
+    n, ld, dim = 200, 12, 32
+    embs = normed(rng.normal(size=(n, ld, dim))).astype(np.float32)
+    masks = (rng.random((n, ld)) > 0.2).astype(np.int8)
+    masks[:, 0] = 1
+    embs = embs * masks[..., None]
+    return embs, masks
+
+
+@pytest.fixture(scope="module")
+def queries():
+    rng = np.random.default_rng(1)
+    return normed(rng.normal(size=(5, 8, 32))).astype(np.float32)
+
+
+def brute_topk(q, embs, masks, k):
+    scores = np.asarray(maxsim_search_xla(jnp.array(q), jnp.array(embs),
+                                          jnp.array(masks.astype(np.float32))))
+    order = np.argsort(-scores, axis=1)[:, :k]
+    return scores, order
+
+
+def test_build_pads_and_searches_single_device(corpus, queries):
+    embs, masks = corpus
+    idx = build_index_from_embeddings(embs, masks, pad_multiple=128,
+                                      dtype=jnp.float32)
+    assert idx.n_pad == 256 and idx.num_docs == 200
+    s = LateInteractionSearcher(idx, use_pallas=False)
+    scores, pids = s.search(queries, k=10)
+    _, want = brute_topk(queries, embs, masks, 10)
+    np.testing.assert_array_equal(pids, want)
+    assert (pids >= 0).all(), "padded docs must never be retrieved"
+
+
+def test_sharded_search_matches_bruteforce(corpus, queries):
+    embs, masks = corpus
+    mesh = Mesh(np.array(jax.devices()), ("index",))
+    idx = build_index_from_embeddings(embs, masks, pad_multiple=8,
+                                      dtype=jnp.float32, mesh=mesh)
+    assert idx.n_pad % 8 == 0
+    s = LateInteractionSearcher(idx, mesh=mesh, use_pallas=False)
+    scores, pids = s.search(queries, k=10)
+    bscores, want = brute_topk(queries, embs, masks, 10)
+    np.testing.assert_array_equal(pids, want)
+    np.testing.assert_allclose(
+        scores, np.take_along_axis(bscores, want, axis=1), rtol=1e-5)
+
+
+def test_save_load_roundtrip(tmp_path, corpus, queries):
+    embs, masks = corpus
+    idx = build_index_from_embeddings(embs, masks, dtype=jnp.float32)
+    save_index(idx, str(tmp_path / "idx"))
+    idx2 = load_index(str(tmp_path / "idx"), dtype=jnp.float32)
+    assert idx2.num_docs == idx.num_docs
+    s1, p1 = LateInteractionSearcher(idx, use_pallas=False).search(queries, 5)
+    s2, p2 = LateInteractionSearcher(idx2, use_pallas=False).search(queries, 5)
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
+def test_int8_codec_accuracy(corpus, queries):
+    embs, masks = corpus
+    q8, scales = quantize_index_int8(jnp.array(embs),
+                                     jnp.array(masks.astype(np.float32)))
+    deq = np.asarray(dequantize_int8(q8, scales))
+    # quantization error small for normalized embeddings
+    assert np.abs(deq - embs).max() < 0.01
+    s_int8 = np.asarray(maxsim_search_int8_xla(
+        jnp.array(queries), q8, scales, jnp.array(masks)))
+    s_full, want = brute_topk(queries, embs, masks, 5)
+    got = np.argsort(-s_int8, axis=1)[:, :5]
+    # top-5 must match at this scale (scores well separated on random data)
+    assert (got == want).mean() > 0.9
+    np.testing.assert_allclose(s_int8, s_full, rtol=0.02, atol=0.5)
+
+
+def test_int8_sharded_search(corpus, queries):
+    embs, masks = corpus
+    mesh = Mesh(np.array(jax.devices()), ("index",))
+    q8, scales = quantize_index_int8(jnp.array(embs),
+                                     jnp.array(masks.astype(np.float32)))
+    idx = build_index_from_embeddings(embs, masks, pad_multiple=8,
+                                      dtype=jnp.float32, mesh=mesh)
+    # swap in quantized payload (padded)
+    pad = idx.n_pad - embs.shape[0]
+    q8p = jnp.concatenate([q8, jnp.zeros((pad,) + q8.shape[1:], jnp.int8)])
+    scp = jnp.concatenate([scales,
+                           jnp.zeros((pad,) + scales.shape[1:], jnp.float32)])
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P("index"))
+    idx_q = TokenIndex(tokens=jax.device_put(q8p, sh),
+                       mask=idx.mask, pids=idx.pids, num_docs=idx.num_docs,
+                       scales=jax.device_put(scp, sh))
+    s = LateInteractionSearcher(idx_q, mesh=mesh, use_pallas=False)
+    scores, pids = s.search(queries, k=5)
+    _, want = brute_topk(queries, embs, masks, 5)
+    assert (pids == want).mean() > 0.9
+
+
+def test_k_larger_than_num_docs(corpus, queries):
+    embs, masks = corpus
+    idx = build_index_from_embeddings(embs[:10], masks[:10], pad_multiple=16,
+                                      dtype=jnp.float32)
+    s = LateInteractionSearcher(idx, use_pallas=False)
+    scores, pids = s.search(queries, k=12)
+    # 10 real docs; the last retrieved entries are pads with pid -1
+    assert (pids[:, :10] >= 0).all()
+    assert (pids[:, 10:] == -1).all()
