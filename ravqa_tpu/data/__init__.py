@@ -1,0 +1,10 @@
+from .pipeline import (BaseTransform, DataPipeline, TRANSFORM_REGISTRY,
+                       register_transform)
+from .module_parser import ModuleParser
+from .datasets import (PassageCorpus, RetrievalDataset, corpus_doc_batches,
+                       query_eval_batches)
+from . import transforms  # noqa: F401  (populates the registry)
+
+__all__ = ["BaseTransform", "DataPipeline", "TRANSFORM_REGISTRY",
+           "register_transform", "ModuleParser", "PassageCorpus",
+           "RetrievalDataset", "corpus_doc_batches", "query_eval_batches"]

@@ -1,0 +1,216 @@
+"""Data transforms: OK-VQA / GoogleSearch loaders + synthetic data.
+
+Format-compatible with the reference's inputs:
+
+- LoadGoogleSearchPassages: the GoogleSearch corpus CSV `kid,content` with
+  the train/full split boundary at kid 112724 and `GS_` id prefixing
+  (/root/reference/src/data_ops/vqa_data_ops.py:598-705);
+- LoadGoogleSearchAnnotations: DPR-style annotation JSONs
+  [{question_id, caption, ctxs: [{id, has_answer}, ...]}] -> pos_item_ids
+  per question (vqa_data_ops.py:707-833), with the use_all_samples dummy
+  positive for full-test inference;
+- LoadOKVQAData: official VQA-format question/annotation JSONs
+  (OpenEnded_mscoco_*_questions.json + mscoco_*_annotations.json), joined
+  per question (vqa_data_ops.py:230-431); image features attach separately;
+- LoadImageFeatures: a .npz image_id -> feature store (replaces the
+  reference's ElasticSearch feature cache, vqa_data_ops.py:1167-1444);
+- SyntheticOKVQA: `use_dummy_data`-equivalent synthetic world for tests/dev;
+- PrepareDataloaders: terminal node building tokenizers + RetrievalDataset
+  loaders (common_data_opts.py:51-246).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..tokenization import (DocTokenizer, QueryTokenizer, WordPieceTokenizer,
+                            make_tiny_vocab)
+from .datasets import PassageCorpus, RetrievalDataset
+from .pipeline import BaseTransform, register_transform
+
+GS_TRAIN_BOUNDARY = "112724"  # first kid NOT in the train split
+
+
+@register_transform
+class LoadGoogleSearchPassages(BaseTransform):
+    """setup: passage_data_path (csv), use_full_split=True."""
+
+    def __call__(self, *inputs):
+        id2doc: dict[str, str] = {}
+        id2doc_train: dict[str, str] = {}
+        end_of_train = False
+        with open(self.passage_data_path, newline="") as f:
+            for row in csv.reader(f):
+                if not row or row[0] == "kid":
+                    continue
+                kid, content = row[0], row[1]
+                if kid == GS_TRAIN_BOUNDARY:
+                    end_of_train = True
+                    if not getattr(self, "use_full_split", True):
+                        break
+                pid = f"GS_{kid}"
+                if not end_of_train:
+                    id2doc_train[pid] = content
+                id2doc[pid] = content
+        full = PassageCorpus(list(id2doc), list(id2doc.values()))
+        train = PassageCorpus(list(id2doc_train), list(id2doc_train.values()))
+        return {"train_passages": train, "full_passages": full}
+
+
+@register_transform
+class LoadOKVQAData(BaseTransform):
+    """setup: questions_path / annotations_path dicts keyed by split."""
+
+    def __call__(self, *inputs):
+        out = {}
+        for split in self.questions_path:
+            with open(self.questions_path[split]) as f:
+                questions = json.load(f)["questions"]
+            with open(self.annotations_path[split]) as f:
+                annotations = json.load(f)["annotations"]
+            ann_by_qid = {a["question_id"]: a for a in annotations}
+            items = []
+            for q in questions:
+                a = ann_by_qid[q["question_id"]]
+                answers = [x["answer"] for x in a["answers"]]
+                items.append({
+                    "question_id": str(q["question_id"]),
+                    "question": q["question"],
+                    "image_id": q["image_id"],
+                    "answers": answers,
+                    "gold_answer": a.get("multiple_choice_answer",
+                                         answers[0] if answers else ""),
+                    "question_type": a.get("question_type", ""),
+                    "answer_type": a.get("answer_type", ""),
+                })
+            out[split] = items
+        return out
+
+
+@register_transform
+class LoadGoogleSearchAnnotations(BaseTransform):
+    """inputs: (okvqa split dict, passages dict).
+    setup: annotations_path {split: json}, use_all_samples=False."""
+
+    def __call__(self, okvqa, passages):
+        full = passages["full_passages"]
+        out = {}
+        for split, ann_path in self.annotations_path.items():
+            with open(ann_path) as f:
+                annotations = json.load(f)
+            qid2pos: dict[str, list] = {}
+            for ann in annotations:
+                qid = str(ann["question_id"])
+                qid2pos.setdefault(
+                    qid, [f"GS_{p['id']}" for p in ann["ctxs"]])
+            items = []
+            for item in okvqa[split]:
+                qid = str(item["question_id"])
+                pos = qid2pos.get(qid)
+                if not pos:
+                    if getattr(self, "use_all_samples", False):
+                        pos = ["GS_0"]
+                    else:
+                        continue
+                it = dict(item)
+                it["pos_item_ids"] = pos
+                it["pos_item_contents"] = [full.content_of(p) for p in pos
+                                           if p in full.id2pos]
+                items.append(it)
+            out[split] = items
+        out["passages"] = passages
+        return out
+
+
+@register_transform
+class LoadImageFeatures(BaseTransform):
+    """Attach per-image features from a .npz store keyed by str(image_id).
+    setup: features_path (npz), feature_key='image_features'."""
+
+    def __call__(self, data):
+        store = np.load(self.features_path)
+        key = getattr(self, "feature_key", "image_features")
+        for split, items in data.items():
+            if not isinstance(items, list):
+                continue
+            for it in items:
+                it[key] = store[str(it["image_id"])]
+        return data
+
+
+@register_transform
+class SyntheticOKVQA(BaseTransform):
+    """Synthetic world (use_dummy_data equivalent): passages are word bags,
+    question repeats words of its positive passage, answers are words.
+    setup: n_docs=64, n_questions=32, vision_dim=16, seed=0."""
+
+    WORDS = ["cat", "dog", "sky", "sun", "tree", "fish", "bird", "car",
+             "red", "blue", "big", "old", "hot", "wet", "sad", "fast",
+             "tall", "round", "green", "small"]
+
+    def __call__(self, *inputs):
+        n_docs = getattr(self, "n_docs", 64)
+        n_q = getattr(self, "n_questions", 32)
+        vdim = getattr(self, "vision_dim", 16)
+        rng = np.random.default_rng(getattr(self, "seed", 0))
+        contents = [" ".join(rng.choice(self.WORDS, 5, replace=False))
+                    for _ in range(n_docs)]
+        corpus = PassageCorpus([f"GS_{i}" for i in range(n_docs)], contents)
+        items = []
+        for i in range(n_q):
+            d = i % n_docs
+            words = contents[d].split()
+            items.append({
+                "question_id": str(i),
+                "question": " ".join(words[:3]),
+                "image_id": i,
+                "answers": [words[0]] * 10,
+                "gold_answer": words[0],
+                "pos_item_ids": [f"GS_{d}"],
+                "pos_item_contents": [contents[d]],
+                "image_features": rng.normal(size=(vdim,)).astype(np.float32),
+            })
+        n_train = max(1, int(0.8 * n_q))
+        return {"train": items[:n_train], "test": items[n_train:],
+                "passages": {"train_passages": corpus,
+                             "full_passages": corpus}}
+
+
+@register_transform
+class PrepareDataloaders(BaseTransform):
+    """Terminal node: tokenizers + RetrievalDatasets.
+
+    setup: query_maxlen, doc_maxlen, nway, vocab_path (None -> tiny vocab),
+    input_modules (ModuleParser specs), use_self_negatives.
+    """
+
+    def __call__(self, data):
+        vocab_path = getattr(self, "vocab_path", None)
+        base = WordPieceTokenizer(
+            vocab_path if vocab_path else
+            make_tiny_vocab(SyntheticOKVQA.WORDS))
+        qt = QueryTokenizer(base, query_maxlen=getattr(self, "query_maxlen",
+                                                       32))
+        dt = DocTokenizer(base, doc_maxlen=getattr(self, "doc_maxlen", 220))
+        corpus = data["passages"]["full_passages"]
+        train_corpus = data["passages"].get("train_passages", corpus)
+        out = {"tokenizer": base, "query_tokenizer": qt, "doc_tokenizer": dt,
+               "passages": data["passages"]}
+        for split in ("train", "valid", "test"):
+            items = data.get(split)
+            if items is None and split == "valid":
+                items = data.get("test")
+            if items is None:
+                continue
+            out[split] = RetrievalDataset(
+                items, train_corpus if split == "train" else corpus,
+                qt, dt, nway=getattr(self, "nway", 2),
+                input_modules=getattr(self, "input_modules", None),
+                use_self_negatives=getattr(self, "use_self_negatives",
+                                           False))
+        return out

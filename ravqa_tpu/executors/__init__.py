@@ -1,0 +1,6 @@
+from .base import (BaseExecutor, MetricsLogger, TrainConfig, TrainState,
+                   load_params, make_optimizer, save_params)
+from .flmr_executor import FLMRExecutor
+
+__all__ = ["BaseExecutor", "MetricsLogger", "TrainConfig", "TrainState",
+           "load_params", "make_optimizer", "save_params", "FLMRExecutor"]

@@ -1,0 +1,230 @@
+"""Training executor core: optimizer factory, jitted SPMD train step,
+checkpointing, metric logging.
+
+Replaces the reference's runway_for_ml BaseExecutor + pytorch_lightning
+Trainer (SURVEY.md C3/C4): one jitted train step over a device mesh (data
+axis) instead of DDP; orbax checkpoints instead of Lightning .ckpt; a JSONL
+metrics history instead of the MetricsHistoryLogger callback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Iterable, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel import trainable_mask
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-5
+    mapping_lr: Optional[float] = None     # separate LR for mapping network
+    weight_decay: float = 0.0
+    warmup_steps: int = 0
+    total_steps: int = 10000
+    schedule: str = "constant"             # constant | linear | cosine
+    grad_clip: float = 0.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    modules: tuple = ()                    # feature-flag bus incl. freeze_*
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def make_schedule(cfg: TrainConfig, lr: float):
+    if cfg.schedule == "constant":
+        if cfg.warmup_steps > 0:
+            return optax.linear_schedule(0.0, lr, cfg.warmup_steps)
+        return lr
+    if cfg.schedule == "linear":
+        return optax.warmup_constant_schedule(0.0, lr, cfg.warmup_steps) \
+            if cfg.warmup_steps else lr
+    if cfg.schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, lr, max(cfg.warmup_steps, 1), cfg.total_steps)
+    raise ValueError(cfg.schedule)
+
+
+def make_optimizer(cfg: TrainConfig, params) -> optax.GradientTransformation:
+    """AdamW with optional grad clip, separate mapping-network LR (reference
+    FLMR_executor.py:290-365 param groups), and freeze-flag masking."""
+    def adamw(lr):
+        return optax.adamw(make_schedule(cfg, lr), b1=cfg.adam_b1,
+                           b2=cfg.adam_b2, eps=cfg.adam_eps,
+                           weight_decay=cfg.weight_decay)
+
+    if cfg.mapping_lr is not None:
+        def is_mapping(path):
+            top = path[0].key if hasattr(path[0], "key") else str(path[0])
+            return top == "vision_projection"
+        labels = jax.tree_util.tree_map_with_path(
+            lambda path, _: "mapping" if is_mapping(path) else "base", params)
+        tx = optax.multi_transform(
+            {"base": adamw(cfg.lr), "mapping": adamw(cfg.mapping_lr)}, labels)
+    else:
+        tx = adamw(cfg.lr)
+
+    if cfg.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+
+    mask = trainable_mask(params, list(cfg.modules))
+    if not all(jax.tree.leaves(mask)):
+        tx = optax.chain(
+            optax.masked(optax.set_to_zero(),
+                         jax.tree.map(lambda t: not t, mask)),
+            tx)
+    return tx
+
+
+class MetricsLogger:
+    """JSONL metrics history + stdout (replaces wandb/TB + MetricsHistoryLogger)."""
+
+    def __init__(self, log_dir: Optional[str] = None, quiet: bool = False):
+        self.log_dir = log_dir
+        self.quiet = quiet
+        self.history: list[dict] = []
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            self._f = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        else:
+            self._f = None
+
+    def log(self, metrics: dict, step: int, prefix: str = ""):
+        rec = {("%s%s" % (prefix, k)): (float(v) if np.isscalar(v)
+                                        or hasattr(v, "item") else v)
+               for k, v in metrics.items()}
+        rec["step"] = int(step)
+        rec["time"] = time.time()
+        self.history.append(rec)
+        if self._f:
+            self._f.write(json.dumps(rec) + "\n")
+            self._f.flush()
+        if not self.quiet:
+            short = {k: (round(v, 5) if isinstance(v, float) else v)
+                     for k, v in rec.items() if k not in ("time",)}
+            print(f"[metrics] {short}", flush=True)
+
+
+class BaseExecutor:
+    """Owns model, params, optimizer, and the jitted SPMD train step.
+
+    Subclasses define loss_fn(params, batch, rng) -> (loss, metrics_dict).
+    """
+
+    def __init__(self, model, params, train_cfg: TrainConfig,
+                 mesh: Optional[Mesh] = None, log_dir: Optional[str] = None,
+                 seed: int = 0, quiet: bool = False):
+        self.model = model
+        self.train_cfg = train_cfg
+        self.mesh = mesh
+        # private copy: the train step donates its input state, which would
+        # otherwise invalidate the caller's param buffers
+        params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        self.tx = make_optimizer(train_cfg, params)
+        self.logger = MetricsLogger(log_dir, quiet=quiet)
+        rng = jax.random.PRNGKey(seed)
+        self.state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                                opt_state=self.tx.init(params), rng=rng)
+        if mesh is not None:
+            # replicate state; batches are sharded on the data axis
+            rep = NamedSharding(mesh, P())
+            self.state = jax.device_put(self.state, rep)
+        self._train_step = self._build_train_step()
+
+    # -- to be overridden ---------------------------------------------------
+    def loss_fn(self, params, batch, rng):
+        raise NotImplementedError
+
+    # -- training -----------------------------------------------------------
+    def _build_train_step(self):
+        def step_fn(state: TrainState, batch):
+            rng, sub = jax.random.split(state.rng)
+            (loss, metrics), grads = jax.value_and_grad(
+                self.loss_fn, has_aux=True)(state.params, batch, sub)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(step=state.step + 1, params=params,
+                                   opt_state=opt_state, rng=rng)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return new_state, metrics
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def train_step(self, batch) -> dict:
+        if self.mesh is not None:
+            from ..parallel import shard_batch
+            batch = shard_batch(batch, self.mesh)
+        self.state, metrics = self._train_step(self.state, batch)
+        return metrics
+
+    def fit(self, batches: Iterable, steps: Optional[int] = None,
+            log_every: int = 50,
+            val_every: Optional[int] = None,
+            val_fn: Optional[Callable[[], dict]] = None) -> dict:
+        last_metrics: dict = {}
+        for i, batch in enumerate(batches):
+            if steps is not None and i >= steps:
+                break
+            metrics = self.train_step(batch)
+            if (i + 1) % log_every == 0 or (steps and i == steps - 1):
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                self.logger.log(last_metrics, int(self.state.step),
+                                prefix="train/")
+            if val_fn is not None and val_every and (i + 1) % val_every == 0:
+                vm = val_fn()
+                self.logger.log(vm, int(self.state.step), prefix="valid/")
+        return last_metrics
+
+    # -- checkpointing (replaces Lightning .ckpt + HF save, SURVEY §5) ------
+    def save_checkpoint(self, path: str):
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "params.msgpack"), "wb") as f:
+            f.write(flax.serialization.to_bytes(
+                jax.device_get(self.state.params)))
+        with open(os.path.join(path, "step.json"), "w") as f:
+            json.dump({"step": int(self.state.step)}, f)
+
+    def load_checkpoint(self, path: str):
+        with open(os.path.join(path, "params.msgpack"), "rb") as f:
+            params = flax.serialization.from_bytes(
+                jax.device_get(self.state.params), f.read())
+        with open(os.path.join(path, "step.json")) as f:
+            step = json.load(f)["step"]
+        self.state = TrainState(step=jnp.asarray(step, jnp.int32),
+                                params=params,
+                                opt_state=self.tx.init(params),
+                                rng=self.state.rng)
+        if self.mesh is not None:
+            self.state = jax.device_put(
+                self.state, NamedSharding(self.mesh, P()))
+
+
+def save_params(params, path: str):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(jax.device_get(params)))
+
+
+def load_params(template, path: str):
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(template, f.read())

@@ -62,9 +62,15 @@ class FLMRModelConfig:
 
 
 def l2_normalize(x, axis=-1, eps=1e-12):
-    """torch.nn.functional.normalize semantics: zero rows stay zero."""
-    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(norm, eps)
+    """torch.nn.functional.normalize semantics: zero rows stay zero.
+
+    Guarded so zero rows (masked query/doc pads) get exactly zero gradient —
+    a bare norm() has NaN grad at 0 and poisons training.
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    is_zero = sq < eps
+    out = x * jax.lax.rsqrt(jnp.where(is_zero, 1.0, sq))
+    return jnp.where(is_zero, jnp.zeros_like(out), out)
 
 
 def punctuation_skiplist_ids(tokenizer) -> list[int]:

@@ -1,0 +1,7 @@
+from .mesh import batch_sharding, make_mesh, replicated, shard_batch
+from .partition import (FREEZE_FLAG_PREFIXES, fsdp_sharding,
+                        gather_with_local_grads, trainable_mask)
+
+__all__ = ["batch_sharding", "make_mesh", "replicated", "shard_batch",
+           "FREEZE_FLAG_PREFIXES", "fsdp_sharding",
+           "gather_with_local_grads", "trainable_mask"]

@@ -1,0 +1,76 @@
+"""Metric semantics tests, including parity with the official VQAEval
+formula on hand-computed cases."""
+
+import numpy as np
+
+from ravqa_tpu.metrics import (exact_match, positive_id_scores,
+                               pseudo_relevance_scores, vqa_accuracy_single)
+
+
+def test_pseudo_relevance():
+    retrieved = [["the sky is blue today", "cats are mammals"],
+                 ["paris is in france", "rome is in italy"]]
+    answers = [["blue"], ["london"]]
+    m = pseudo_relevance_scores(retrieved, answers, ks=[1, 2])
+    assert m["recall_at_1"] == 0.5       # q0 hits at rank 1, q1 never
+    assert m["recall_at_2"] == 0.5
+    assert m["precision_at_2"] == 0.25   # q0: 1/2, q1: 0/2
+
+
+def test_pseudo_relevance_gold():
+    retrieved = [["a blue answer here", "blue again"]]
+    answers = [["blue", "azure"]]
+    m = pseudo_relevance_scores(retrieved, answers, ks=[2],
+                                gold_answers=["azure"])
+    assert m["recall_at_2"] == 1.0
+    assert m["gold_recall_at_2"] == 0.0
+
+
+def test_positive_id_scores():
+    retrieved = [["GS_1", "GS_2", "GS_3"], ["GS_9", "GS_1", "GS_4"]]
+    pos = [["GS_2"], ["GS_7"]]
+    m = positive_id_scores(retrieved, pos, ks=[1, 3])
+    assert m["pos_item_ids_recall_at_1"] == 0.0
+    assert m["pos_item_ids_recall_at_3"] == 0.5
+    np.testing.assert_allclose(m["pos_item_ids_precision_at_3"], 1 / 6)
+
+
+def test_exact_match():
+    assert exact_match(["Blue ", "red"], [["blue"], ["green"]]) == 0.5
+
+
+class TestVQAAccuracy:
+    def test_full_consensus(self):
+        # all 10 humans agree with prediction -> 1.0
+        assert vqa_accuracy_single("cat", ["cat"] * 10) == 1.0
+
+    def test_three_matches_gives_one(self):
+        # 3 other humans matching -> min(1, 3/3) = 1 for the 7 non-matching
+        # leave-outs; leaving out a matching answer gives 2/3.
+        ans = ["cat"] * 3 + ["dog"] * 7
+        acc = vqa_accuracy_single("cat", ans)
+        want = (3 * (2 / 3) + 7 * 1.0) / 10
+        np.testing.assert_allclose(acc, want)
+
+    def test_single_match(self):
+        ans = ["cat"] + ["dog"] * 9
+        acc = vqa_accuracy_single("cat", ans)
+        want = (1 * 0 + 9 * (1 / 3)) / 10
+        np.testing.assert_allclose(acc, want)
+
+    def test_normalization_applied_when_answers_differ(self):
+        # "a cat" normalizes to "cat" (article dropped)
+        ans = ["a cat"] * 5 + ["dog"] * 5
+        acc = vqa_accuracy_single("cat", ans)
+        want = (5 * 1.0 + 5 * 1.0) / 10  # 4 or 5 matching others -> >=3
+        np.testing.assert_allclose(acc, want)
+
+    def test_no_normalization_when_degenerate(self):
+        # official quirk: if all gt answers identical, no normalization
+        ans = ["a cat"] * 10
+        assert vqa_accuracy_single("cat", ans) == 0.0
+        assert vqa_accuracy_single("a cat", ans) == 1.0
+
+    def test_number_words(self):
+        ans = ["two"] * 6 + ["2"] * 4
+        assert vqa_accuracy_single("2", ans) == 1.0
