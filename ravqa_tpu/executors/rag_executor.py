@@ -1,0 +1,266 @@
+"""RAVQA-v2 executor: retrieve-then-generate training + generation eval.
+
+Mirrors the reference RagBlipExecutor + RagModelForBlip orchestration
+(/root/reference/src/executors/RAG_BLIP_executor.py, src/models/rag/
+rag_model_blip.py) redesigned for the host/device split:
+
+- live retrieval (main_retrieve): query encoder -> sharded MaxSim search over
+  the corpus index -> top n_docs; the retrieved docs' token embeddings are
+  re-scored INSIDE the jitted loss so gradients flow to the query encoder
+  (the reference re-scores per-doc on the query device, :339-502);
+- static retrieval (static_retrieve): precomputed {question_id: [passage_id,
+  score]} map (the FLMR test-mode prediction JSONs, FLMR_executor.py:1012);
+- generator: T5 (flan-T5 for v2) with optional LoRA (only the LoRA tree
+  trains, reference custom_peft);
+- loss: rag_loss_components (NLL + RAG-sequence + Approach1-6/NoPR);
+- generate: greedy/beam per (question, doc), answer picked by
+  log g(z|x) + log p(y|x,z).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.flmr import FLMRRetriever
+from ..models.generation import greedy_generate
+from ..models.lora import init_lora, merge_lora
+from ..models.rag import (GeneratorInputBuilder, get_retrieval_labels,
+                          rag_loss_components, select_answers_by_joint_score)
+from ..models.t5 import T5Config, T5Model, shift_right
+from ..ops.maxsim import maxsim_pair_xla
+from ..retrieval import LateInteractionSearcher, TokenIndex
+from .base import BaseExecutor, TrainConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class RagConfig:
+    n_docs: int = 5
+    loss_type: str = "Approach4"          # RAVQA_loss_type
+    nll_weight: float = 1.0
+    rag_weight: float = 1.0               # loss_ratio.rag_loss
+    additional_weight: float = 1.0        # loss_ratio.additional_loss
+    use_lora: bool = True
+    lora_rank: int = 8
+    lora_alpha: float = 32.0
+    max_decode_len: int = 10
+    gen_maxlen: int = 96
+    label_maxlen: int = 8
+
+
+class RagExecutor(BaseExecutor):
+    """params pytree: {"retriever": flmr_params, "generator": gen_params or
+    {"base": ..., "lora": ...}}."""
+
+    def __init__(self, retriever: FLMRRetriever, retriever_params,
+                 generator: T5Model, generator_params,
+                 gen_tokenizer, rag_cfg: RagConfig, train_cfg: TrainConfig,
+                 query_tokenizer=None,
+                 index: Optional[TokenIndex] = None,
+                 passage_contents: Optional[Sequence[str]] = None,
+                 static_retrieval: Optional[dict] = None,
+                 input_builder: Optional[GeneratorInputBuilder] = None,
+                 mesh=None, log_dir=None, seed: int = 0, quiet: bool = False):
+        self.retriever = retriever
+        self.generator = generator
+        self.gen_tokenizer = gen_tokenizer
+        self.query_tokenizer = query_tokenizer
+        self.rag_cfg = rag_cfg
+        self.index = index
+        self.passage_contents = passage_contents
+        self.static_retrieval = static_retrieval
+        self.input_builder = input_builder or GeneratorInputBuilder()
+        self.searcher = None
+        if index is not None:
+            self.searcher = LateInteractionSearcher(
+                index, mesh=mesh, axis="data" if mesh is not None else
+                "index", use_pallas=jax.default_backend() == "tpu")
+
+        gen_tree = generator_params
+        if rag_cfg.use_lora:
+            lora = init_lora(generator_params, rank=rag_cfg.lora_rank,
+                             targets=("self_attn/q", "self_attn/v",
+                                      "cross_attn/q", "cross_attn/v"),
+                             rng=jax.random.PRNGKey(seed + 1))
+            gen_tree = {"base": generator_params, "lora": lora}
+        params = {"retriever": retriever_params, "generator": gen_tree}
+
+        # freeze the generator base when using LoRA (only the LoRA tree and
+        # the retriever train)
+        if rag_cfg.use_lora:
+            modules = tuple(train_cfg.modules) + ("freeze_generator_base",)
+            train_cfg = dataclasses.replace(train_cfg, modules=modules)
+        super().__init__(generator, params, train_cfg, mesh, log_dir, seed,
+                         quiet=quiet)
+        self._encode_query = jax.jit(self._encode_query_impl)
+
+    # -- param helpers --------------------------------------------------------
+    def _gen_params(self, params):
+        g = params["generator"]
+        if self.rag_cfg.use_lora:
+            return merge_lora(jax.lax.stop_gradient(g["base"]), g["lora"],
+                              alpha=self.rag_cfg.lora_alpha,
+                              rank=self.rag_cfg.lora_rank)
+        return g
+
+    def _encode_query_impl(self, params, input_ids, attention_mask,
+                           image_features):
+        return self.retriever.apply(
+            {"params": params["retriever"]}, input_ids, attention_mask,
+            image_features, method=FLMRRetriever.query)
+
+    # -- retrieval ------------------------------------------------------------
+    def retrieve(self, batch) -> dict:
+        """Host-facing: returns rows (B, n_docs) int, doc token embs+masks
+        for in-graph rescoring, doc contents."""
+        n_docs = self.rag_cfg.n_docs
+        if self.static_retrieval is not None:
+            qids = batch["question_ids"]
+            rows = np.array([[p for p, _ in self.static_retrieval[q][:n_docs]]
+                             for q in qids], np.int32)
+        else:
+            q = self._encode_query(self.state.params,
+                                   jnp.asarray(batch["query_input_ids"]),
+                                   jnp.asarray(batch["query_attention_mask"]),
+                                   jnp.asarray(batch["image_features"]))
+            _, rows = self.searcher.search_device(q, k=n_docs)
+            rows = np.asarray(rows)
+        doc_tokens = np.asarray(self.index.tokens, np.float32)[rows]
+        doc_masks = np.asarray(self.index.mask, np.float32)[rows]
+        contents = [[self.passage_contents[self.index.pids[r]]
+                     for r in row] for row in rows]
+        return {"rows": rows, "doc_tokens": doc_tokens,
+                "doc_masks": doc_masks, "contents": contents}
+
+    # -- training -------------------------------------------------------------
+    def make_train_batch(self, batch) -> dict:
+        """Host side: retrieval + strings -> device arrays."""
+        cfg = self.rag_cfg
+        ret = self.retrieve(batch)
+        questions = batch["questions"]
+        answers = batch["answers"]
+        retrieval_labels, selected = get_retrieval_labels(answers,
+                                                          ret["contents"])
+        gen_texts = self.input_builder.build(questions, ret["contents"])
+        gi, gm = self._tensorize(gen_texts, cfg.gen_maxlen)
+        labels = self._labels(selected, cfg.label_maxlen)
+        return {
+            "query_input_ids": np.asarray(batch["query_input_ids"]),
+            "query_attention_mask":
+                np.asarray(batch["query_attention_mask"]),
+            "image_features": np.asarray(batch["image_features"],
+                                         np.float32),
+            "doc_tokens": ret["doc_tokens"],
+            "doc_masks": ret["doc_masks"],
+            "gen_input_ids": gi, "gen_attention_mask": gm,
+            "labels": labels,
+            "retrieval_labels": retrieval_labels,
+        }
+
+    def _tensorize(self, texts, maxlen):
+        tk = self.gen_tokenizer
+        b = len(texts)
+        ids = np.full((b, maxlen), tk.pad_token_id, np.int32)
+        mask = np.zeros((b, maxlen), np.int32)
+        for i, t in enumerate(texts):
+            row = tk.encode(t, add_special_tokens=False)[:maxlen]
+            ids[i, :len(row)] = row
+            mask[i, :len(row)] = 1
+        return ids, mask
+
+    def _labels(self, texts, maxlen):
+        tk = self.gen_tokenizer
+        eos = getattr(tk, "eos_token_id", None) or tk.sep_token_id
+        b = len(texts)
+        out = np.full((b, maxlen), -100, np.int32)
+        for i, t in enumerate(texts):
+            row = tk.encode(t, add_special_tokens=False)[:maxlen - 1] + [eos]
+            out[i, :len(row)] = row
+        return out
+
+    def loss_fn(self, params, batch, rng):
+        cfg = self.rag_cfg
+        gcfg = self.generator.cfg
+        q = self.retriever.apply(
+            {"params": params["retriever"]}, batch["query_input_ids"],
+            batch["query_attention_mask"], batch["image_features"],
+            method=FLMRRetriever.query)
+        b, n_docs = batch["doc_tokens"].shape[:2]
+        q_rep = jnp.repeat(q, n_docs, axis=0)
+        d = batch["doc_tokens"].reshape((b * n_docs,)
+                                        + batch["doc_tokens"].shape[2:])
+        m = batch["doc_masks"].reshape(b * n_docs, -1)
+        doc_scores = maxsim_pair_xla(q_rep, d, m).reshape(b, n_docs)
+
+        gp = self._gen_params(params)
+        dec_in = shift_right(batch["labels"], gcfg.decoder_start_token_id,
+                             gcfg.pad_token_id)
+        logits = self.generator.apply(
+            {"params": gp}, batch["gen_input_ids"],
+            batch["gen_attention_mask"], dec_in)
+        out = rag_loss_components(
+            logits, doc_scores, batch["labels"],
+            retrieval_labels=batch["retrieval_labels"],
+            loss_type=cfg.loss_type, rag_loss_weight=cfg.rag_weight,
+            additional_loss_weight=cfg.additional_weight,
+            nll_loss_weight=cfg.nll_weight)
+        metrics = {k: v for k, v in out.items() if k != "loss"}
+        return out["loss"], metrics
+
+    def train_step_rag(self, batch) -> dict:
+        return super().train_step(self.make_train_batch(batch))
+
+    # -- generation -----------------------------------------------------------
+    def generate(self, batch) -> dict:
+        """Greedy decode per (question, doc); answer by joint score."""
+        cfg = self.rag_cfg
+        gcfg = self.generator.cfg
+        ret = self.retrieve(batch)
+        gen_texts = self.input_builder.build(batch["questions"],
+                                             ret["contents"])
+        gi, gm = self._tensorize(gen_texts, cfg.gen_maxlen)
+        b, n_docs = len(batch["questions"]), cfg.n_docs
+
+        # doc scores (no grad needed)
+        q = self._encode_query(self.state.params,
+                               jnp.asarray(batch["query_input_ids"]),
+                               jnp.asarray(batch["query_attention_mask"]),
+                               jnp.asarray(batch["image_features"]))
+        q_rep = jnp.repeat(q, n_docs, axis=0)
+        d = jnp.asarray(ret["doc_tokens"]).reshape(
+            (b * n_docs,) + ret["doc_tokens"].shape[2:])
+        m = jnp.asarray(ret["doc_masks"]).reshape(b * n_docs, -1)
+        doc_scores = np.asarray(maxsim_pair_xla(q_rep, d, m)).reshape(
+            b, n_docs)
+
+        gp = self._gen_params(self.state.params)
+        enc = self.generator.apply({"params": gp}, jnp.asarray(gi),
+                                   jnp.asarray(gm), method=T5Model.encode)
+
+        def step(tok, cache):
+            return self.generator.apply({"params": gp}, tok, enc,
+                                        jnp.asarray(gm), cache,
+                                        method=T5Model.decode_step)
+        cache = self.generator.apply({"params": gp}, b * n_docs,
+                                     cfg.max_decode_len,
+                                     method=T5Model.init_cache)
+        toks, seq_lp = greedy_generate(
+            step, cache, batch=b * n_docs, max_len=cfg.max_decode_len,
+            start_id=gcfg.decoder_start_token_id, eos_id=gcfg.eos_token_id,
+            pad_id=gcfg.pad_token_id)
+        toks = np.asarray(toks).reshape(b, n_docs, -1)
+        seq_lp = np.asarray(seq_lp).reshape(b, n_docs)
+        sel = select_answers_by_joint_score(doc_scores, seq_lp)
+        preds = []
+        for i in range(b):
+            ids = [int(t) for t in toks[i, sel[i]]
+                   if t not in (gcfg.pad_token_id, gcfg.eos_token_id)]
+            preds.append(self.gen_tokenizer.decode(ids))
+        return {"predictions": preds, "doc_scores": doc_scores,
+                "retrieved_contents": ret["contents"],
+                "all_generations": toks, "selected_docs": sel}

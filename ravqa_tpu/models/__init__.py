@@ -6,6 +6,11 @@ from .mapping import MappingMLP, VisionMapping
 from .flmr import (FLMRModelConfig, FLMRRetriever, l2_normalize,
                    punctuation_skiplist_ids, skiplist_mask)
 from .dpr import DPRModelConfig, DPRRetriever
+from .t5 import T5Config, T5Model, convert_hf_t5_params, shift_right
+from .generation import beam_generate, greedy_generate
+from .rag import (GeneratorInputBuilder, get_retrieval_labels,
+                  rag_loss_components, select_answers_by_joint_score)
+from .lora import count_lora_params, init_lora, merge_lora
 
 __all__ = [
     "EncoderConfig", "TransformerEncoder", "quick_gelu",
@@ -16,4 +21,9 @@ __all__ = [
     "FLMRModelConfig", "FLMRRetriever", "l2_normalize",
     "punctuation_skiplist_ids", "skiplist_mask",
     "DPRModelConfig", "DPRRetriever",
+    "T5Config", "T5Model", "convert_hf_t5_params", "shift_right",
+    "beam_generate", "greedy_generate",
+    "GeneratorInputBuilder", "get_retrieval_labels", "rag_loss_components",
+    "select_answers_by_joint_score",
+    "count_lora_params", "init_lora", "merge_lora",
 ]

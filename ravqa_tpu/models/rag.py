@@ -1,0 +1,201 @@
+"""RAVQA / RAVQA-v2 RAG model: retrieve-then-generate with joint training.
+
+Faithful re-implementation of the reference's RagModelForBlip loss and
+generation semantics (/root/reference/src/models/rag/rag_model_blip.py):
+
+- rag_loss_components == get_loss (:826-1026): token NLL over B*n_docs
+  sequences; RAG-sequence marginalization (doc log-softmax added to the
+  first target token for T5 — no BOS — then sum tokens, logsumexp docs, sum
+  batch); pseudo-relevance "additional" BCE with Approach1-6/NoPR
+  merged-label/ignore-mask tables (:946-1010).
+- get_retrieval_labels == :1030-1180 default path (string match; the
+  entity/triplet variants hook in via `match_fn`): per retrieved doc 1 if
+  any answer substring-matches, plus per-doc `selected_answers` (gold answer
+  unless absent but another answer present — force_existence behavior).
+- build_generator_inputs == prepare_inputs_for_generator (:591-647): strips
+  <BOQ>/<EOQ>/<BOV>... markers and renders
+  "{prefix}Question: .. Knowledge: {doc} Answer:" per (question, doc).
+- answer selection in generate == :735-824: per (question, doc) beam search,
+  pick argmax_doc [log g(z|x) + log p(y|x,z)].
+
+Design split for TPU: string work (templates, pseudo labels) is host-side
+pure-Python here; everything tensor-shaped is jit-safe pure functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from collections import Counter
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Losses (jit-safe)
+# ---------------------------------------------------------------------------
+
+def rag_loss_components(seq_logits: jax.Array, doc_scores: jax.Array,
+                        target: jax.Array,
+                        retrieval_labels: Optional[jax.Array] = None,
+                        loss_type: str = "Approach4",
+                        rag_loss_weight: float = 1.0,
+                        additional_loss_weight: float = 1.0,
+                        nll_loss_weight: float = 1.0,
+                        ignore_index: int = -100) -> dict:
+    """seq_logits (B*n_docs, T, V); doc_scores (B, n_docs);
+    target (B*n_docs, T) with ignore_index padding."""
+    b, n_docs = doc_scores.shape
+    t = seq_logits.shape[1]
+    v = seq_logits.shape[-1]
+    seq_logprobs = jax.nn.log_softmax(
+        seq_logits.astype(jnp.float32), -1).reshape(b, n_docs, t, v)
+    doc_logprobs = jax.nn.log_softmax(doc_scores.astype(jnp.float32), -1)
+
+    new_target = target.reshape(b, n_docs, t)
+    pad_mask = new_target == ignore_index
+    safe_target = jnp.where(pad_mask, 0, new_target)
+
+    ll = jnp.take_along_axis(seq_logprobs, safe_target[..., None],
+                             -1)[..., 0]
+    ll = jnp.where(pad_mask, 0.0, ll)                   # (B, n_docs, T)
+
+    out = {}
+    # mean NLL over non-pad tokens (reference reduce_loss path)
+    denom = jnp.maximum(jnp.sum(~pad_mask), 1)
+    nll_loss = -jnp.sum(ll) / denom
+    out["nll_loss"] = nll_loss
+
+    # RAG-sequence: doc logprob added at the first token (T5: no BOS)
+    rag_ll = ll.at[:, :, 0].add(
+        jnp.where(pad_mask[:, :, 0], 0.0, doc_logprobs))
+    rag_ll = jnp.sum(rag_ll, -1)                        # (B, n_docs)
+    rag_loss = -jnp.sum(jax.nn.logsumexp(rag_ll, axis=1))
+    out["rag_loss"] = rag_loss
+
+    additional = jnp.zeros(())
+    if retrieval_labels is not None:
+        first_scores = jax.lax.stop_gradient(seq_logprobs[:, :, 0, :])
+        first_pred = jnp.argmax(first_scores, -1)       # (B, n_docs)
+        first_target = new_target[:, :, 0]
+        pred_ok = (first_pred == first_target)
+        rl = retrieval_labels.astype(bool)
+        if loss_type == "Approach1":
+            merged = (pred_ok | rl).astype(jnp.float32)
+            ignore = merged == 0
+        elif loss_type == "Approach2":
+            merged = (pred_ok | rl).astype(jnp.float32)
+            ignore = pred_ok & ~rl
+        elif loss_type == "Approach3":
+            merged = (pred_ok | rl).astype(jnp.float32)
+            ignore = ~rl
+        elif loss_type == "Approach4":
+            merged = rl.astype(jnp.float32)
+            ignore = pred_ok & ~rl
+        elif loss_type == "Approach5":
+            merged = (pred_ok & rl).astype(jnp.float32)
+            ignore = merged == 0
+        elif loss_type == "Approach6":
+            merged = (pred_ok & rl).astype(jnp.float32)
+            ignore = (~pred_ok & rl) | (pred_ok & ~rl)
+        elif loss_type == "NoPR":
+            merged = pred_ok.astype(jnp.float32)
+            ignore = jnp.zeros_like(merged, bool)
+        else:
+            raise ValueError(loss_type)
+        p = jax.nn.softmax(doc_scores.astype(jnp.float32), -1)
+        eps = 1e-7
+        bce = -(merged * jnp.log(p + eps)
+                + (1 - merged) * jnp.log(1 - p + eps))
+        bce = jnp.where(ignore, 0.0, bce)
+        nz = jnp.sum(bce != 0)
+        additional = jnp.where(nz > 0, jnp.sum(bce) / jnp.maximum(nz, 1),
+                               0.0)
+    out["additional_loss"] = additional
+    out["loss"] = (nll_loss_weight * nll_loss
+                   + rag_loss_weight * rag_loss
+                   + additional_loss_weight * additional)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Host-side plumbing (strings)
+# ---------------------------------------------------------------------------
+
+MARKER_RE = re.compile(r"<(BOQ|EOQ|BOC|EOC|BOV|EOV|SOV|BOK|EOK)>")
+
+
+def most_frequent(items: Sequence[str]) -> str:
+    return max(set(items), key=list(items).count)
+
+
+def get_retrieval_labels(batch_answers: Sequence[Sequence[str]],
+                         batch_doc_texts: Sequence[Sequence[str]],
+                         match_fn: Optional[Callable] = None):
+    """Returns (labels (B, n_docs) float np, selected_answers (B*n_docs)).
+
+    Default match: case-insensitive substring of any unique answer in the
+    doc text. selected answer per doc: gold (most frequent) answer unless it
+    does not appear but another answer (by frequency) does.
+    """
+    labels, selected = [], []
+    for answers, docs in zip(batch_answers, batch_doc_texts):
+        filtered = [a for a in answers if a != ""]
+        gold = most_frequent(filtered)
+        unique = list(set(answers))
+        counts = Counter(filtered)
+        by_freq = sorted(filtered, key=lambda x: -counts[x])
+        row = []
+        for doc in docs:
+            if match_fn is not None:
+                hit = any(match_fn(a.lower(), doc) for a in unique)
+            else:
+                hit = any(a.lower() in doc.lower() for a in unique)
+            row.append(1.0 if hit else 0.0)
+            sel = gold
+            if gold.lower() not in doc.lower():
+                for a in by_freq:
+                    if a == gold:
+                        continue
+                    if a.lower() in doc.lower():
+                        sel = a
+                        break
+            selected.append(sel)
+        labels.append(row)
+    return np.asarray(labels, np.float32), selected
+
+
+@dataclasses.dataclass
+class GeneratorInputBuilder:
+    """prepare_inputs_for_generator equivalent (host)."""
+    template: str = "Question: {question} Knowledge: {knowledge} Answer:"
+    prefix: str = ""
+
+    def strip_markers(self, text: str) -> str:
+        return " ".join(MARKER_RE.sub(" ", text).split())
+
+    def build(self, questions: Sequence[str],
+              batch_docs: Sequence[Sequence[str]]) -> list[str]:
+        """-> B*n_docs generator input strings (doc-major per question)."""
+        out = []
+        for q, docs in zip(questions, batch_docs):
+            q = self.strip_markers(q)
+            for d in docs:
+                out.append(self.prefix + self.template.format(
+                    question=q, knowledge=d.strip()))
+        return out
+
+
+def select_answers_by_joint_score(doc_scores: np.ndarray,
+                                  seq_logprobs: np.ndarray) -> np.ndarray:
+    """argmax_doc [log g(z|x) + log p(y|x,z)] (reference generate :800-817).
+
+    doc_scores (B, n_docs) raw retrieval scores; seq_logprobs (B, n_docs)
+    generated-sequence log-probs. Returns (B,) chosen doc indices.
+    """
+    doc_logprobs = jax.nn.log_softmax(jnp.asarray(doc_scores), -1)
+    joint = np.asarray(doc_logprobs) + seq_logprobs
+    return np.argmax(joint, axis=1)

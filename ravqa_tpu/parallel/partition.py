@@ -21,27 +21,32 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-# module-flag -> param-path prefixes that the flag freezes
+# module-flag -> param-path prefixes ("/"-joined, matched against the start
+# of the flattened param path) that the flag freezes
 FREEZE_FLAG_PREFIXES = {
     "freeze_colbert_doc_encoder": ("doc_encoder", "linear"),
     "freeze_question_encoder": ("query_encoder",),
     "freeze_mapping_network": ("vision_projection",),
     "freeze_image_encoder": ("vision_model",),
+    "freeze_generator_base": ("generator/base",),
 }
 
 
 def trainable_mask(params, modules: list[str]):
-    """Bool pytree: True = trainable, honoring reference freeze flags."""
+    """Bool pytree: True = trainable, honoring reference freeze flags.
+
+    Prefixes match at any path depth boundary, so "generator/base" freezes
+    the whole params["generator"]["base"] subtree."""
     frozen_prefixes: tuple[str, ...] = ()
     for flag, prefixes in FREEZE_FLAG_PREFIXES.items():
         if flag in modules:
             frozen_prefixes += prefixes
 
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
     def is_trainable(path) -> bool:
-        top = path[0].key if hasattr(path[0], "key") else str(path[0])
-        return top not in frozen_prefixes
+        joined = "/".join(p.key if hasattr(p, "key") else str(p)
+                          for p in path)
+        return not any(joined == pre or joined.startswith(pre + "/")
+                       for pre in frozen_prefixes)
 
     return jax.tree_util.tree_map_with_path(
         lambda path, _: is_trainable(path), params)

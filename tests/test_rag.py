@@ -1,0 +1,169 @@
+"""RAG loss/label/LoRA tests against hand-computed oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ravqa_tpu.models import (GeneratorInputBuilder, T5Config, T5Model,
+                              count_lora_params, get_retrieval_labels,
+                              init_lora, merge_lora, rag_loss_components,
+                              select_answers_by_joint_score, shift_right)
+
+
+def softmax(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+class TestRagLoss:
+    @pytest.fixture
+    def setup(self):
+        rng = np.random.default_rng(0)
+        b, n_docs, t, v = 2, 3, 4, 8
+        seq_logits = rng.normal(size=(b * n_docs, t, v)).astype(np.float32)
+        doc_scores = rng.normal(size=(b, n_docs)).astype(np.float32)
+        target = rng.integers(1, v, (b * n_docs, t)).astype(np.int32)
+        target[:, -1] = -100
+        return seq_logits, doc_scores, target, (b, n_docs, t, v)
+
+    def test_nll_matches_bruteforce(self, setup):
+        seq_logits, doc_scores, target, (b, nd, t, v) = setup
+        out = rag_loss_components(jnp.array(seq_logits),
+                                  jnp.array(doc_scores), jnp.array(target))
+        logp = np.log(softmax(seq_logits))
+        total, count = 0.0, 0
+        for i in range(b * nd):
+            for j in range(t):
+                if target[i, j] != -100:
+                    total += logp[i, j, target[i, j]]
+                    count += 1
+        np.testing.assert_allclose(float(out["nll_loss"]), -total / count,
+                                   rtol=1e-5)
+
+    def test_rag_marginalization(self, setup):
+        seq_logits, doc_scores, target, (b, nd, t, v) = setup
+        out = rag_loss_components(jnp.array(seq_logits),
+                                  jnp.array(doc_scores), jnp.array(target))
+        logp = np.log(softmax(seq_logits)).reshape(b, nd, t, v)
+        dlp = np.log(softmax(doc_scores))
+        total = 0.0
+        for i in range(b):
+            per_doc = []
+            for d in range(nd):
+                s = 0.0
+                for j in range(t):
+                    tgt = target.reshape(b, nd, t)[i, d, j]
+                    if tgt == -100:
+                        continue
+                    s += logp[i, d, j, tgt] + (dlp[i, d] if j == 0 else 0.0)
+                per_doc.append(s)
+            total += np.log(np.exp(per_doc).sum())
+        np.testing.assert_allclose(float(out["rag_loss"]), -total, rtol=1e-5)
+
+    def test_approach4_bce(self, setup):
+        seq_logits, doc_scores, target, (b, nd, t, v) = setup
+        rl = np.array([[1, 0, 0], [0, 1, 1]], np.float32)
+        out = rag_loss_components(jnp.array(seq_logits),
+                                  jnp.array(doc_scores), jnp.array(target),
+                                  retrieval_labels=jnp.array(rl),
+                                  loss_type="Approach4")
+        # oracle
+        logp = np.log(softmax(seq_logits)).reshape(b, nd, t, v)
+        pred = logp[:, :, 0, :].argmax(-1)
+        first_tgt = target.reshape(b, nd, t)[:, :, 0]
+        pred_ok = pred == first_tgt
+        p = softmax(doc_scores)
+        eps = 1e-7
+        bce = -(rl * np.log(p + eps) + (1 - rl) * np.log(1 - p + eps))
+        ignore = pred_ok & (rl == 0)
+        bce[ignore] = 0.0
+        nz = np.count_nonzero(bce)
+        want = bce.sum() / nz if nz else 0.0
+        np.testing.assert_allclose(float(out["additional_loss"]), want,
+                                   rtol=1e-4)
+
+    def test_all_approaches_finite_and_differentiable(self, setup):
+        seq_logits, doc_scores, target, _ = setup
+        rl = jnp.array(np.array([[1, 0, 1], [0, 0, 1]], np.float32))
+        for approach in ["Approach1", "Approach2", "Approach3", "Approach4",
+                         "Approach5", "Approach6", "NoPR"]:
+            def f(ds):
+                return rag_loss_components(
+                    jnp.array(seq_logits), ds, jnp.array(target),
+                    retrieval_labels=rl, loss_type=approach)["loss"]
+            g = jax.grad(f)(jnp.array(doc_scores))
+            assert np.isfinite(np.asarray(g)).all(), approach
+
+
+def test_get_retrieval_labels_and_selected_answers():
+    answers = [["cat", "cat", "dog"], ["sun", "moon", "sun"]]
+    docs = [["the cat sat", "nothing here", "a dog ran"],
+            ["moon shines", "dark night", "sunlight"]]
+    labels, selected = get_retrieval_labels(answers, docs)
+    np.testing.assert_array_equal(labels, [[1, 0, 1], [1, 0, 1]])
+    # q0 gold = cat: doc0 has cat -> cat; doc1 none -> cat (default);
+    # doc2 has dog -> dog
+    assert selected[:3] == ["cat", "cat", "dog"]
+    # q1 gold = sun: doc0 has moon -> moon; doc1 -> sun; doc2 "sunlight"
+    # contains "sun" -> sun
+    assert selected[3:] == ["moon", "sun", "sun"]
+
+
+def test_generator_input_builder_strips_markers():
+    gb = GeneratorInputBuilder()
+    out = gb.build(["<BOQ> what color <EOQ> <BOC> a cat <EOC>"],
+                   [["doc one", "doc two"]])
+    assert out == [
+        "Question: what color a cat Knowledge: doc one Answer:",
+        "Question: what color a cat Knowledge: doc two Answer:"]
+
+
+def test_select_answers_by_joint_score():
+    doc_scores = np.array([[1.0, 3.0], [2.0, 0.0]], np.float32)
+    seq_lp = np.array([[-1.0, -5.0], [-3.0, -0.1]], np.float32)
+    # q0: logsoftmax([1,3]) = [-2.13, -0.13]; joint [-3.13, -5.13] -> doc0
+    # q1: logsoftmax([2,0]) = [-0.13, -2.13]; joint [-3.13, -2.23] -> doc1
+    sel = select_answers_by_joint_score(doc_scores, seq_lp)
+    np.testing.assert_array_equal(sel, [0, 1])
+
+
+class TestLoRA:
+    def test_identity_at_init_and_trains(self):
+        cfg = T5Config.tiny()
+        model = T5Model(cfg)
+        ids = jnp.ones((2, 5), jnp.int32) * 3
+        mask = jnp.ones((2, 5), jnp.int32)
+        dec = jnp.ones((2, 3), jnp.int32) * 4
+        params = model.init(jax.random.PRNGKey(0), ids, mask, dec)["params"]
+        lora = init_lora(params, rank=4, targets=("self_attn/q",
+                                                  "self_attn/v"))
+        assert count_lora_params(lora) > 0
+        base = model.apply({"params": params}, ids, mask, dec)
+        merged0 = model.apply({"params": merge_lora(params, lora)}, ids,
+                              mask, dec)
+        np.testing.assert_allclose(np.asarray(base), np.asarray(merged0),
+                                   atol=1e-6)  # B=0 -> no-op
+        # gradient flows into lora only through merge
+        def loss(lora):
+            p = merge_lora(params, lora)
+            out = model.apply({"params": p}, ids, mask, dec)
+            return jnp.sum(out ** 2)
+        g = jax.grad(loss)(lora)
+        gnorm = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
+        assert np.isfinite(gnorm) and gnorm > 0
+
+    def test_merge_changes_output_when_b_nonzero(self):
+        cfg = T5Config.tiny()
+        model = T5Model(cfg)
+        # varied tokens: with identical tokens attention is q-invariant
+        ids = jnp.array([[3, 9, 17, 42]], jnp.int32)
+        mask = jnp.ones((1, 4), jnp.int32)
+        dec = jnp.array([[4, 11]], jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids, mask, dec)["params"]
+        lora = init_lora(params, rank=2, targets=("self_attn/q",))
+        lora = jax.tree.map(lambda x: x + 0.05, lora)
+        out = model.apply({"params": merge_lora(params, lora)}, ids, mask,
+                          dec)
+        base = model.apply({"params": params}, ids, mask, dec)
+        assert np.abs(np.asarray(out) - np.asarray(base)).max() > 1e-5
