@@ -1,0 +1,175 @@
+"""CLI entry point — config-driven experiment runner.
+
+Equivalent of the reference's src/main.py (argparse; modes
+prepare_data/train/test/eval; --opts dotted overrides) over the JSON config
+system. Example:
+
+    python -m ravqa_tpu.main --config configs/synthetic_flmr.json \
+        --mode train --experiment_name dev --opts train.lr=1e-4
+
+Config sections mirror the reference's five top-level groups:
+data_pipeline, model_config, executor, train, metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from .config import Config, apply_overrides, load_config
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("ravqa_tpu")
+    p.add_argument("--config", required=True)
+    p.add_argument("--mode", required=True,
+                   choices=["prepare_data", "train", "test", "eval"])
+    p.add_argument("--experiment_name", default="default")
+    p.add_argument("--log_dir", default="experiments")
+    p.add_argument("--opts", nargs="*", default=[])
+    p.add_argument("--use_dummy_data", action="store_true")
+    p.add_argument("--num_devices", type=int, default=0,
+                   help="force a CPU mesh of this size (testing)")
+    return p.parse_args(argv)
+
+
+def build_pipeline(cfg: Config, cache_dir: Optional[str]):
+    from .data import DataPipeline
+    return DataPipeline(cfg.data_pipeline.to_dict(), cache_dir=cache_dir,
+                        global_config=cfg)
+
+
+def build_executor(cfg: Config, data, mesh, log_dir: str, quiet=False):
+    import jax
+    import jax.numpy as jnp
+    from .executors import (FLMRExecutor, TrainConfig)
+    from .executors.pretraining_executor import FLMRVisionPretrainingExecutor
+    from .models import BertConfig, FLMRModelConfig, FLMRRetriever
+
+    mc = cfg.model_config
+    bert = BertConfig(**mc.get("bert", {}))
+    model_cfg = FLMRModelConfig(
+        bert=bert,
+        dim=mc.get("dim", 128),
+        vision_dim=mc.get("vision_embedding_size", 768),
+        prefix_len=mc.get("mapping_network_prefix_length", 32),
+        nway=mc.get("num_negative_samples", 1) + 1,
+        use_ib_negatives=mc.get("use_ib_negatives", True),
+        separate_question_encoder="separate_question_encoder"
+        in mc.get("modules", []),
+        query_mode=mc.get("query_mode", "text+vision"),
+    )
+    model = FLMRRetriever(model_cfg)
+
+    # init with a probe batch from the train loader
+    train_ds = data["train"]
+    probe = train_ds.collate(list(range(min(2, len(train_ds)))))
+    init_kwargs = {k: jnp.asarray(v) for k, v in probe.items()}
+    params = model.init(jax.random.PRNGKey(cfg.get("seed", 0)),
+                        **init_kwargs)["params"]
+
+    tc = cfg.get("train", Config())
+    train_cfg = TrainConfig(
+        lr=tc.get("lr", 1e-5),
+        mapping_lr=tc.get("mapping_network_lr"),
+        weight_decay=tc.get("weight_decay", 0.0),
+        warmup_steps=tc.get("warmup_steps", 0),
+        total_steps=tc.get("total_steps", 10000),
+        schedule=tc.get("schedule", "constant"),
+        grad_clip=tc.get("grad_clip", 0.0),
+        modules=tuple(mc.get("modules", [])),
+    )
+    cls = FLMRVisionPretrainingExecutor \
+        if cfg.executor.get("ExecutorClass") == \
+        "FLMRVisionPretrainingExecutor" else FLMRExecutor
+    return cls(model, params, train_cfg, mesh=mesh, log_dir=log_dir,
+               seed=cfg.get("seed", 0), quiet=quiet)
+
+
+def run_eval(cfg, ex, data, log_dir: str, split: str = "valid"):
+    from .data.datasets import corpus_doc_batches, query_eval_batches
+    ds = data.get(split) or data["test"]
+    corpus = data["passages"]["full_passages"]
+    ks = cfg.get("metrics", Config()).get("Ks", [5, 10])
+    m = ex.evaluate_retrieval(
+        query_eval_batches(ds),
+        corpus_doc_batches(corpus, ds.dt),
+        passage_ids=corpus.ids,
+        passage_contents=corpus.contents,
+        answers=[it.get("answers", []) for it in ds.items],
+        pos_item_ids=[it.get("pos_item_ids", []) for it in ds.items],
+        ks=ks)
+    metrics = {k: v for k, v in m.items() if not k.startswith("_")}
+    ex.logger.log(metrics, int(ex.state.step), prefix=f"{split}/")
+    with open(os.path.join(log_dir, f"{split}_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    # prediction dump (reference *_predictions_rank_*.json equivalent)
+    preds = [{"question_id": it.get("question_id"),
+              "top_ranking_passages": [
+                  {"passage_id": str(pid),
+                   "content": corpus.content_of(pid)}
+                  for pid in row]}
+             for it, row in zip(ds.items, m["_retrieved_pids"])]
+    with open(os.path.join(log_dir, f"{split}_predictions.json"), "w") as f:
+        json.dump(preds, f)
+    return metrics
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = apply_overrides(load_config(args.config), args.opts)
+    if args.use_dummy_data:
+        for node in cfg.data_pipeline.values():
+            if isinstance(node, dict) and "setup_kwargs" in node:
+                node.setup_kwargs["use_dummy_data"] = True
+
+    log_dir = os.path.join(args.log_dir, args.experiment_name)
+    os.makedirs(log_dir, exist_ok=True)
+
+    mesh = None
+    if args.num_devices:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.num_devices)
+        from .parallel import make_mesh
+        mesh = make_mesh({"data": args.num_devices})
+
+    dp = build_pipeline(cfg, cache_dir=os.path.join(log_dir, "cache"))
+    data = dp.get_data(cfg.data_pipeline_output_node, explode=True)
+    if args.mode == "prepare_data":
+        print("prepare_data done:", list(data))
+        return 0
+
+    ex = build_executor(cfg, data, mesh, log_dir)
+    tc = cfg.get("train", Config())
+
+    if args.mode == "train":
+        ckpt = tc.get("load_model_path")
+        if ckpt:
+            ex.load_checkpoint(ckpt)
+        batches = data["train"].loader(
+            batch_size=tc.get("batch_size", 8), shuffle=True,
+            seed=cfg.get("seed", 0))
+        ex.fit(batches, steps=tc.get("total_steps", 100),
+               log_every=tc.get("log_every", 20),
+               val_every=tc.get("val_every"),
+               val_fn=lambda: run_eval(cfg, ex, data, log_dir, "valid"))
+        ex.save_checkpoint(os.path.join(log_dir, "ckpt"))
+        return 0
+
+    # test / eval
+    ckpt = tc.get("load_model_path") or os.path.join(log_dir, "ckpt")
+    if os.path.exists(os.path.join(ckpt, "params.msgpack")):
+        ex.load_checkpoint(ckpt)
+    split = "test" if args.mode == "test" else "valid"
+    metrics = run_eval(cfg, ex, data, log_dir, split)
+    print(json.dumps(metrics, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,97 @@
+"""FLMR checkpoint conversion parity: build the reference architecture in
+torch (BERT + bias-free linear + Tanh-MLP vision projection), convert, and
+compare query()/doc() outputs computed both ways."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ravqa_tpu.models import FLMRModelConfig, FLMRRetriever, BertConfig
+from ravqa_tpu.models.convert_flmr import (convert_hf_flmr_params,
+                                           convert_mlp_params)
+
+
+@pytest.fixture(scope="module")
+def torch_world():
+    import torch
+    from transformers import BertConfig as HFBertConfig, BertModel as HFBert
+
+    torch.manual_seed(0)
+    hf_cfg = HFBertConfig(vocab_size=128, hidden_size=32,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          intermediate_size=64, max_position_embeddings=64,
+                          hidden_dropout_prob=0.0,
+                          attention_probs_dropout_prob=0.0)
+    bert = HFBert(hf_cfg).eval()
+    dim, vdim, prefix = 16, 24, 4
+    linear = torch.nn.Linear(32, dim, bias=False)
+    mlp = torch.nn.Sequential(
+        torch.nn.Linear(vdim, (dim * prefix) // 2), torch.nn.Tanh(),
+        torch.nn.Linear((dim * prefix) // 2, dim * prefix))
+    sd = {("bert." + k): v for k, v in bert.state_dict().items()}
+    sd["linear.weight"] = linear.weight
+    vp_sd = {("model." + k): v for k, v in mlp.state_dict().items()}
+    return bert, linear, mlp, sd, vp_sd, (dim, vdim, prefix)
+
+
+def test_flmr_query_doc_parity(torch_world):
+    import torch
+    bert, linear, mlp, sd, vp_sd, (dim, vdim, prefix) = torch_world
+    cfg = FLMRModelConfig(
+        bert=BertConfig(vocab_size=128, hidden_size=32, num_layers=2,
+                        num_heads=4, intermediate_size=64,
+                        max_position_embeddings=64),
+        dim=dim, vision_dim=vdim, prefix_len=prefix)
+    params = convert_hf_flmr_params(sd, cfg, vision_projection_sd=vp_sd)
+    model = FLMRRetriever(cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 128, (2, 10)).astype(np.int32)
+    ids[1, 7:] = 0  # pads
+    mask = (ids != 0).astype(np.int32)
+    feats = rng.normal(size=(2, vdim)).astype(np.float32)
+
+    # reference computation in torch (FLMR.query semantics)
+    with torch.no_grad():
+        h = bert(input_ids=torch.tensor(ids.astype(np.int64)),
+                 attention_mask=torch.tensor(mask.astype(np.int64)))[0]
+        q = linear(h)
+        m = torch.tensor((ids != 0).astype(np.float32)).unsqueeze(2)
+        q = q * m
+        v = mlp(torch.tensor(feats)).reshape(2, -1, dim)
+        qq = torch.cat([q, v], dim=1)
+        want = torch.nn.functional.normalize(qq, p=2, dim=2).numpy()
+
+    got = np.asarray(model.apply({"params": params}, jnp.array(ids),
+                                 jnp.array(mask), jnp.array(feats),
+                                 method=FLMRRetriever.query))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+    # doc parity (empty skiplist)
+    with torch.no_grad():
+        d = linear(bert(input_ids=torch.tensor(ids.astype(np.int64)),
+                        attention_mask=torch.tensor(
+                            mask.astype(np.int64)))[0])
+        d = d * m
+        want_d = torch.nn.functional.normalize(d, p=2, dim=2).numpy()
+    got_d, _ = model.apply({"params": params}, jnp.array(ids),
+                           jnp.array(mask), method=FLMRRetriever.doc)
+    np.testing.assert_allclose(np.asarray(got_d), want_d, rtol=3e-4,
+                               atol=3e-5)
+
+
+def test_separate_question_encoder_conversion(torch_world):
+    _, _, _, sd, vp_sd, (dim, vdim, prefix) = torch_world
+    cfg = FLMRModelConfig(
+        bert=BertConfig(vocab_size=128, hidden_size=32, num_layers=2,
+                        num_heads=4, intermediate_size=64,
+                        max_position_embeddings=64),
+        dim=dim, vision_dim=vdim, prefix_len=prefix,
+        separate_question_encoder=True)
+    params = convert_hf_flmr_params(sd, cfg, vision_projection_sd=vp_sd)
+    assert "query_encoder" in params
+    a = jax.tree.leaves(params["query_encoder"])[0]
+    b = jax.tree.leaves(params["doc_encoder"])[0]
+    np.testing.assert_array_equal(a, b)  # falls back to shared weights
