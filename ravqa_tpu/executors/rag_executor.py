@@ -51,6 +51,7 @@ class RagConfig:
     max_decode_len: int = 10
     gen_maxlen: int = 96
     label_maxlen: int = 8
+    generator_type: str = "t5"            # "t5" | "blip2" (RAVQA-v2)
 
 
 class RagExecutor(BaseExecutor):
@@ -108,6 +109,11 @@ class RagExecutor(BaseExecutor):
                               rank=self.rag_cfg.lora_rank)
         return g
 
+    @property
+    def _gcfg(self):
+        cfg = self.generator.cfg
+        return cfg.t5 if self.rag_cfg.generator_type == "blip2" else cfg
+
     def _encode_query_impl(self, params, input_ids, attention_mask,
                            image_features):
         return self.retriever.apply(
@@ -160,6 +166,9 @@ class RagExecutor(BaseExecutor):
             "gen_input_ids": gi, "gen_attention_mask": gm,
             "labels": labels,
             "retrieval_labels": retrieval_labels,
+            **({"pixel_values": np.asarray(batch["pixel_values"],
+                                           np.float32)}
+               if self.rag_cfg.generator_type == "blip2" else {}),
         }
 
     def _tensorize(self, texts, maxlen):
@@ -185,7 +194,7 @@ class RagExecutor(BaseExecutor):
 
     def loss_fn(self, params, batch, rng):
         cfg = self.rag_cfg
-        gcfg = self.generator.cfg
+        gcfg = self._gcfg
         q = self.retriever.apply(
             {"params": params["retriever"]}, batch["query_input_ids"],
             batch["query_attention_mask"], batch["image_features"],
@@ -200,9 +209,17 @@ class RagExecutor(BaseExecutor):
         gp = self._gen_params(params)
         dec_in = shift_right(batch["labels"], gcfg.decoder_start_token_id,
                              gcfg.pad_token_id)
-        logits = self.generator.apply(
-            {"params": gp}, batch["gen_input_ids"],
-            batch["gen_attention_mask"], dec_in)
+        if self.rag_cfg.generator_type == "blip2":
+            # pixel_values repeated per doc (reference decoder_pixel_values
+            # ⊗ n_docs, rag_model_blip.py:698-704)
+            px = jnp.repeat(batch["pixel_values"], n_docs, axis=0)
+            logits = self.generator.apply(
+                {"params": gp}, px, batch["gen_input_ids"],
+                batch["gen_attention_mask"], dec_in)
+        else:
+            logits = self.generator.apply(
+                {"params": gp}, batch["gen_input_ids"],
+                batch["gen_attention_mask"], dec_in)
         out = rag_loss_components(
             logits, doc_scores, batch["labels"],
             retrieval_labels=batch["retrieval_labels"],
@@ -219,7 +236,7 @@ class RagExecutor(BaseExecutor):
     def generate(self, batch) -> dict:
         """Greedy decode per (question, doc); answer by joint score."""
         cfg = self.rag_cfg
-        gcfg = self.generator.cfg
+        gcfg = self._gcfg
         ret = self.retrieve(batch)
         gen_texts = self.input_builder.build(batch["questions"],
                                              ret["contents"])
@@ -239,16 +256,30 @@ class RagExecutor(BaseExecutor):
             b, n_docs)
 
         gp = self._gen_params(self.state.params)
-        enc = self.generator.apply({"params": gp}, jnp.asarray(gi),
-                                   jnp.asarray(gm), method=T5Model.encode)
+        if cfg.generator_type == "blip2":
+            from ..models.blip2 import Blip2T5
+            px = jnp.repeat(jnp.asarray(batch["pixel_values"], jnp.float32),
+                            n_docs, axis=0)
+            enc, enc_mask = self.generator.apply(
+                {"params": gp}, px, jnp.asarray(gi), jnp.asarray(gm),
+                method=Blip2T5.encode)
+            step_method, cache_method = Blip2T5.decode_step, \
+                Blip2T5.init_cache
+        else:
+            enc = self.generator.apply({"params": gp}, jnp.asarray(gi),
+                                       jnp.asarray(gm),
+                                       method=T5Model.encode)
+            enc_mask = jnp.asarray(gm)
+            step_method, cache_method = T5Model.decode_step, \
+                T5Model.init_cache
 
         def step(tok, cache):
             return self.generator.apply({"params": gp}, tok, enc,
-                                        jnp.asarray(gm), cache,
-                                        method=T5Model.decode_step)
+                                        enc_mask, cache,
+                                        method=step_method)
         cache = self.generator.apply({"params": gp}, b * n_docs,
                                      cfg.max_decode_len,
-                                     method=T5Model.init_cache)
+                                     method=cache_method)
         toks, seq_lp = greedy_generate(
             step, cache, batch=b * n_docs, max_len=cfg.max_decode_len,
             start_id=gcfg.decoder_start_token_id, eos_id=gcfg.eos_token_id,

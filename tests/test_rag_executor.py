@@ -126,3 +126,37 @@ def test_rag_static_retrieval_path(rag_setup):
     np.testing.assert_array_equal(
         ret["rows"][:, 0], [int(b) % len(corpus)
                             for b in batch["question_ids"]])
+
+
+def test_rag_blip2_generator(rag_setup):
+    """RAVQA-v2 path: BLIP-2 generator (tiny) with live retrieval."""
+    from ravqa_tpu.models.blip2 import (Blip2Config, Blip2T5,
+                                        Blip2VisionConfig, QFormerConfig)
+    from ravqa_tpu.models import T5Config
+    world, retriever, rp, gen, gp, index, corpus = rag_setup
+    tok = world["tokenizer"]
+    bcfg = Blip2Config(
+        vision=Blip2VisionConfig.tiny(),
+        qformer=QFormerConfig.tiny(),
+        t5=T5Config.tiny(vocab_size=tok.vocab_size + 8,
+                         eos_token_id=tok.sep_token_id),
+        num_query_tokens=2)
+    blip2 = Blip2T5(bcfg)
+    bp = blip2.init(jax.random.PRNGKey(2),
+                    jnp.ones((1, 32, 32, 3), jnp.float32),
+                    jnp.ones((1, 6), jnp.int32), jnp.ones((1, 6), jnp.int32),
+                    jnp.ones((1, 2), jnp.int32))["params"]
+    ex = RagExecutor(
+        retriever, rp, blip2, bp, gen_tokenizer=tok,
+        rag_cfg=RagConfig(n_docs=2, gen_maxlen=32, label_maxlen=4,
+                          max_decode_len=3, use_lora=True, lora_rank=2,
+                          generator_type="blip2"),
+        train_cfg=TrainConfig(lr=1e-3),
+        index=index, passage_contents=corpus.contents, quiet=True)
+    batch = make_batch(world, [0, 1])
+    rng = np.random.default_rng(0)
+    batch["pixel_values"] = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    m = ex.train_step_rag(batch)
+    assert np.isfinite(float(m["loss"]))
+    out = ex.generate(batch)
+    assert len(out["predictions"]) == 2
