@@ -1,0 +1,150 @@
+// Fast WordPiece tokenizer — C library (ctypes interface).
+//
+// The native half of ravqa_tpu.tokenization: host-side tokenization is on
+// the serving hot path (the reference leans on HF fast tokenizers' Rust;
+// its other native pieces are CUDA/C++ search kernels replaced by Pallas —
+// SURVEY.md §2.4). Algorithm is byte-identical with the Python reference
+// implementation for ASCII text (lowercase, punctuation/whitespace split,
+// greedy longest-match-first with "##" continuations); non-ASCII strings
+// are routed to the Python path by the wrapper.
+//
+// Build: ravqa_tpu/native/build.py (cc -O2 -shared -fPIC).
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+#include <fstream>
+#include <mutex>
+
+namespace {
+
+struct Vocab {
+    std::unordered_map<std::string, int32_t> map;
+    int32_t unk_id = 100;
+    int max_chars_per_word = 100;
+};
+
+std::vector<Vocab*> g_vocabs;
+std::mutex g_mutex;
+
+inline bool is_ws(unsigned char c) {
+    return c == ' ' || c == '\t' || c == '\n' || c == '\r';
+}
+
+inline bool is_punct(unsigned char c) {
+    return (c >= 33 && c <= 47) || (c >= 58 && c <= 64) ||
+           (c >= 91 && c <= 96) || (c >= 123 && c <= 126);
+}
+
+inline bool is_control(unsigned char c) { return c < 32 && !is_ws(c); }
+
+// greedy longest-match-first wordpiece of one lowercase word
+void wordpiece(const Vocab& v, const std::string& word,
+               std::vector<int32_t>& out) {
+    if ((int)word.size() > v.max_chars_per_word) {
+        out.push_back(v.unk_id);
+        return;
+    }
+    size_t start = 0;
+    size_t begin_out = out.size();
+    std::string sub;
+    while (start < word.size()) {
+        size_t end = word.size();
+        int32_t cur = -1;
+        size_t cur_end = 0;
+        while (start < end) {
+            sub.clear();
+            if (start > 0) sub = "##";
+            sub.append(word, start, end - start);
+            auto it = v.map.find(sub);
+            if (it != v.map.end()) {
+                cur = it->second;
+                cur_end = end;
+                break;
+            }
+            --end;
+        }
+        if (cur < 0) {
+            out.resize(begin_out);
+            out.push_back(v.unk_id);
+            return;
+        }
+        out.push_back(cur);
+        start = cur_end;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Load a vocab.txt; returns a handle (>=0) or -1 on failure.
+int32_t wp_load_vocab(const char* path, int32_t unk_id) {
+    auto* v = new Vocab();
+    v->unk_id = unk_id;
+    std::ifstream f(path);
+    if (!f.good()) {
+        delete v;
+        return -1;
+    }
+    std::string line;
+    int32_t idx = 0;
+    while (std::getline(f, line)) {
+        if (!line.empty() && line.back() == '\r') line.pop_back();
+        if (!line.empty()) v->map.emplace(line, idx);
+        ++idx;
+    }
+    std::lock_guard<std::mutex> lock(g_mutex);
+    g_vocabs.push_back(v);
+    return (int32_t)g_vocabs.size() - 1;
+}
+
+// Encode one ASCII text: basic tokenize (lowercase, split punct) + wordpiece.
+// Writes up to maxlen ids into out; returns the number written.
+int32_t wp_encode(int32_t handle, const char* text, int32_t* out,
+                  int32_t maxlen) {
+    const Vocab& v = *g_vocabs[(size_t)handle];
+    std::vector<int32_t> ids;
+    std::string word;
+    size_t n = strlen(text);
+    auto flush = [&]() {
+        if (!word.empty()) {
+            wordpiece(v, word, ids);
+            word.clear();
+        }
+    };
+    for (size_t i = 0; i < n; ++i) {
+        unsigned char c = (unsigned char)text[i];
+        if (c == 0 || is_control(c)) continue;
+        if (is_ws(c)) {
+            flush();
+        } else if (is_punct(c)) {
+            flush();
+            std::string p(1, (char)c);
+            wordpiece(v, p, ids);
+        } else {
+            if (c >= 'A' && c <= 'Z') c = (unsigned char)(c - 'A' + 'a');
+            word.push_back((char)c);
+        }
+    }
+    flush();
+    int32_t m = (int32_t)ids.size();
+    if (m > maxlen) m = maxlen;
+    memcpy(out, ids.data(), (size_t)m * sizeof(int32_t));
+    return m;
+}
+
+// Batch encode: texts are NUL-separated in one buffer; offsets[i] is the
+// start of text i. out is (n, maxlen) int32 (caller-zeroed); lens out (n,).
+void wp_encode_batch(int32_t handle, const char* buf, const int64_t* offsets,
+                     int32_t n, int32_t maxlen, int32_t* out,
+                     int32_t* lens) {
+    for (int32_t i = 0; i < n; ++i) {
+        lens[i] = wp_encode(handle, buf + offsets[i], out + (int64_t)i * maxlen,
+                            maxlen);
+    }
+}
+
+}  // extern "C"

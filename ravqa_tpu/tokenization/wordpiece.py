@@ -78,8 +78,17 @@ class WordPieceTokenizer:
     """vocab: token -> id mapping (or path to a vocab.txt)."""
 
     def __init__(self, vocab, lowercase: bool = True, unk_token="[UNK]",
-                 max_chars_per_word: int = 100):
+                 max_chars_per_word: int = 100, use_native: bool = True):
+        self._fast = None
         if isinstance(vocab, str):
+            if use_native and lowercase:
+                try:
+                    from ..native import FastWordPiece
+                    vmap = load_vocab(vocab)
+                    self._fast = FastWordPiece(
+                        vocab, unk_id=vmap.get(unk_token, 100))
+                except (RuntimeError, FileNotFoundError, OSError):
+                    self._fast = None
             vocab = load_vocab(vocab)
         self.vocab: dict[str, int] = dict(vocab)
         self.ids_to_tokens = {v: k for k, v in self.vocab.items()}
@@ -133,6 +142,20 @@ class WordPieceTokenizer:
         if add_special_tokens:
             ids = [self.cls_token_id] + ids + [self.sep_token_id]
         return ids
+
+    def encode_batch(self, texts: list[str], maxlen: int):
+        """Batched encode -> (ids (n, maxlen) int32 zero-padded, lens (n,)).
+        Uses the C++ fast path for ASCII inputs when available."""
+        import numpy as np
+        if self._fast is not None and all(t.isascii() for t in texts):
+            return self._fast.encode_batch(texts, maxlen)
+        ids = np.zeros((len(texts), maxlen), np.int32)
+        lens = np.zeros(len(texts), np.int32)
+        for i, t in enumerate(texts):
+            row = self.encode(t)[:maxlen]
+            ids[i, :len(row)] = row
+            lens[i] = len(row)
+        return ids, lens
 
     def decode(self, ids: Iterable[int], skip_special: bool = True) -> str:
         toks = []

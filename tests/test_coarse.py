@@ -1,0 +1,84 @@
+"""Two-stage search tests: summary k-means sanity and coarse-stage recall on
+structured (clustered) corpora."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ravqa_tpu.ops import maxsim_search_xla
+from ravqa_tpu.retrieval.coarse import (coarse_scores, summarize_docs,
+                                        two_stage_search)
+
+
+def normed(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def make_clustered_corpus(rng, n_docs=128, ld=16, dim=32, n_topics=10,
+                          noise=0.15):
+    """Each doc's tokens = its topic vector + noise (structured corpus).
+    noise=0.15 in 32-d keeps the topic dominant (|noise| ~ 0.85 < 1)."""
+    topics = normed(rng.normal(size=(n_topics, dim)))
+    doc_topic = rng.integers(n_topics, size=n_docs)
+    toks = topics[doc_topic][:, None, :] + noise * rng.normal(
+        size=(n_docs, ld, dim))
+    toks = normed(toks).astype(np.float32)
+    mask = np.ones((n_docs, ld), np.float32)
+    return toks, mask, doc_topic, topics
+
+
+def test_summarize_docs_represents_tokens():
+    rng = np.random.default_rng(0)
+    toks, mask, _, _ = make_clustered_corpus(rng, n_docs=8)
+    summ = np.asarray(summarize_docs(jnp.array(toks), jnp.array(mask),
+                                     n_summary=4))
+    assert summ.shape == (8, 4, 32)
+    np.testing.assert_allclose(np.linalg.norm(summ, axis=-1), 1.0,
+                               atol=1e-5)
+    # each token should be close to its best summary vector
+    # token->nearest-summary similarity: with noise 0.15 in 32-d the
+    # expected token-to-topic cosine is ~0.88; 4 centroids recover ~0.85
+    sims = np.einsum("nld,nsd->nls", toks, summ).max(-1)
+    assert sims.mean() > 0.8
+    # and summaries beat a single random token as doc representation
+    rand_rep = np.einsum("nld,nd->nl", toks, toks[:, 0])
+    assert sims.mean() > rand_rep.mean()
+
+
+def test_two_stage_matches_exact_on_clustered_data():
+    rng = np.random.default_rng(1)
+    toks, mask, doc_topic, topics = make_clustered_corpus(
+        rng, n_docs=256, ld=16, dim=32)
+    # queries: noisy copies of a random doc's tokens
+    qidx = rng.integers(256, size=6)
+    q = normed(toks[qidx, :8] + 0.1 * rng.normal(size=(6, 8, 32))).astype(
+        np.float32)
+
+    summ = summarize_docs(jnp.array(toks), jnp.array(mask), n_summary=4)
+    s2, r2 = two_stage_search(jnp.array(q), jnp.array(toks),
+                              jnp.array(mask), summ, k=5, n_candidates=64)
+    exact = np.asarray(maxsim_search_xla(jnp.array(q), jnp.array(toks),
+                                         jnp.array(mask)))
+    want = np.argsort(-exact, axis=1)[:, :5]
+    got = np.asarray(r2)
+    # top-1 must match; top-5 overlap high
+    np.testing.assert_array_equal(got[:, 0], want[:, 0])
+    overlap = np.mean([len(set(got[i]) & set(want[i])) / 5
+                       for i in range(6)])
+    assert overlap > 0.9, overlap
+    # fine-stage scores are exact for retrieved docs
+    np.testing.assert_allclose(
+        np.asarray(s2), np.take_along_axis(exact, got, axis=1), rtol=1e-4)
+
+
+def test_coarse_query_len_truncation():
+    rng = np.random.default_rng(2)
+    toks, mask, _, _ = make_clustered_corpus(rng, n_docs=32)
+    q = normed(rng.normal(size=(2, 8, 32))).astype(np.float32)
+    summ = summarize_docs(jnp.array(toks), jnp.array(mask), n_summary=2)
+    full = np.asarray(coarse_scores(jnp.array(q), summ))
+    trunc = np.asarray(coarse_scores(jnp.array(q), summ,
+                                     coarse_query_len=4))
+    q4 = np.asarray(coarse_scores(jnp.array(q[:, :4]), summ))
+    np.testing.assert_allclose(trunc, q4, rtol=1e-6)
+    assert not np.allclose(full, trunc)

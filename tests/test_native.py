@@ -1,0 +1,56 @@
+"""Native C++ tokenizer: parity with the Python WordPiece + throughput."""
+
+import time
+
+import numpy as np
+import pytest
+
+from ravqa_tpu.tokenization import WordPieceTokenizer
+
+
+@pytest.fixture(scope="module")
+def vocab_file(tmp_path_factory):
+    words = ["[PAD]", "[unused0]", "[unused1]", "[UNK]", "[CLS]", "[SEP]",
+             "[MASK]", "the", "quick", "brown", "fox", "jump", "##ed",
+             "##s", "over", "lazy", "dog", ".", ",", "!", "un", "##break",
+             "##able", "play", "##ing"] + list("abcdefghijklmnopqrstuvwxyz") \
+            + ["##" + c for c in "abcdefghijklmnopqrstuvwxyz"]
+    p = tmp_path_factory.mktemp("vocab") / "vocab.txt"
+    p.write_text("\n".join(words) + "\n")
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def fast(vocab_file):
+    from ravqa_tpu.native import FastWordPiece
+    try:
+        return FastWordPiece(vocab_file, unk_id=3)
+    except RuntimeError:
+        pytest.skip("no C++ compiler")
+
+
+def test_parity_with_python(vocab_file, fast):
+    py = WordPieceTokenizer(vocab_file)
+    rng = np.random.default_rng(0)
+    words = ["the", "quick", "brown", "Fox", "jumped", "PLAYING", "dog!",
+             "unbreakable,", "zap", "qq"]
+    texts = [" ".join(rng.choice(words, size=rng.integers(1, 12)))
+             for _ in range(50)]
+    ids, lens = fast.encode_batch(texts, maxlen=64)
+    for i, t in enumerate(texts):
+        want = py.encode(t)[:64]
+        got = list(ids[i, :lens[i]])
+        assert got == want, (t, got, want)
+
+
+def test_throughput_beats_python(vocab_file, fast):
+    py = WordPieceTokenizer(vocab_file)
+    texts = ["the quick brown fox jumped over the lazy dog playing"] * 2000
+    t0 = time.perf_counter()
+    fast.encode_batch(texts, maxlen=32)
+    t_fast = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for t in texts[:200]:
+        py.encode(t)
+    t_py = (time.perf_counter() - t0) * 10  # scaled to 2000
+    assert t_fast < t_py, (t_fast, t_py)
