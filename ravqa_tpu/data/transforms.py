@@ -214,3 +214,41 @@ class PrepareDataloaders(BaseTransform):
                 use_self_negatives=getattr(self, "use_self_negatives",
                                            False))
         return out
+
+
+@register_transform
+class LoadM2KRData(BaseTransform):
+    """Load an M2KR-style task: queries jsonl ({question_id, question,
+    instruction?, pos_item_ids, answers?, img_features_idx?}) + passages
+    jsonl ({passage_id, passage_content}).
+
+    setup: queries_path {split: jsonl}, passages_path (jsonl),
+    features_path (optional npz keyed by question_id).
+    """
+
+    def __call__(self, *inputs):
+        import json as _json
+        pids, contents = [], []
+        with open(self.passages_path) as f:
+            for line in f:
+                row = _json.loads(line)
+                pids.append(row["passage_id"])
+                contents.append(row["passage_content"])
+        corpus = PassageCorpus(pids, contents)
+        feats = None
+        if getattr(self, "features_path", None):
+            feats = np.load(self.features_path)
+        out = {"passages": {"train_passages": corpus,
+                            "full_passages": corpus}}
+        for split, path in self.queries_path.items():
+            items = []
+            with open(path) as f:
+                for line in f:
+                    row = _json.loads(line)
+                    it = dict(row)
+                    it["question_id"] = str(row["question_id"])
+                    if feats is not None:
+                        it["image_features"] = feats[it["question_id"]]
+                    items.append(it)
+            out[split] = items
+        return out

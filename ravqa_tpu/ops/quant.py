@@ -39,6 +39,14 @@ def dequantize_int8(q: jax.Array, scales: jax.Array) -> jax.Array:
     return q.astype(jnp.float32) * scales[..., None]
 
 
+def quantize_queries_int8(q: jax.Array):
+    """(B, Lq, dim) float -> (int8, (B, Lq) f32 scales). Zero rows stay 0."""
+    absmax = jnp.max(jnp.abs(q), axis=-1)
+    scales = jnp.maximum(absmax, 1e-8) / 127.0
+    qi = jnp.round(q / scales[..., None]).astype(jnp.int8)
+    return qi, scales
+
+
 def maxsim_search_int8_xla(q: jax.Array, tokens_i8: jax.Array,
                            scales: jax.Array, mask: jax.Array) -> jax.Array:
     """MaxSim over an int8 index; q stays float. Returns (B, N) f32.
@@ -54,3 +62,83 @@ def maxsim_search_int8_xla(q: jax.Array, tokens_i8: jax.Array,
     s = jnp.where(mask.astype(bool)[:, :, None, None], s, NEG_INF)
     per_q = jnp.max(s, axis=1)                               # (N, B, Lq)
     return jnp.sum(per_q, axis=-1).T                         # (B, N)
+
+
+# ---------------------------------------------------------------------------
+# Fused int8 Pallas search kernel (v5e MXU runs int8 at 2x bf16 throughput)
+# ---------------------------------------------------------------------------
+
+def _maxsim_int8_kernel(q_ref, qs_ref, d_ref, ds_ref, out_ref, *,
+                        tile_d: int, ld: int, b: int, lq: int):
+    """q_ref (B*Lq, dim) int8; qs_ref (1, B*Lq) f32 query-token scales;
+    d_ref (TILE_D*Ld, dim) int8; ds_ref (TILE_D*Ld, 1) f32 doc-token scales
+    (0 on invalid tokens); out_ref (TILE_D, B) f32."""
+    import jax
+    import jax.numpy as jnp
+
+    s = jax.lax.dot_general(
+        d_ref[:], q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    ds = ds_ref[:]
+    s = jnp.where(ds > 0, s * ds, NEG_INF)
+    s = s.reshape(tile_d, ld, b * lq)
+    per_q = jnp.max(s, axis=1) * qs_ref[:]              # (TILE_D, B*Lq)
+    row = jax.lax.broadcasted_iota(jnp.int32, (b * lq, b), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b * lq, b), 1)
+    sel = (row // lq == col).astype(jnp.float32)
+    out_ref[:] = jax.lax.dot_general(
+        per_q, sel, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def maxsim_search_int8_pallas(q_i8, q_scales, tokens_i8, d_scales,
+                              tile_d: int = 16):
+    """Fused int8 MaxSim search on TPU.
+
+    q_i8 (B, Lq, dim) int8 + q_scales (B, Lq) f32 (quantize_queries_int8);
+    tokens_i8 (N, Ld, dim) int8 + d_scales (N, Ld) f32 with 0 on invalid
+    tokens (quantize_index_int8). Returns (B, N) f32 scores.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, lq, dim = q_i8.shape
+    n, ld, _ = tokens_i8.shape
+    assert n % tile_d == 0
+
+    q_flat = q_i8.reshape(b * lq, dim)
+    qs = q_scales.reshape(1, b * lq).astype(jnp.float32)
+    d_flat = tokens_i8.reshape(n * ld, dim)
+    ds = d_scales.reshape(n * ld, 1).astype(jnp.float32)
+
+    kernel = functools.partial(_maxsim_int8_kernel, tile_d=tile_d, ld=ld,
+                               b=b, lq=lq)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // tile_d,),
+        in_specs=[
+            pl.BlockSpec((b * lq, dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b * lq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_d * ld, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_d * ld, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_d, b), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, b), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * ld * b * lq * dim,
+            bytes_accessed=d_flat.size + q_flat.size + n * b * 4,
+            transcendentals=0,
+        ),
+    )(q_flat, qs, d_flat, ds)
+    return out.T

@@ -129,3 +129,25 @@ def test_k_larger_than_num_docs(corpus, queries):
     # 10 real docs; the last retrieved entries are pads with pid -1
     assert (pids[:, :10] >= 0).all()
     assert (pids[:, 10:] == -1).all()
+
+
+def test_int8_pallas_kernel_interpret(corpus, queries):
+    """int8 Pallas kernel (interpret mode) == int8 XLA reference."""
+    from jax.experimental.pallas import tpu as pltpu
+    from ravqa_tpu.ops.quant import (maxsim_search_int8_pallas,
+                                     quantize_queries_int8)
+    embs, masks = corpus
+    n, ld = 32, 16
+    rng = np.random.default_rng(9)
+    toks = embs[:n, :ld].copy()
+    msk = masks[:n, :ld].astype(np.float32)
+    toks = toks * msk[..., None]
+    d8, dscales = quantize_index_int8(jnp.array(toks), jnp.array(msk))
+    q = queries[:2, :4, :]
+    q8, qscales = quantize_queries_int8(jnp.array(q))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(maxsim_search_int8_pallas(q8, qscales, d8, dscales,
+                                                   tile_d=8))
+    want = np.asarray(maxsim_search_int8_xla(
+        jnp.array(q), d8, dscales, jnp.array(msk)))
+    np.testing.assert_allclose(got, want, rtol=0.02, atol=0.5)
