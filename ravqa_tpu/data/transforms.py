@@ -252,3 +252,128 @@ class LoadM2KRData(BaseTransform):
                     items.append(it)
             out[split] = items
         return out
+
+
+def select_rois(objects: list[dict], question: str,
+                max_objects: int = 9) -> list[dict]:
+    """ROI selection (reference CropRegionOfInterestImages,
+    vqa_data_ops.py:434-523): question-mentioned classes first, then
+    area-sorted; drop boxes contained in an already-selected box of the same
+    class; cap at max_objects."""
+    selected = [obj for obj in objects
+                if obj["class"].lower().strip() in question.lower()]
+    by_area = sorted(
+        objects,
+        key=lambda o: (o["rect"][3] - o["rect"][1])
+        * (o["rect"][2] - o["rect"][0]),
+        reverse=True)
+    for obj in by_area:
+        if len(selected) >= max_objects:
+            break
+        xmin, ymin, xmax, ymax = obj["rect"]
+        valid = True
+        for ex in selected:
+            if ex["class"] == obj["class"]:
+                e0, e1, e2, e3 = ex["rect"]
+                if xmin >= e0 and ymin >= e1 and xmax <= e2 and ymax <= e3:
+                    valid = False
+        if valid:
+            selected.append(obj)
+    return selected
+
+
+@register_transform
+class CropRegionOfInterestImages(BaseTransform):
+    """Attach per-item ROI crop records (id, img_path/image_id, crop box).
+    setup: max_objects=9. Items need `objects` ([{class, rect}, ...])."""
+
+    def __call__(self, data):
+        crops: dict[str, dict] = {}
+        for split, items in data.items():
+            if not isinstance(items, list):
+                continue
+            for it in items:
+                rois = []
+                for obj in select_rois(it.get("objects", []),
+                                       it.get("question", ""),
+                                       getattr(self, "max_objects", 9)):
+                    xmin, ymin, xmax, ymax = [round(v, 2)
+                                              for v in obj["rect"]]
+                    rid = (f"{it.get('img_path', it.get('image_id'))}"
+                           f"|||{obj['class']}_{xmin}_{ymin}_{xmax}_{ymax}")
+                    crops[rid] = {"id": rid,
+                                  "img_path": it.get("img_path"),
+                                  "image_id": it.get("image_id"),
+                                  "obj": obj,
+                                  "crop": [xmin, ymin, xmax, ymax]}
+                    rois.append(rid)
+                it["ROIs"] = rois
+        data["roi_crops"] = crops
+        return data
+
+
+@register_transform
+class ExtractImageFeaturesWithViT(BaseTransform):
+    """Batch-encode images (and ROI crops) with the Flax CLIP-ViT, keeping
+    the CLS embedding; caches to an .npz store (replaces the reference's
+    ElasticSearch cache + multi-GPU datasets.map, vqa_data_ops.py:834-1444).
+
+    setup: image_loader (callable id -> HxWx3 uint8 array), vit_config
+    (ViTConfig) + vit_params, batch_size=64, cache_path (npz, optional),
+    image_size=224.
+    """
+
+    def __call__(self, data):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import CLIPVisionModel, clip_preprocess
+
+        cache_path = getattr(self, "cache_path", None)
+        cache = {}
+        if cache_path and os.path.exists(cache_path):
+            cache = dict(np.load(cache_path))
+
+        ids = []
+        for split, items in data.items():
+            if not isinstance(items, list):
+                continue
+            for it in items:
+                key = str(it.get("image_id"))
+                if key not in cache:
+                    ids.append(key)
+                for rid in it.get("ROIs", []):
+                    if rid not in cache:
+                        ids.append(rid)
+        ids = [i for j, i in enumerate(ids) if i not in ids[:j]]
+
+        if ids:
+            model = CLIPVisionModel(self.vit_config)
+            bs = getattr(self, "batch_size", 64)
+            size = getattr(self, "image_size", 224)
+
+            @jax.jit
+            def encode(px):
+                _, cls = model.apply({"params": self.vit_params},
+                                     clip_preprocess(px, size))
+                return cls
+
+            for s in range(0, len(ids), bs):
+                chunk = ids[s:s + bs]
+                imgs = np.stack([self.image_loader(i) for i in chunk])
+                cls = np.asarray(encode(jnp.asarray(imgs)))
+                for key, feat in zip(chunk, cls):
+                    cache[key] = feat
+
+        if cache_path:
+            os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+            np.savez(cache_path, **cache)
+
+        for split, items in data.items():
+            if not isinstance(items, list):
+                continue
+            for it in items:
+                feats = [cache[str(it.get("image_id"))]]
+                feats += [cache[r] for r in it.get("ROIs", [])]
+                it["image_features"] = np.stack(feats)
+        return data
