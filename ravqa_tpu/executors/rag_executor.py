@@ -295,3 +295,28 @@ class RagExecutor(BaseExecutor):
         return {"predictions": preds, "doc_scores": doc_scores,
                 "retrieved_contents": ret["contents"],
                 "all_generations": toks, "selected_docs": sel}
+
+
+def load_static_retrieval_from_predictions(json_path: str,
+                                           corpus_ids: Sequence) -> dict:
+    """Build a static-retrieval map from an FLMR test-mode prediction dump
+    (ravqa_tpu.main run_eval output; schema mirrors the reference's
+    *_test_*_predictions_rank_*.json handoff, FLMR_executor.py:1012-1018).
+
+    Returns {question_id: [(corpus_row, score), ...]} for RagExecutor.
+    """
+    import json
+
+    id2row = {str(pid): i for i, pid in enumerate(corpus_ids)}
+    with open(json_path) as f:
+        preds = json.load(f)
+    out = {}
+    for p in preds:
+        rows = []
+        for rank, passage in enumerate(p["top_ranking_passages"]):
+            row = id2row.get(str(passage["passage_id"]))
+            if row is not None:
+                rows.append((row, float(passage.get("score",
+                                                    -float(rank)))))
+        out[str(p["question_id"])] = rows
+    return out

@@ -30,6 +30,7 @@ class ViTConfig:
     layer_norm_eps: float = 1e-5
     activation: str = "quick_gelu"      # CLIP; plain ViT uses "gelu"
     use_pre_layernorm: bool = True      # CLIP has pre_layrnorm before blocks
+    global_pool: bool = False           # MAE-style mean-pool instead of CLS
     dtype: Any = jnp.float32
 
     @property
@@ -99,8 +100,11 @@ class CLIPVisionModel(nn.Module):
                              name="pre_layernorm")(x).astype(cfg.dtype)
         x = TransformerEncoder(cfg.encoder_cfg, name="encoder")(
             x, None, deterministic)
+        # MAE-style global pooling (reference models_vit.py:20-94
+        # forward_features global_pool branch) vs CLIP CLS pooling
+        rep = jnp.mean(x[:, 1:], axis=1) if cfg.global_pool else x[:, 0]
         pooled = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
-                              name="post_layernorm")(x[:, 0])
+                              name="post_layernorm")(rep)
         return x, pooled.astype(cfg.dtype)
 
 
