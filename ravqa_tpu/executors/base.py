@@ -180,7 +180,11 @@ class BaseExecutor:
     def fit(self, batches: Iterable, steps: Optional[int] = None,
             log_every: int = 50,
             val_every: Optional[int] = None,
-            val_fn: Optional[Callable[[], dict]] = None) -> dict:
+            val_fn: Optional[Callable[[], dict]] = None,
+            ckpt_manager=None, early_stopping=None) -> dict:
+        """Training loop. ckpt_manager/early_stopping: see
+        executors.callbacks (Lightning ModelCheckpoint/EarlyStopping
+        parity)."""
         last_metrics: dict = {}
         for i, batch in enumerate(batches):
             if steps is not None and i >= steps:
@@ -193,6 +197,13 @@ class BaseExecutor:
             if val_fn is not None and val_every and (i + 1) % val_every == 0:
                 vm = val_fn()
                 self.logger.log(vm, int(self.state.step), prefix="valid/")
+                if ckpt_manager is not None:
+                    ckpt_manager.on_validation(self, vm,
+                                               int(self.state.step))
+                if early_stopping is not None and early_stopping.update(vm):
+                    self.logger.log({"early_stop": 1},
+                                    int(self.state.step))
+                    break
         return last_metrics
 
     # -- checkpointing (replaces Lightning .ckpt + HF save, SURVEY §5) ------

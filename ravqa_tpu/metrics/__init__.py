@@ -4,3 +4,7 @@ from .vqa import normalize_answer, vqa_accuracy, vqa_accuracy_single
 
 __all__ = ["exact_match", "positive_id_scores", "pseudo_relevance_scores",
            "normalize_answer", "vqa_accuracy", "vqa_accuracy_single"]
+
+from .retrieval_metrics import (bleu_score,  # noqa: E402
+                                exact_match_with_numeric_ranges)
+__all__ += ["bleu_score", "exact_match_with_numeric_ranges"]

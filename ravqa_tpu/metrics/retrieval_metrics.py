@@ -76,3 +76,66 @@ def exact_match(predictions: Sequence[str], answers: Sequence[Sequence[str]],
         any(normalize(p) == normalize(a) for a in ans)
         for p, ans in zip(predictions, answers))
     return hit / max(n, 1)
+
+
+def exact_match_with_numeric_ranges(
+    predictions: Sequence[str],
+    answers: Sequence[Sequence[str]],
+    numeric_ranges: Sequence,
+    normalize=lambda s: s.strip().lower(),
+) -> float:
+    """Infoseek EM (reference compute_exact_match_with_numeric_values,
+    metrics_processors.py:128-182): correct if the normalized prediction is
+    in the answer list OR parses to a float within [lo, hi]."""
+    n = len(predictions)
+    hits = 0
+    for pred, ans, rng in zip(predictions, answers, numeric_ranges):
+        p = normalize(pred)
+        correct = p in [normalize(a) for a in ans]
+        if not correct and rng is not None:
+            try:
+                v = float(p)
+                correct = rng[0] <= v <= rng[1]
+            except ValueError:
+                pass
+        hits += int(correct)
+    return hits / max(n, 1)
+
+
+def bleu_score(predictions: Sequence[str],
+               references: Sequence[Sequence[str]],
+               max_n: int = 4) -> float:
+    """Corpus BLEU-4 with +0-smoothing and brevity penalty (reference
+    compute_BLEU_scores, metrics_processors.py:605; whitespace tokens)."""
+    import math
+    from collections import Counter
+
+    def ngrams(tokens, n):
+        return Counter(tuple(tokens[i:i + n])
+                       for i in range(len(tokens) - n + 1))
+
+    clipped = [0] * max_n
+    totals = [0] * max_n
+    pred_len, ref_len = 0, 0
+    for pred, refs in zip(predictions, references):
+        pt = pred.lower().split()
+        rts = [r.lower().split() for r in refs]
+        pred_len += len(pt)
+        ref_len += min((abs(len(r) - len(pt)), len(r)) for r in rts)[1]
+        for n in range(1, max_n + 1):
+            pc = ngrams(pt, n)
+            maxr: Counter = Counter()
+            for rt in rts:
+                rc = ngrams(rt, n)
+                for g, c in rc.items():
+                    maxr[g] = max(maxr[g], c)
+            totals[n - 1] += max(len(pt) - n + 1, 0)
+            clipped[n - 1] += sum(min(c, maxr[g]) for g, c in pc.items())
+    if min(totals) == 0:
+        return 0.0
+    # epsilon smoothing so a missing high-order n-gram doesn't zero the score
+    log_p = sum(math.log(max(c, 1e-9) / t)
+                for c, t in zip(clipped, totals)) / max_n
+    bp = 1.0 if pred_len > ref_len else math.exp(1 - ref_len /
+                                                 max(pred_len, 1))
+    return bp * math.exp(log_p)

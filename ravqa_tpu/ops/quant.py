@@ -22,15 +22,18 @@ import jax.numpy as jnp
 from .maxsim import NEG_INF
 
 
+@jax.jit
 def quantize_index_int8(tokens: jax.Array, mask: jax.Array):
     """(N, Ld, dim) float -> (int8 tokens, (N, Ld) f32 scales).
 
     Per-token symmetric: scale = max|x|/127 (>= tiny eps so masked/zero rows
-    stay exactly zero).
+    stay exactly zero). Jitted so the f32 intermediates fuse away — eager
+    execution would materialize multiple full-index f32 copies.
     """
-    absmax = jnp.max(jnp.abs(tokens), axis=-1)               # (N, Ld)
+    t32 = tokens.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(t32), axis=-1)                  # (N, Ld)
     scales = jnp.maximum(absmax, 1e-8) / 127.0
-    q = jnp.round(tokens / scales[..., None]).astype(jnp.int8)
+    q = jnp.round(t32 / scales[..., None]).astype(jnp.int8)
     q = q * mask[..., None].astype(jnp.int8)
     return q, scales * mask.astype(scales.dtype)
 

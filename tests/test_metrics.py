@@ -74,3 +74,23 @@ class TestVQAAccuracy:
     def test_number_words(self):
         ans = ["two"] * 6 + ["2"] * 4
         assert vqa_accuracy_single("2", ans) == 1.0
+
+
+def test_em_with_numeric_ranges():
+    from ravqa_tpu.metrics import exact_match_with_numeric_ranges
+    acc = exact_match_with_numeric_ranges(
+        ["42", "blue", "7.5"],
+        [["forty-two"], ["blue"], ["eight"]],
+        [(40, 45), None, (8, 9)])
+    # 42 in range -> hit; blue exact -> hit; 7.5 outside [8,9] -> miss
+    np.testing.assert_allclose(acc, 2 / 3)
+
+
+def test_bleu_score():
+    from ravqa_tpu.metrics import bleu_score
+    assert bleu_score(["the cat sat on the mat"],
+                      [["the cat sat on the mat"]]) == 1.0
+    partial = bleu_score(["the cat sat there now ok"],
+                         [["the cat sat on the mat"]])
+    assert 0 < partial < 1
+    assert bleu_score(["zzz"], [["the cat"]]) == 0.0
