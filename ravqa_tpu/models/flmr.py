@@ -52,6 +52,10 @@ class FLMRModelConfig:
     vit: Optional[ViTConfig] = None
     mask_punctuation: bool = True
     pad_token_id: int = 0
+    interaction: str = "colbert"        # | "flipr" (PreFLMR)
+    flipr_query_part_len: int = 0       # text-token count (question part)
+    flipr_k1: int = 0                   # top-k1 over the question part
+    flipr_k2: int = 0                   # top-k2 over the context part
 
     @staticmethod
     def tiny(**kw) -> "FLMRModelConfig":
@@ -188,7 +192,10 @@ class FLMRRetriever(nn.Module):
                        pixel_values, deterministic)
         d, d_mask = self.doc(doc_input_ids, doc_attention_mask, doc_skip_mask,
                              deterministic)
-        nway_loss, scores = nway_ce_loss(q, d, d_mask, cfg.nway)
+        nway_loss, scores = nway_ce_loss(
+            q, d, d_mask, cfg.nway, interaction=cfg.interaction,
+            flipr_query_part_len=cfg.flipr_query_part_len,
+            flipr_k1=cfg.flipr_k1, flipr_k2=cfg.flipr_k2)
         out = {"scores": scores, "loss": nway_loss,
                "ib_loss": jnp.zeros(())}
         if cfg.use_ib_negatives:

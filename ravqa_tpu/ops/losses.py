@@ -26,28 +26,41 @@ from .maxsim import maxsim_all_pairs_xla, maxsim_pair_xla
 
 
 def nway_ce_loss(q: jax.Array, d: jax.Array, d_mask: jax.Array,
-                 nway: int, q_mask: jax.Array | None = None):
+                 nway: int, q_mask: jax.Array | None = None,
+                 interaction: str = "colbert",
+                 flipr_query_part_len: int = 0, flipr_k1: int = 0,
+                 flipr_k2: int = 0):
     """Contrastive CE over nway docs per query; positive at position 0.
 
     Args:
       q: (B, Lq, dim); d: (B*nway, Ld, dim) grouped per query; d_mask likewise.
+      interaction: "colbert" (sum of per-token maxima) or "flipr" (PreFLMR
+        partial top-k1/top-k2 sums, reference colbert.py:248-261).
     Returns: (loss, scores (B, nway)).
     """
+    from .maxsim import flipr_reduce
+
     b = q.shape[0]
     ld, dim = d.shape[-2:]
     d_g = d.reshape(b, nway, ld, dim)
     m_g = d_mask.reshape(b, nway, ld)
     q_rep = jnp.broadcast_to(q[:, None], (b, nway) + q.shape[1:])
-    qm_rep = None
-    if q_mask is not None:
-        qm_rep = jnp.broadcast_to(q_mask[:, None], (b, nway) + q_mask.shape[1:])
-        qm_rep = qm_rep.reshape(b * nway, -1)
-    scores = maxsim_pair_xla(
-        q_rep.reshape(b * nway, *q.shape[1:]),
-        d_g.reshape(b * nway, ld, dim),
-        m_g.reshape(b * nway, ld),
-        qm_rep,
-    ).reshape(b, nway)
+    q_flat = q_rep.reshape(b * nway, *q.shape[1:])
+    d_flat = d_g.reshape(b * nway, ld, dim)
+    m_flat = m_g.reshape(b * nway, ld)
+    if interaction == "flipr":
+        s = jnp.einsum("bld,bqd->blq", d_flat, q_flat,
+                       preferred_element_type=jnp.float32)
+        scores = flipr_reduce(s, m_flat, flipr_query_part_len, flipr_k1,
+                              flipr_k2).reshape(b, nway)
+    else:
+        qm_rep = None
+        if q_mask is not None:
+            qm_rep = jnp.broadcast_to(
+                q_mask[:, None], (b, nway) + q_mask.shape[1:])
+            qm_rep = qm_rep.reshape(b * nway, -1)
+        scores = maxsim_pair_xla(q_flat, d_flat, m_flat,
+                                 qm_rep).reshape(b, nway)
     labels = jnp.zeros((b,), dtype=jnp.int32)
     loss = optax.softmax_cross_entropy_with_integer_labels(scores, labels)
     return jnp.mean(loss), scores

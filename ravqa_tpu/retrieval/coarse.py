@@ -44,6 +44,7 @@ def summarize_docs(tokens: jax.Array, mask: jax.Array, n_summary: int = 8,
     mask_f = mask.astype(jnp.float32)
 
     def per_doc(tok, m):
+        tok = tok.astype(jnp.float32)  # upcast per block, not whole index
         # init: first n_summary valid tokens (valid-first stable ordering)
         order = jnp.argsort(-m)                     # valid tokens first
         cent = tok[order[:n_summary]]               # (S, dim)
@@ -62,7 +63,7 @@ def summarize_docs(tokens: jax.Array, mask: jax.Array, n_summary: int = 8,
         cent, _ = jax.lax.scan(step, cent, None, length=iters)
         return cent
 
-    return jax.vmap(per_doc)(tokens.astype(jnp.float32), mask_f)
+    return jax.vmap(per_doc)(tokens, mask_f)
 
 
 def coarse_scores(q: jax.Array, summaries: jax.Array,

@@ -37,7 +37,22 @@ class TokenIndex:
     pids: np.ndarray           # (N_pad,) int64 global passage ids; -1 = pad
     num_docs: int              # real (unpadded) doc count
     scales: Optional[jax.Array] = None   # (N_pad, Ld) f32 if int8-quantized
+    summaries: Optional[jax.Array] = None  # (N_pad, S, dim) coarse stage
     meta: dict = dataclasses.field(default_factory=dict)
+
+    def build_summaries(self, n_summary: int = 8, iters: int = 4,
+                        mesh=None, axis: str = "index") -> "TokenIndex":
+        """Attach per-doc summary vectors for two-stage search."""
+        from .coarse import summarize_docs
+        summ = summarize_docs(self.tokens, self.mask,
+                              n_summary=n_summary, iters=iters)
+        summ = summ.astype(self.tokens.dtype
+                           if self.tokens.dtype != jnp.int8
+                           else jnp.bfloat16)
+        if mesh is not None:
+            summ = jax.device_put(summ, NamedSharding(mesh, P(axis)))
+        self.summaries = summ
+        return self
 
     @property
     def n_pad(self) -> int:

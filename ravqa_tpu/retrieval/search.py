@@ -55,20 +55,24 @@ def search_single_device(q, tokens, mask, scales=None, *, k: int,
 
 def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                         axis: str = "index", use_pallas: bool = False,
-                        tile_d: int = 16, quantized: bool = False):
+                        tile_d: int = 16, quantized: bool = False,
+                        two_stage: bool = False, n_candidates: int = 1024):
     """Build a jitted collective search fn over `mesh`.
 
-    Returned fn(q, tokens, mask[, scales]) -> (scores (B,k), rows (B,k)),
-    with tokens/mask sharded over dim 0 on `axis` and q replicated. Rows are
-    global (pre-pid-mapping) indices into the padded index.
+    Returned fn(q, tokens, mask[, scales | summaries]) -> (scores (B,k),
+    rows (B,k)), with index arrays sharded over dim 0 on `axis` and q
+    replicated. Rows are global (pre-pid-mapping) indices into the padded
+    index. two_stage: each shard runs coarse->fine over its slice (with
+    n_candidates/nshards local candidates) before the cross-shard merge.
     """
+    from .coarse import two_stage_search
+
     nshards = mesh.shape[axis]
     n_local = n_pad // nshards
     k_local = min(k, n_local)
+    c_local = min(max(n_candidates // nshards, k_local), n_local)
 
-    def _local(q, tok, msk, scl):
-        scores = _local_scores(q, tok, msk, scl, use_pallas, tile_d)
-        s, i = jax.lax.top_k(scores, k_local)
+    def _merge(q, s, i):
         i = i + jax.lax.axis_index(axis) * n_local
         s_all = jax.lax.all_gather(s, axis)          # (nshards, B, k_local)
         i_all = jax.lax.all_gather(i, axis)
@@ -79,6 +83,21 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
         i_top = jnp.take_along_axis(i_cat, sel, axis=1)
         return s_top, i_top
 
+    def _local(q, tok, msk, scl):
+        scores = _local_scores(q, tok, msk, scl, use_pallas, tile_d)
+        s, i = jax.lax.top_k(scores, k_local)
+        return _merge(q, s, i)
+
+    def _local_two_stage(q, tok, msk, summ):
+        s, i = two_stage_search(q, tok, msk, summ, k=k_local,
+                                n_candidates=c_local)
+        return _merge(q, s, i)
+
+    if two_stage:
+        f = shard_map(_local_two_stage, mesh,
+                      in_specs=(P(), P(axis), P(axis), P(axis)),
+                      out_specs=(P(), P()))
+        return jax.jit(f)
     if quantized:
         f = shard_map(lambda q, t, m, s: _local(q, t, m, s), mesh,
                       in_specs=(P(), P(axis), P(axis), P(axis)),
@@ -99,7 +118,11 @@ class LateInteractionSearcher:
 
     def __init__(self, index: TokenIndex, mesh: Optional[Mesh] = None,
                  axis: str = "index", use_pallas: Optional[bool] = None,
-                 tile_d: int = 16):
+                 tile_d: int = 16, mode: str = "exact",
+                 n_candidates: int = 1024):
+        """mode: "exact" (exhaustive MaxSim) or "two_stage" (coarse over
+        index.summaries -> exact re-score of top n_candidates; requires
+        index.build_summaries())."""
         self.index = index
         self.mesh = mesh
         self.axis = axis
@@ -108,6 +131,11 @@ class LateInteractionSearcher:
                           and index.scales is None)
         self.use_pallas = use_pallas
         self.tile_d = tile_d
+        self.mode = mode
+        self.n_candidates = n_candidates
+        if mode == "two_stage":
+            assert index.summaries is not None, \
+                "call index.build_summaries() first"
         self._sharded_fns: dict[int, callable] = {}
 
     def _search_fn(self, k: int):
@@ -117,7 +145,9 @@ class LateInteractionSearcher:
             self._sharded_fns[k] = make_sharded_search(
                 self.mesh, self.index.n_pad, k=k, axis=self.axis,
                 use_pallas=self.use_pallas, tile_d=self.tile_d,
-                quantized=self.index.scales is not None)
+                quantized=self.index.scales is not None,
+                two_stage=self.mode == "two_stage",
+                n_candidates=self.n_candidates)
         return self._sharded_fns[k]
 
     def search_device(self, q: jax.Array, k: int):
@@ -126,9 +156,16 @@ class LateInteractionSearcher:
         if self.mesh is not None:
             fn = self._search_fn(k)
             args = (q, idx.tokens, idx.mask)
-            if idx.scales is not None:
+            if self.mode == "two_stage":
+                args += (idx.summaries,)
+            elif idx.scales is not None:
                 args += (idx.scales,)
             return fn(*args)
+        if self.mode == "two_stage":
+            from .coarse import two_stage_search
+            return two_stage_search(
+                q, idx.tokens, idx.mask, idx.summaries, k=k,
+                n_candidates=min(self.n_candidates, idx.n_pad))
         return search_single_device(
             q, idx.tokens, idx.mask, idx.scales, k=k,
             use_pallas=self.use_pallas, tile_d=self.tile_d)

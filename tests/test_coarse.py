@@ -82,3 +82,33 @@ def test_coarse_query_len_truncation():
     q4 = np.asarray(coarse_scores(jnp.array(q[:, :4]), summ))
     np.testing.assert_allclose(trunc, q4, rtol=1e-6)
     assert not np.allclose(full, trunc)
+
+
+def test_searcher_two_stage_modes():
+    """LateInteractionSearcher mode='two_stage', single-device and sharded."""
+    import jax
+    from jax.sharding import Mesh
+    from ravqa_tpu.retrieval import (LateInteractionSearcher,
+                                     build_index_from_embeddings)
+    rng = np.random.default_rng(5)
+    toks, mask, _, _ = make_clustered_corpus(rng, n_docs=256, ld=16, dim=32)
+    qidx = rng.integers(256, size=4)
+    q = normed(toks[qidx, :8] + 0.05 * rng.normal(size=(4, 8, 32))).astype(
+        np.float32)
+
+    idx = build_index_from_embeddings(toks, mask, pad_multiple=8,
+                                      dtype=jnp.float32)
+    idx.build_summaries(n_summary=4, iters=4)
+    s1 = LateInteractionSearcher(idx, mode="two_stage", n_candidates=64,
+                                 use_pallas=False)
+    scores, pids = s1.search(q, k=5)
+    assert (pids[:, 0] == qidx).all()
+
+    mesh = Mesh(np.array(jax.devices()), ("index",))
+    idx2 = build_index_from_embeddings(toks, mask, pad_multiple=8,
+                                       dtype=jnp.float32, mesh=mesh)
+    idx2.build_summaries(n_summary=4, iters=4, mesh=mesh)
+    s2 = LateInteractionSearcher(idx2, mesh=mesh, mode="two_stage",
+                                 n_candidates=64, use_pallas=False)
+    scores2, pids2 = s2.search(q, k=5)
+    assert (pids2[:, 0] == qidx).all()

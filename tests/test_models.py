@@ -185,3 +185,29 @@ def test_dpr_retriever():
     out = m.apply({"params": params}, **batch)
     assert out["scores"].shape == (b, b * nway)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_flmr_flipr_interaction():
+    """FLIPR-configured model trains with partial top-k scoring."""
+    import jax
+    cfg = FLMRModelConfig.tiny(interaction="flipr",
+                               flipr_query_part_len=8, flipr_k1=4,
+                               flipr_k2=2)
+    m = FLMRRetriever(cfg)
+    rng = np.random.default_rng(7)
+    batch = dict(
+        query_input_ids=jnp.array(rng.integers(1, 512, (2, 8)), jnp.int32),
+        query_attention_mask=jnp.ones((2, 8), jnp.int32),
+        image_features=jnp.array(rng.normal(size=(2, cfg.vision_dim)),
+                                 jnp.float32),
+        doc_input_ids=jnp.array(rng.integers(1, 512, (4, 10)), jnp.int32),
+        doc_attention_mask=jnp.ones((4, 10), jnp.int32),
+    )
+    params = m.init(jax.random.PRNGKey(0), **batch)["params"]
+    out = m.apply({"params": params}, **batch)
+    assert np.isfinite(float(out["loss"]))
+    # flipr score must differ from colbert score for the same params
+    cfg2 = FLMRModelConfig.tiny()
+    out2 = FLMRRetriever(cfg2).apply({"params": params}, **batch)
+    assert not np.allclose(np.asarray(out["scores"]),
+                           np.asarray(out2["scores"]))
