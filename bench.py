@@ -1,21 +1,22 @@
 """Benchmark: late-interaction retrieval queries/sec/chip.
 
-Measures the serving hot path — a query batch scored against an HBM-resident
-token index with the fused Pallas MaxSim kernel + top-k — on one real TPU
-chip. Prints ONE JSON line:
+Measures the serving hot path on one real TPU chip over a 112640-doc token
+index (the OK-VQA GoogleSearch corpus scale): two-stage coarse->fine search
+(per-doc summary vectors -> top-C candidates -> exact MaxSim re-score), with
+the exhaustive fused-Pallas-MaxSim QPS and the two-stage-vs-exact recall@10
+reported alongside. Prints ONE JSON line.
 
-  {"metric": "...", "value": QPS, "unit": "queries/s/chip", "vs_baseline": r}
+vs_baseline: published ColBERT-v2/PLAID GPU throughput is ~10-100 ms/query
+(A100, aggressive IVF pruning); we take 50 QPS/GPU as the ColBERT-on-GPU
+reference, so vs_baseline = QPS / 50. North-star (>10x) = vs_baseline > 10.
 
-vs_baseline: published ColBERT-v2/PLAID GPU latencies are ~10-100 ms/query
-end-to-end (PLAID paper, A100, MS MARCO-scale with aggressive IVF pruning);
-we take 50 QPS/GPU as the ColBERT-on-GPU reference throughput, so
-vs_baseline = QPS / 50. The BASELINE.json north-star (>10x ColBERT GPU) is
-vs_baseline > 10.
-
-Timing notes (axon tunnel): block_until_ready() does not actually wait for
-remote execution, so iterations are chained *inside one jit* via lax.scan
-(each step consumes the previous top-k result, forcing sequential execution)
-and the final fetch is a host transfer.
+Timing notes (axon tunnel): block_until_ready() does not wait for remote
+execution, so iterations are chained inside one jit via lax.scan (each step
+perturbs the queries with the previous scores, forcing sequential execution)
+and the final fetch is a host transfer. Index data is generated on-device
+(host->device of GBs through the tunnel is minutes). Device buffers are
+passed as jit ARGUMENTS — closure-captured constants get serialized into the
+HLO and shipped to the remote compiler.
 """
 
 import json
@@ -28,72 +29,98 @@ def main():
     import jax
     import jax.numpy as jnp
     from ravqa_tpu.ops import maxsim_search_pallas, maxsim_search_xla
+    from ravqa_tpu.retrieval.coarse import summarize_docs, two_stage_search
 
     on_tpu = jax.default_backend() == "tpu"
-    # Index sized to the OK-VQA GoogleSearch corpus (~112k passages):
-    # 112640 docs x 128 tokens x 128 dim bf16 = 3.4 GiB in HBM.
     n, ld, dim = (112640, 128, 128) if on_tpu else (2048, 32, 128)
-    b, lq = 32, 32
-    k = 10
+    b, lq, k = 32, 32, 10
+    n_candidates = 256
+    n_topics = 2048
     iters = 8
-
     dt = jnp.bfloat16 if on_tpu else jnp.float32
-    # Generate the synthetic index ON DEVICE: host RNG + an 8.6 GiB
-    # host->device transfer through the axon tunnel would dominate setup.
+
+    # Structured synthetic index (doc tokens cluster around topics, as real
+    # passage embeddings do); generated on-device.
     @jax.jit
     def make_index(key):
-        # generate directly in bf16 — an f32 intermediate would double HBM
-        t = jax.random.normal(key, (n, ld, dim), dt)
+        kt, kn, ka = jax.random.split(key, 3)
+        topics = jax.random.normal(kt, (n_topics, dim), dt)
+        topics = topics * jax.lax.rsqrt(
+            jnp.sum(topics.astype(jnp.float32) ** 2, -1,
+                    keepdims=True) + 1e-9).astype(dt)
+        assign = jax.random.randint(ka, (n,), 0, n_topics)
+        t = topics[assign][:, None, :] + (0.3 * jax.random.normal(
+            kn, (n, ld, dim), dt)).astype(dt)
         sq = jnp.sum(t.astype(jnp.float32) ** 2, -1, keepdims=True)
         return (t * jax.lax.rsqrt(sq + 1e-9).astype(dt)).astype(dt)
 
     @jax.jit
-    def make_queries(key):
-        t = jax.random.normal(key, (b, lq, dim), jnp.float32)
-        t = t * jax.lax.rsqrt(jnp.sum(t * t, -1, keepdims=True) + 1e-9)
-        return t.astype(dt)
+    def make_queries(key, index):
+        ki, kn = jax.random.split(key)
+        qidx = jax.random.randint(ki, (b,), 0, n)
+        qt = index[qidx, :lq].astype(jnp.float32) \
+            + 0.1 * jax.random.normal(kn, (b, lq, dim))
+        qt = qt * jax.lax.rsqrt(jnp.sum(qt ** 2, -1, keepdims=True) + 1e-9)
+        return qt.astype(dt)
 
     index = make_index(jax.random.PRNGKey(0))
     mask = jnp.ones((n, ld), jnp.float32)
-    q = make_queries(jax.random.PRNGKey(1))
+    q = make_queries(jax.random.PRNGKey(1), index)
+    summ = summarize_docs(index, mask, n_summary=8, iters=4).astype(dt)
+    summ = jax.block_until_ready(summ)
 
-    @jax.jit
-    def chained(q, index, mask):
-        def body(carry, _):
-            qq = carry
-            scores = (maxsim_search_pallas(qq, index, mask, tile_d=16)
-                      if on_tpu else maxsim_search_xla(qq, index, mask))
-            s, i = jax.lax.top_k(scores, k)
-            # data dependency: perturb queries with the top scores so scan
-            # iterations cannot be executed in parallel / CSE'd
-            qq = qq + (s[:, 0] * 1e-9).astype(qq.dtype)[:, None, None]
-            return qq, (s, i)
-        qq, (s, i) = jax.lax.scan(body, q, None, length=iters)
-        return s, i
+    def exact_fn(qq, idx, m):
+        if on_tpu:
+            return maxsim_search_pallas(qq, idx, m, tile_d=16)
+        return maxsim_search_xla(qq, idx, m)
 
-    # warmup + compile
-    s, i = chained(q, index, mask)
-    np.asarray(s)
+    # recall of two-stage vs exact
+    exact_scores = np.asarray(exact_fn(q, index, mask))
+    exact_top = np.argsort(-exact_scores, 1)[:, :k]
+    _, rows = two_stage_search(q, index, mask, summ, k=k,
+                               n_candidates=n_candidates)
+    rows = np.asarray(rows)
+    recall = float(np.mean([len(set(rows[i]) & set(exact_top[i])) / k
+                            for i in range(b)]))
+    top1 = float(np.mean(rows[:, 0] == exact_top[:, 0]))
 
-    t0 = time.perf_counter()
-    s, i = chained(q, index, mask)
-    s_host = np.asarray(s)  # forces full round-trip
-    dt_s = time.perf_counter() - t0
+    def timeit(fn, args):
+        @jax.jit
+        def run(q, *args):
+            def body(qq, _):
+                s = fn(qq, *args)
+                qq = qq + (s[:, 0] * 1e-9).astype(qq.dtype)[:, None, None]
+                return qq, ()
+            qq, _ = jax.lax.scan(body, q, None, length=iters)
+            return qq[:1, :1, :1]
+        _ = np.asarray(run(q, *args))          # compile + warm
+        t0 = time.perf_counter()
+        _ = np.asarray(run(q, *args))
+        return time.perf_counter() - t0
 
-    qps = b * iters / dt_s
-    flops = 2.0 * n * ld * b * lq * dim * iters
+    dt_exact = timeit(exact_fn, (index, mask))
+    dt_two = timeit(
+        lambda qq, idx, m, sm: two_stage_search(
+            qq, idx, m, sm, k=k, n_candidates=n_candidates)[0],
+        (index, mask, summ))
+
+    qps_exact = b * iters / dt_exact
+    qps_two = b * iters / dt_two
     out = {
-        "metric": "late-interaction search QPS/chip "
-                  f"({n} docs x {ld} toks, exact MaxSim, bf16, top-{k})",
-        "value": round(qps, 1),
+        "metric": f"late-interaction search QPS/chip ({n} docs x {ld} toks, "
+                  f"two-stage C={n_candidates}, top-{k})",
+        "value": round(qps_two, 1),
         "unit": "queries/s/chip",
-        "vs_baseline": round(qps / 50.0, 2),
+        "vs_baseline": round(qps_two / 50.0, 2),
         "extra": {
             "backend": jax.default_backend(),
-            "docs": n, "batch": b, "iters": iters, "wall_s": round(dt_s, 3),
-            "tflops": round(flops / dt_s / 1e12, 1),
-            "index_gib": round(n * ld * dim * (2 if on_tpu else 4) / 2**30,
-                               2),
+            "recall_at_10_vs_exact": round(recall, 4),
+            "top1_agreement_vs_exact": round(top1, 4),
+            "exact_qps": round(qps_exact, 1),
+            "exact_ms_per_batch32": round(dt_exact / iters * 1e3, 2),
+            "two_stage_ms_per_batch32": round(dt_two / iters * 1e3, 2),
+            "index_gib": round(n * ld * dim
+                               * (2 if on_tpu else 4) / 2 ** 30, 2),
         },
     }
     print(json.dumps(out))
