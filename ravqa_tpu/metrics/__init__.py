@@ -8,3 +8,7 @@ __all__ = ["exact_match", "positive_id_scores", "pseudo_relevance_scores",
 from .retrieval_metrics import (bleu_score,  # noqa: E402
                                 exact_match_with_numeric_ranges)
 __all__ += ["bleu_score", "exact_match_with_numeric_ranges"]
+
+from .retrieval_metrics import mrr_at_k, save_ranking_tsv, success_at_k  # noqa: E402
+from .vqa import TextCleaner  # noqa: E402
+__all__ += ["mrr_at_k", "save_ranking_tsv", "success_at_k", "TextCleaner"]

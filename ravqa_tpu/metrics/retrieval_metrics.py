@@ -139,3 +139,34 @@ def bleu_score(predictions: Sequence[str],
     bp = 1.0 if pred_len > ref_len else math.exp(1 - ref_len /
                                                  max(pred_len, 1))
     return bp * math.exp(log_p)
+
+
+def mrr_at_k(retrieved_ids: Sequence[Sequence],
+             pos_item_ids: Sequence[Sequence], k: int = 10) -> float:
+    """Mean reciprocal rank@k (ColBERT evaluation/metrics.py MRR@10)."""
+    total = 0.0
+    for row, pos in zip(retrieved_ids, pos_item_ids):
+        ps = set(pos)
+        for rank, rid in enumerate(row[:k], start=1):
+            if rid in ps:
+                total += 1.0 / rank
+                break
+    return total / max(len(retrieved_ids), 1)
+
+
+def success_at_k(retrieved_ids: Sequence[Sequence],
+                 pos_item_ids: Sequence[Sequence], k: int) -> float:
+    """Success@k: fraction of queries with >=1 positive in top k."""
+    hit = sum(bool(set(row[:k]) & set(pos))
+              for row, pos in zip(retrieved_ids, pos_item_ids))
+    return hit / max(len(retrieved_ids), 1)
+
+
+def save_ranking_tsv(path: str, query_ids: Sequence,
+                     retrieved_ids: Sequence[Sequence],
+                     scores: Sequence[Sequence]) -> None:
+    """ColBERT Ranking flat-TSV dump (qid \\t pid \\t rank \\t score)."""
+    with open(path, "w") as f:
+        for qid, row, ss in zip(query_ids, retrieved_ids, scores):
+            for rank, (pid, s) in enumerate(zip(row, ss), start=1):
+                f.write(f"{qid}\t{pid}\t{rank}\t{float(s)}\n")

@@ -123,3 +123,11 @@ def vqa_accuracy(predictions: Sequence[str],
     n = len(predictions)
     return sum(vqa_accuracy_single(p, a)
                for p, a in zip(predictions, answers)) / max(n, 1)
+
+
+class TextCleaner:
+    """Reference TextCleaner (src/utils/text_cleaner.py) — same
+    normalization as VQAEval, exposed batch-wise."""
+
+    def clean_texts(self, texts):
+        return [normalize_answer(t) for t in texts]

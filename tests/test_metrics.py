@@ -94,3 +94,25 @@ def test_bleu_score():
                          [["the cat sat on the mat"]])
     assert 0 < partial < 1
     assert bleu_score(["zzz"], [["the cat"]]) == 0.0
+
+
+def test_mrr_and_success():
+    from ravqa_tpu.metrics import mrr_at_k, success_at_k
+    retrieved = [["a", "b", "c"], ["x", "y", "z"]]
+    pos = [["b"], ["q"]]
+    np.testing.assert_allclose(mrr_at_k(retrieved, pos, 3), 0.25)  # (1/2+0)/2
+    assert success_at_k(retrieved, pos, 3) == 0.5
+
+
+def test_ranking_tsv(tmp_path):
+    from ravqa_tpu.metrics import save_ranking_tsv
+    p = tmp_path / "rank.tsv"
+    save_ranking_tsv(str(p), ["q1"], [["p1", "p2"]], [[0.9, 0.3]])
+    lines = p.read_text().strip().split("\n")
+    assert lines[0].split("\t") == ["q1", "p1", "1", "0.9"]
+
+
+def test_text_cleaner():
+    from ravqa_tpu.metrics import TextCleaner
+    assert TextCleaner().clean_texts(["A cat!", "isnt two"]) == \
+        ["cat", "isn't 2"]
