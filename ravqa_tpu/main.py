@@ -90,6 +90,98 @@ def build_executor(cfg: Config, data, mesh, log_dir: str, quiet=False):
                seed=cfg.get("seed", 0), quiet=quiet)
 
 
+def build_rag_executor(cfg: Config, data, mesh, log_dir: str, quiet=False):
+    """RAVQA / RAVQA-v2 executor from config (executor.ExecutorClass ==
+    'RagExecutor'): FLMR retriever + T5/BLIP-2 generator + corpus index."""
+    import jax
+    import jax.numpy as jnp
+    from .data.datasets import corpus_doc_batches
+    from .executors import FLMRExecutor, RagConfig, RagExecutor, TrainConfig
+    from .models import (BertConfig, FLMRModelConfig, FLMRRetriever,
+                         T5Config, T5Model)
+
+    mc = cfg.model_config
+    bert = BertConfig(**mc.get("bert", {}))
+    rcfg = FLMRModelConfig(
+        bert=bert, dim=mc.get("dim", 128),
+        vision_dim=mc.get("vision_embedding_size", 768),
+        prefix_len=mc.get("mapping_network_prefix_length", 32))
+    retriever = FLMRRetriever(rcfg)
+    train_ds = data["train"]
+    probe = train_ds.collate([0, 1])
+    rp = retriever.init(jax.random.PRNGKey(cfg.get("seed", 0)),
+                        **{k: jnp.asarray(v) for k, v in probe.items()}
+                        )["params"]
+    gen_cfg_dict = dict(mc.get("generator", {}))
+    gen_type = gen_cfg_dict.pop("type", "t5")
+    tok = data["tokenizer"]
+    gen_cfg_dict.setdefault("vocab_size", tok.vocab_size + 8)
+    gen_cfg_dict.setdefault("eos_token_id", tok.sep_token_id)
+    gcfg = T5Config(**gen_cfg_dict)
+    generator = T5Model(gcfg)
+    gp = generator.init(jax.random.PRNGKey(1),
+                        jnp.ones((2, 8), jnp.int32),
+                        jnp.ones((2, 8), jnp.int32),
+                        jnp.ones((2, 3), jnp.int32))["params"]
+    corpus = data["passages"]["full_passages"]
+    retr_exec = FLMRExecutor(retriever, rp, TrainConfig(lr=1e-4),
+                             quiet=True)
+    index = retr_exec.build_index(
+        corpus_doc_batches(corpus, data["doc_tokenizer"], batch_size=64))
+    rag_keys = {f.name for f in __import__("dataclasses").fields(RagConfig)}
+    rag_cfg = RagConfig(**{k: v for k, v in mc.get("rag", {}).items()
+                           if k in rag_keys})
+    tc = cfg.get("train", Config())
+    train_cfg = TrainConfig(lr=tc.get("lr", 1e-5),
+                            total_steps=tc.get("total_steps", 1000),
+                            modules=tuple(mc.get("modules", [])))
+    return RagExecutor(retriever, rp, generator, gp, gen_tokenizer=tok,
+                       rag_cfg=rag_cfg, train_cfg=train_cfg, index=index,
+                       passage_contents=corpus.contents, mesh=None,
+                       log_dir=log_dir, quiet=quiet)
+
+
+def rag_batches(dataset, batch_size: int, seed: int = 0):
+    """RAG train batches from a RetrievalDataset (questions + answers +
+    image features + query tokens)."""
+    rng = np.random.default_rng(seed)
+    items = dataset.items
+    while True:
+        order = rng.permutation(len(items))
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            chunk = [items[i] for i in order[s:s + batch_size]]
+            qi, qm = dataset.qt.tensorize(
+                [dataset.query_text(it) for it in chunk])
+            yield {
+                "question_ids": [it["question_id"] for it in chunk],
+                "questions": [it["question"] for it in chunk],
+                "answers": [it["answers"] for it in chunk],
+                "query_input_ids": qi, "query_attention_mask": qm,
+                "image_features": np.stack(
+                    [np.asarray(it["image_features"], np.float32)
+                     for it in chunk]),
+            }
+
+
+def run_rag_eval(cfg, ex, data, log_dir: str, split: str = "test"):
+    from .metrics import exact_match, vqa_accuracy
+    ds = data.get(split) or data["test"]
+    preds, answers = [], []
+    bs = cfg.get("train", Config()).get("batch_size", 8)
+    for batch in rag_batches(ds, min(bs, len(ds.items)), seed=1):
+        out = ex.generate(batch)
+        preds.extend(out["predictions"])
+        answers.extend(batch["answers"])
+        if len(preds) >= len(ds.items):
+            break
+    metrics = {"exact_match": exact_match(preds, answers),
+               "vqa_accuracy": vqa_accuracy(preds, answers)}
+    ex.logger.log(metrics, int(ex.state.step), prefix=f"{split}/")
+    with open(os.path.join(log_dir, f"{split}_rag_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    return metrics
+
+
 def run_eval(cfg, ex, data, log_dir: str, split: str = "valid"):
     from .data.datasets import corpus_doc_batches, query_eval_batches
     ds = data.get(split) or data["test"]
@@ -144,8 +236,30 @@ def main(argv=None):
         print("prepare_data done:", list(data))
         return 0
 
-    ex = build_executor(cfg, data, mesh, log_dir)
+    is_rag = cfg.executor.get("ExecutorClass") == "RagExecutor"
     tc = cfg.get("train", Config())
+    if is_rag:
+        ex = build_rag_executor(cfg, data, mesh, log_dir)
+        if args.mode == "train":
+            batches = rag_batches(data["train"],
+                                  tc.get("batch_size", 8),
+                                  seed=cfg.get("seed", 0))
+            steps = tc.get("total_steps", 100)
+            for i, batch in enumerate(batches):
+                if i >= steps:
+                    break
+                m = ex.train_step_rag(batch)
+                if (i + 1) % tc.get("log_every", 20) == 0:
+                    ex.logger.log({k: float(v) for k, v in m.items()},
+                                  int(ex.state.step), prefix="train/")
+            ex.save_checkpoint(os.path.join(log_dir, "ckpt"))
+            return 0
+        metrics = run_rag_eval(cfg, ex, data, log_dir,
+                               "test" if args.mode == "test" else "valid")
+        print(json.dumps(metrics, indent=2))
+        return 0
+
+    ex = build_executor(cfg, data, mesh, log_dir)
 
     if args.mode == "train":
         ckpt = tc.get("load_model_path")
