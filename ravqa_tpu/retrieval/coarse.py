@@ -79,16 +79,30 @@ def coarse_scores(q: jax.Array, summaries: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_candidates",
-                                             "coarse_query_len"))
+                                             "coarse_query_len",
+                                             "use_pallas_fine"))
 def two_stage_search(q: jax.Array, tokens: jax.Array, mask: jax.Array,
                      summaries: jax.Array, *, k: int,
                      n_candidates: int = 1024,
-                     coarse_query_len: Optional[int] = None):
+                     coarse_query_len: Optional[int] = None,
+                     use_pallas_fine: bool = False):
     """Returns (scores (B, k), rows (B, k)) — exact scores on the coarse
-    stage's top `n_candidates` docs."""
+    stage's top `n_candidates` docs.
+
+    use_pallas_fine: re-score candidates with the scalar-prefetch
+    gather+MaxSim Pallas kernel (TPU; pipelines the candidate-token DMAs)
+    instead of the per-query lax.map gather.
+    """
     b = q.shape[0]
     approx = coarse_scores(q, summaries, coarse_query_len)   # (B, N)
     _, cand = jax.lax.top_k(approx, n_candidates)            # (B, C)
+
+    if use_pallas_fine:
+        from ..ops.maxsim import maxsim_gather_pallas
+        sc = maxsim_gather_pallas(q, tokens, mask, cand)     # (B, C)
+        top_s, sel = jax.lax.top_k(sc, k)
+        rows = jnp.take_along_axis(cand, sel, axis=1)
+        return top_s, rows
 
     def fine_one(args):
         qi, cand_i = args
