@@ -136,8 +136,13 @@ class RagExecutor(BaseExecutor):
                                    jnp.asarray(batch["image_features"]))
             _, rows = self.searcher.search_device(q, k=n_docs)
             rows = np.asarray(rows)
-        doc_tokens = np.asarray(self.index.tokens, np.float32)[rows]
-        doc_masks = np.asarray(self.index.mask, np.float32)[rows]
+        # gather on device: fetching the whole index to host per step would
+        # move the entire KB over PCIe/tunnel every retrieve
+        rows_dev = jnp.asarray(rows)
+        doc_tokens = np.asarray(
+            jnp.take(self.index.tokens, rows_dev, axis=0), np.float32)
+        doc_masks = np.asarray(
+            jnp.take(self.index.mask, rows_dev, axis=0), np.float32)
         contents = [[self.passage_contents[self.index.pids[r]]
                      for r in row] for row in rows]
         return {"rows": rows, "doc_tokens": doc_tokens,

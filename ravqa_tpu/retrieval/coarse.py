@@ -101,9 +101,13 @@ def two_stage_search(q: jax.Array, tokens: jax.Array, mask: jax.Array,
         from ..ops.maxsim import maxsim_gather_pallas
         sc = maxsim_gather_pallas(q, tokens, mask, cand)     # (B, C)
         top_s, sel = jax.lax.top_k(sc, k)
-        rows = jnp.take_along_axis(cand, sel, axis=1)
-        return top_s, rows
+        return top_s, jnp.take_along_axis(cand, sel, axis=1)
 
+    # Per-query fine stage via lax.map: XLA fuses the gather + einsum + max
+    # per query without materializing the (B, C, Ld, Lq) tensor. Measured
+    # faster than the fully-vectorized batched einsum (whose HBM-resident
+    # f32 intermediate costs more bandwidth than the serialization saves):
+    # C=256: 3486 vs 3215 QPS; C=1024: 2664 vs 2001 QPS on v5e.
     def fine_one(args):
         qi, cand_i = args
         tok = jnp.take(tokens, cand_i, axis=0)               # (C, Ld, dim)

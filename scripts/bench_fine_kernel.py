@@ -33,13 +33,8 @@ summ = summarize_docs(index, mask, n_summary=8, iters=2).astype(dt)
 summ = jax.block_until_ready(summ)
 print("setup ok", flush=True)
 
-# correctness: pallas fine == map fine
 s1, r1 = two_stage_search(q, index, mask, summ, k=k, n_candidates=256)
-s2, r2 = two_stage_search(q, index, mask, summ, k=k, n_candidates=256,
-                          use_pallas_fine=True)
-print("rows equal:", bool((np.asarray(r1) == np.asarray(r2)).all()),
-      "| max score diff:",
-      float(np.abs(np.asarray(s1) - np.asarray(s2)).max()), flush=True)
+print("two-stage ok:", np.asarray(s1).shape, flush=True)
 
 
 def timeit(name, fn, args, iters=8):
@@ -61,12 +56,7 @@ def timeit(name, fn, args, iters=8):
 
 
 for C in (256, 1024):
-    timeit(f"map_fine_C{C}",
+    timeit(f"vec_fine_C{C}",
            lambda qq, idx, m, sm, C=C: two_stage_search(
                qq, idx, m, sm, k=k, n_candidates=C)[0],
-           (index, mask, summ))
-    timeit(f"pallas_fine_C{C}",
-           lambda qq, idx, m, sm, C=C: two_stage_search(
-               qq, idx, m, sm, k=k, n_candidates=C,
-               use_pallas_fine=True)[0],
            (index, mask, summ))
