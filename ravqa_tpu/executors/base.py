@@ -130,7 +130,12 @@ class BaseExecutor:
 
     def __init__(self, model, params, train_cfg: TrainConfig,
                  mesh: Optional[Mesh] = None, log_dir: Optional[str] = None,
-                 seed: int = 0, quiet: bool = False):
+                 seed: int = 0, quiet: bool = False,
+                 param_sharding: str = "replicated",
+                 fsdp_min_size: int = 2 ** 18):
+        """param_sharding: 'replicated' (DP) or 'fsdp' (shard each large
+        param's biggest divisible dim over the data axis — ZeRO-3-style;
+        XLA inserts the all-gathers)."""
         self.model = model
         self.train_cfg = train_cfg
         self.mesh = mesh
@@ -143,9 +148,22 @@ class BaseExecutor:
         self.state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                                 opt_state=self.tx.init(params), rng=rng)
         if mesh is not None:
-            # replicate state; batches are sharded on the data axis
-            rep = NamedSharding(mesh, P())
-            self.state = jax.device_put(self.state, rep)
+            if param_sharding == "fsdp":
+                from ..parallel import fsdp_sharding
+                pspec = fsdp_sharding(self.state.params, mesh,
+                                      axis="data", min_size=fsdp_min_size)
+                rep = NamedSharding(mesh, P())
+                self.state = TrainState(
+                    step=jax.device_put(self.state.step, rep),
+                    params=jax.tree.map(jax.device_put, self.state.params,
+                                        pspec),
+                    # optimizer moments shard like their params where the
+                    # tree structures line up; otherwise replicate
+                    opt_state=jax.device_put(self.state.opt_state, rep),
+                    rng=jax.device_put(self.state.rng, rep))
+            else:
+                rep = NamedSharding(mesh, P())
+                self.state = jax.device_put(self.state, rep)
         self._train_step = self._build_train_step()
 
     # -- to be overridden ---------------------------------------------------

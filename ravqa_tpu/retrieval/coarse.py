@@ -80,21 +80,30 @@ def coarse_scores(q: jax.Array, summaries: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=("k", "n_candidates",
                                              "coarse_query_len",
-                                             "use_pallas_fine"))
+                                             "use_pallas_fine",
+                                             "use_pallas_coarse"))
 def two_stage_search(q: jax.Array, tokens: jax.Array, mask: jax.Array,
                      summaries: jax.Array, *, k: int,
                      n_candidates: int = 1024,
                      coarse_query_len: Optional[int] = None,
-                     use_pallas_fine: bool = False):
+                     use_pallas_fine: bool = False,
+                     use_pallas_coarse: bool = False):
     """Returns (scores (B, k), rows (B, k)) — exact scores on the coarse
     stage's top `n_candidates` docs.
 
+    use_pallas_coarse: run the coarse summary sweep through the fused
+    Pallas MaxSim kernel (TPU) instead of the XLA einsum.
     use_pallas_fine: re-score candidates with the scalar-prefetch
-    gather+MaxSim Pallas kernel (TPU; pipelines the candidate-token DMAs)
-    instead of the per-query lax.map gather.
+    gather+MaxSim Pallas kernel (experimental, see ops.maxsim).
     """
     b = q.shape[0]
-    approx = coarse_scores(q, summaries, coarse_query_len)   # (B, N)
+    if use_pallas_coarse:
+        from ..ops.maxsim import maxsim_search_pallas
+        qc = q if coarse_query_len is None else q[:, :coarse_query_len]
+        ones = jnp.ones(summaries.shape[:2], jnp.float32)
+        approx = maxsim_search_pallas(qc, summaries, ones, tile_d=128)
+    else:
+        approx = coarse_scores(q, summaries, coarse_query_len)  # (B, N)
     _, cand = jax.lax.top_k(approx, n_candidates)            # (B, C)
 
     if use_pallas_fine:
