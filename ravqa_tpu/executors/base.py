@@ -225,13 +225,40 @@ class BaseExecutor:
         return last_metrics
 
     # -- checkpointing (replaces Lightning .ckpt + HF save, SURVEY §5) ------
-    def save_checkpoint(self, path: str):
+    def save_checkpoint(self, path: str, backend: str = "msgpack"):
+        """backend 'msgpack' (portable single file) or 'orbax' (sharded,
+        TPU-production standard; preserves device shardings)."""
+        if backend == "orbax":
+            import orbax.checkpoint as ocp
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(os.path.abspath(os.path.join(path, "orbax")),
+                       {"params": self.state.params,
+                        "step": jax.device_get(self.state.step)},
+                       force=True)
+            ckptr.wait_until_finished()
+            return
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "params.msgpack"), "wb") as f:
             f.write(flax.serialization.to_bytes(
                 jax.device_get(self.state.params)))
         with open(os.path.join(path, "step.json"), "w") as f:
             json.dump({"step": int(self.state.step)}, f)
+
+    def load_checkpoint_orbax(self, path: str):
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        target = {"params": jax.device_get(self.state.params),
+                  "step": jax.device_get(self.state.step)}
+        restored = ckptr.restore(
+            os.path.abspath(os.path.join(path, "orbax")), target)
+        self.state = TrainState(
+            step=jnp.asarray(restored["step"], jnp.int32),
+            params=restored["params"],
+            opt_state=self.tx.init(restored["params"]),
+            rng=self.state.rng)
+        if self.mesh is not None:
+            self.state = jax.device_put(
+                self.state, NamedSharding(self.mesh, P()))
 
     def load_checkpoint(self, path: str):
         with open(os.path.join(path, "params.msgpack"), "rb") as f:

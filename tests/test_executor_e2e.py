@@ -159,3 +159,17 @@ def test_checkpoint_roundtrip(tmp_path, world):
     for a, b in zip(l1, l2):
         np.testing.assert_array_equal(a, b)
     assert int(ex2.state.step) == 2
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, world):
+    cfg, model, params = make_model(world)
+    ex = FLMRExecutor(model, params, TrainConfig(lr=1e-3), quiet=True)
+    for batch in train_batches(world, 2):
+        ex.train_step(batch)
+    ex.save_checkpoint(str(tmp_path / "ock"), backend="orbax")
+    ex2 = FLMRExecutor(model, params, TrainConfig(lr=1e-3), quiet=True)
+    ex2.load_checkpoint_orbax(str(tmp_path / "ock"))
+    for a, b in zip(jax.tree.leaves(jax.device_get(ex.state.params)),
+                    jax.tree.leaves(jax.device_get(ex2.state.params))):
+        np.testing.assert_array_equal(a, b)
+    assert int(ex2.state.step) == 2
