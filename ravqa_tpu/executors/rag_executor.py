@@ -52,6 +52,7 @@ class RagConfig:
     gen_maxlen: int = 96
     label_maxlen: int = 8
     generator_type: str = "t5"            # "t5" | "blip2" (RAVQA-v2)
+    num_beams: int = 1                    # reference RAVQA-v2 uses 2
 
 
 class RagExecutor(BaseExecutor):
@@ -278,17 +279,40 @@ class RagExecutor(BaseExecutor):
             step_method, cache_method = T5Model.decode_step, \
                 T5Model.init_cache
 
-        def step(tok, cache):
-            return self.generator.apply({"params": gp}, tok, enc,
-                                        enc_mask, cache,
-                                        method=step_method)
-        cache = self.generator.apply({"params": gp}, b * n_docs,
-                                     cfg.max_decode_len,
-                                     method=cache_method)
-        toks, seq_lp = greedy_generate(
-            step, cache, batch=b * n_docs, max_len=cfg.max_decode_len,
-            start_id=gcfg.decoder_start_token_id, eos_id=gcfg.eos_token_id,
-            pad_id=gcfg.pad_token_id)
+        if cfg.num_beams > 1:
+            # beam search per (question, doc); beams ride the batch dim
+            from ..models.generation import beam_generate
+            nb = cfg.num_beams
+            enc_b = jnp.repeat(enc, nb, axis=0)
+            mask_b = jnp.repeat(enc_mask, nb, axis=0)
+
+            def step_b(tok, cache):
+                return self.generator.apply({"params": gp}, tok, enc_b,
+                                            mask_b, cache,
+                                            method=step_method)
+
+            def cache_fn(n):
+                return self.generator.apply({"params": gp}, n,
+                                            cfg.max_decode_len,
+                                            method=cache_method)
+            seqs, scores = beam_generate(
+                step_b, cache_fn, batch=b * n_docs, n_beams=nb,
+                max_len=cfg.max_decode_len,
+                start_id=gcfg.decoder_start_token_id,
+                eos_id=gcfg.eos_token_id, pad_id=gcfg.pad_token_id)
+            toks, seq_lp = seqs[:, 0], scores[:, 0]  # best beam
+        else:
+            def step(tok, cache):
+                return self.generator.apply({"params": gp}, tok, enc,
+                                            enc_mask, cache,
+                                            method=step_method)
+            cache = self.generator.apply({"params": gp}, b * n_docs,
+                                         cfg.max_decode_len,
+                                         method=cache_method)
+            toks, seq_lp = greedy_generate(
+                step, cache, batch=b * n_docs, max_len=cfg.max_decode_len,
+                start_id=gcfg.decoder_start_token_id,
+                eos_id=gcfg.eos_token_id, pad_id=gcfg.pad_token_id)
         toks = np.asarray(toks).reshape(b, n_docs, -1)
         seq_lp = np.asarray(seq_lp).reshape(b, n_docs)
         sel = select_answers_by_joint_score(doc_scores, seq_lp)

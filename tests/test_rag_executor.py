@@ -160,3 +160,19 @@ def test_rag_blip2_generator(rag_setup):
     assert np.isfinite(float(m["loss"]))
     out = ex.generate(batch)
     assert len(out["predictions"]) == 2
+
+
+def test_rag_beam_generation(rag_setup):
+    """num_beams=2 (the reference RAVQA-v2 setting) through generate()."""
+    world, retriever, rp, gen, gp, index, corpus = rag_setup
+    tok = world["tokenizer"]
+    ex = RagExecutor(
+        retriever, rp, gen, gp, gen_tokenizer=tok,
+        rag_cfg=RagConfig(n_docs=2, gen_maxlen=32, label_maxlen=4,
+                          max_decode_len=4, use_lora=False, num_beams=2),
+        train_cfg=TrainConfig(lr=1e-3),
+        index=index, passage_contents=corpus.contents, quiet=True)
+    batch = make_batch(world, [0, 1])
+    out = ex.generate(batch)
+    assert len(out["predictions"]) == 2
+    assert out["doc_scores"].shape == (2, 2)
