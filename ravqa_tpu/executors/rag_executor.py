@@ -20,8 +20,7 @@ rag_model_blip.py) redesigned for the host/device split:
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
