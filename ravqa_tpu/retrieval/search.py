@@ -16,6 +16,7 @@ doc's score here, which is equivalent to removing them.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
