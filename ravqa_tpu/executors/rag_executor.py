@@ -348,3 +348,20 @@ def load_static_retrieval_from_predictions(json_path: str,
                                                     -float(rank)))))
         out[str(p["question_id"])] = rows
     return out
+
+
+# -- index refresh during joint training (the reference re-encodes the
+#    corpus at validation time; live training makes the index stale) -------
+def refresh_index(executor: "RagExecutor", flmr_executor,
+                  doc_batches) -> None:
+    """Re-encode the corpus with the CURRENT retriever params and swap the
+    executor's index + searcher in place."""
+    flmr_executor.state = dataclasses.replace(
+        flmr_executor.state, params=executor.state.params["retriever"])
+    new_index = flmr_executor.build_index(list(doc_batches))
+    executor.index = new_index
+    if executor.searcher is not None:
+        executor.searcher = LateInteractionSearcher(
+            new_index, mesh=executor.mesh,
+            axis="data" if executor.mesh is not None else "index",
+            use_pallas=jax.default_backend() == "tpu")

@@ -82,3 +82,74 @@ def convert_preflmr_params(sd: dict, cfg: FLMRModelConfig) -> dict:
         params["query_encoder"] = convert_hf_bert_params(
             sd, cfg.bert, prefix="query_text_encoder.bert_model.")
     return params
+
+
+def export_flmr_to_hf_format(params: dict, cfg: FLMRModelConfig,
+                             save_dir: str) -> None:
+    """Reverse conversion: FLMRRetriever params -> the reference's HF
+    interchange layout (save_HF_model, FLMR_executor.py:1021-1032):
+    `pytorch_model.bin` holding bert.* + linear.weight, plus
+    `vision_projection.pt` (Tanh-MLP state dict) and optionally
+    `query_encoder_pytorch_model.bin`. Loadable by the reference (torch)."""
+    import os
+
+    import torch
+
+    def t(x):
+        return torch.tensor(np.asarray(x, np.float32))
+
+    def bert_to_sd(p: dict, cfg_bert) -> dict:
+        sd = {
+            "bert.embeddings.word_embeddings.weight":
+                t(p["word_embeddings"]["embedding"]),
+            "bert.embeddings.position_embeddings.weight":
+                t(p["position_embeddings"]["embedding"]),
+            "bert.embeddings.token_type_embeddings.weight":
+                t(p["token_type_embeddings"]["embedding"]),
+            "bert.embeddings.LayerNorm.weight": t(p["embeddings_ln"]["scale"]),
+            "bert.embeddings.LayerNorm.bias": t(p["embeddings_ln"]["bias"]),
+            "bert.pooler.dense.weight": t(p["pooler"]["kernel"]).T,
+            "bert.pooler.dense.bias": t(p["pooler"]["bias"]),
+        }
+        h = cfg_bert.hidden_size
+        for i in range(cfg_bert.num_layers):
+            lp = p["encoder"][f"layer_{i}"]
+            pre = f"bert.encoder.layer.{i}."
+            att = lp["attention"]
+            for name, key in (("query", "query"), ("key", "key"),
+                              ("value", "value")):
+                k = np.asarray(att[key]["kernel"]).reshape(h, -1)
+                b = np.asarray(att[key]["bias"]).reshape(-1)
+                sd[pre + f"attention.self.{name}.weight"] = t(k.T)
+                sd[pre + f"attention.self.{name}.bias"] = t(b)
+            ok = np.asarray(att["out"]["kernel"]).reshape(-1, h)
+            sd[pre + "attention.output.dense.weight"] = t(ok.T)
+            sd[pre + "attention.output.dense.bias"] = t(att["out"]["bias"])
+            sd[pre + "attention.output.LayerNorm.weight"] = \
+                t(lp["ln1"]["scale"])
+            sd[pre + "attention.output.LayerNorm.bias"] = t(lp["ln1"]["bias"])
+            sd[pre + "intermediate.dense.weight"] = \
+                t(lp["mlp"]["fc1"]["kernel"]).T
+            sd[pre + "intermediate.dense.bias"] = t(lp["mlp"]["fc1"]["bias"])
+            sd[pre + "output.dense.weight"] = t(lp["mlp"]["fc2"]["kernel"]).T
+            sd[pre + "output.dense.bias"] = t(lp["mlp"]["fc2"]["bias"])
+            sd[pre + "output.LayerNorm.weight"] = t(lp["ln2"]["scale"])
+            sd[pre + "output.LayerNorm.bias"] = t(lp["ln2"]["bias"])
+        return sd
+
+    os.makedirs(save_dir, exist_ok=True)
+    sd = bert_to_sd(params["doc_encoder"], cfg.bert)
+    sd["linear.weight"] = t(params["linear"]["kernel"]).T
+    torch.save(sd, os.path.join(save_dir, "pytorch_model.bin"))
+    if "vision_projection" in params:
+        mlp = params["vision_projection"]["mlp"]
+        vp = {}
+        for layer, torch_idx in (("dense_0", 0), ("dense_1", 2)):
+            if layer in mlp:
+                vp[f"model.{torch_idx}.weight"] = t(mlp[layer]["kernel"]).T
+                vp[f"model.{torch_idx}.bias"] = t(mlp[layer]["bias"])
+        torch.save(vp, os.path.join(save_dir, "vision_projection.pt"))
+    if "query_encoder" in params:
+        qsd = bert_to_sd(params["query_encoder"], cfg.bert)
+        torch.save(qsd, os.path.join(save_dir,
+                                     "query_encoder_pytorch_model.bin"))

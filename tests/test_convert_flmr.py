@@ -95,3 +95,26 @@ def test_separate_question_encoder_conversion(torch_world):
     a = jax.tree.leaves(params["query_encoder"])[0]
     b = jax.tree.leaves(params["doc_encoder"])[0]
     np.testing.assert_array_equal(a, b)  # falls back to shared weights
+
+
+def test_export_roundtrip(tmp_path, torch_world):
+    """Export our params to the HF format and re-import: identity."""
+    import torch
+    from ravqa_tpu.models.convert_flmr import export_flmr_to_hf_format
+    _, _, _, sd, vp_sd, (dim, vdim, prefix) = torch_world
+    cfg = FLMRModelConfig(
+        bert=BertConfig(vocab_size=128, hidden_size=32, num_layers=2,
+                        num_heads=4, intermediate_size=64,
+                        max_position_embeddings=64),
+        dim=dim, vision_dim=vdim, prefix_len=prefix)
+    params = convert_hf_flmr_params(sd, cfg, vision_projection_sd=vp_sd)
+    export_flmr_to_hf_format(params, cfg, str(tmp_path / "hf"))
+    sd2 = torch.load(tmp_path / "hf" / "pytorch_model.bin",
+                     weights_only=True)
+    vp2 = torch.load(tmp_path / "hf" / "vision_projection.pt",
+                     weights_only=True)
+    params2 = convert_hf_flmr_params(sd2, cfg, vision_projection_sd=vp2)
+    import jax
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)

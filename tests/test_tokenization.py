@@ -88,3 +88,14 @@ class TestColbertTokenizers:
         # pads stay [PAD] (no mask augmentation for docs)
         assert (ids[1, mask[1] == 0] == base.pad_token_id).all()
         assert mask[1].sum() < 16
+
+
+def test_cjk_isolation_multilingual():
+    """CJK chars isolate into single tokens (ENCN multilingual support)."""
+    vocab = make_tiny_vocab(["what"])
+    vocab["猫"] = len(vocab)
+    vocab["狗"] = len(vocab)
+    tok = WordPieceTokenizer(vocab)
+    assert tok.tokenize("what猫狗what") == ["what", "猫", "狗", "what"]
+    # unknown CJK char -> [UNK], not merged into neighbors
+    assert tok.tokenize("猫犬") == ["猫", "[UNK]"]
