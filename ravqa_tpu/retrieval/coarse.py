@@ -87,7 +87,8 @@ def two_stage_search(q: jax.Array, tokens: jax.Array, mask: jax.Array,
                      n_candidates: int = 1024,
                      coarse_query_len: Optional[int] = None,
                      use_pallas_fine: bool = False,
-                     use_pallas_coarse: bool = False):
+                     use_pallas_coarse: bool = False,
+                     scales: Optional[jax.Array] = None):
     """Returns (scores (B, k), rows (B, k)) — exact scores on the coarse
     stage's top `n_candidates` docs.
 
@@ -95,6 +96,9 @@ def two_stage_search(q: jax.Array, tokens: jax.Array, mask: jax.Array,
     Pallas MaxSim kernel (TPU) instead of the XLA einsum.
     use_pallas_fine: re-score candidates with the scalar-prefetch
     gather+MaxSim Pallas kernel (experimental, see ops.maxsim).
+    scales: per-token f32 scales when `tokens` is an int8-quantized index
+    (ops.quant.quantize_index_int8) — dequantization happens inside the
+    fine stage, so a 1M-passage index fits one chip's HBM.
     """
     b = q.shape[0]
     if use_pallas_coarse:
@@ -123,6 +127,9 @@ def two_stage_search(q: jax.Array, tokens: jax.Array, mask: jax.Array,
         msk = jnp.take(mask, cand_i, axis=0)
         s = jnp.einsum("cld,qd->clq", tok.astype(jnp.float32), qi,
                        preferred_element_type=jnp.float32)
+        if scales is not None:                               # int8 index
+            scl = jnp.take(scales, cand_i, axis=0)           # (C, Ld)
+            s = s * scl[:, :, None]
         s = jnp.where(msk.astype(bool)[:, :, None], s, NEG_INF)
         sc = jnp.sum(jnp.max(s, axis=1), axis=-1)            # (C,)
         top_s, top_i = jax.lax.top_k(sc, k)

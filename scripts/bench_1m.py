@@ -1,0 +1,124 @@
+"""1M-passage late-interaction retrieval on ONE v5e chip.
+
+The BASELINE north-star targets a 1M-passage index on v5e-8; this fits it on
+a single chip: int8-quantized token index (1M x 64 tokens x 128 dim = 8 GiB)
++ bf16 summary vectors (1M x 8 x 128 = 2 GiB), searched two-stage with
+in-fine-stage dequantization.
+
+HBM discipline: the index is assembled slab-by-slab into preallocated
+buffers with donated dynamic_update_slice (no concat copies, no full-index
+bf16 intermediate ever materializes).
+
+Run: python scripts/bench_1m.py
+"""
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from ravqa_tpu.retrieval.coarse import summarize_docs, two_stage_search
+
+N, LD, DIM = 1_000_448, 64, 128      # ~1M docs
+B, LQ, K = 32, 32, 10
+N_TOPICS = 8192
+SLAB = 62_528                        # N / 16
+dt = jnp.bfloat16
+
+
+@jax.jit
+def make_topics(key):
+    t = jax.random.normal(key, (N_TOPICS, DIM), dt)
+    return t * jax.lax.rsqrt(jnp.sum(t.astype(jnp.float32) ** 2, -1,
+                                     keepdims=True) + 1e-9).astype(dt)
+
+
+@jax.jit
+def build_index(key):
+    """Whole index in ONE program (slabbed fori_loop) — avoids the HBM
+    fragmentation a host loop of donated updates leaves behind."""
+    topics = make_topics(key)
+
+    def body(i, carry):
+        idx8, scl, smm = carry
+        ka, kn = jax.random.split(jax.random.fold_in(key, i))
+        assign = jax.random.randint(ka, (SLAB,), 0, N_TOPICS)
+        t = topics[assign][:, None, :] + (0.3 * jax.random.normal(
+            kn, (SLAB, LD, DIM), dt)).astype(dt)
+        sq = jnp.sum(t.astype(jnp.float32) ** 2, -1, keepdims=True)
+        tn = (t * jax.lax.rsqrt(sq + 1e-9).astype(dt)).astype(dt)
+        t32 = tn.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(t32), -1)
+        sc = jnp.maximum(absmax, 1e-8) / 127.0
+        q8 = jnp.round(t32 / sc[..., None]).astype(jnp.int8)
+        sm = summarize_docs(tn, jnp.ones((SLAB, LD), jnp.int8),
+                            n_summary=8, iters=2).astype(dt)
+        start = i * SLAB
+        idx8 = jax.lax.dynamic_update_slice(idx8, q8, (start, 0, 0))
+        scl = jax.lax.dynamic_update_slice(scl, sc.astype(jnp.float32),
+                                           (start, 0))
+        smm = jax.lax.dynamic_update_slice(smm, sm, (start, 0, 0))
+        return idx8, scl, smm
+
+    init = (jnp.zeros((N, LD, DIM), jnp.int8),
+            jnp.zeros((N, LD), jnp.float32),
+            jnp.zeros((N, 8, DIM), dt))
+    return jax.lax.fori_loop(0, N // SLAB, body, init)
+
+
+t0 = time.time()
+index8, scales, summ = build_index(jax.random.PRNGKey(7))
+index8 = jax.block_until_ready(index8)
+mask = jnp.ones((N, LD), jnp.int8)
+print(f"1M index built: int8 {index8.size / 2**30:.1f} GiB + summaries "
+      f"{summ.size * 2 / 2**30:.1f} GiB in {time.time() - t0:.0f}s",
+      flush=True)
+
+
+@jax.jit
+def make_queries(key, index8, scales):
+    ki, kn = jax.random.split(key)
+    qidx = jax.random.randint(ki, (B,), 0, N)
+    base = index8[qidx, :LQ].astype(jnp.float32) * scales[qidx, :LQ, None]
+    qt = base + 0.1 * jax.random.normal(kn, (B, LQ, DIM))
+    qt = qt * jax.lax.rsqrt(jnp.sum(qt ** 2, -1, keepdims=True) + 1e-9)
+    return qt.astype(dt), qidx
+
+
+q, qidx = make_queries(jax.random.PRNGKey(1), index8, scales)
+# XLA coarse would materialize an (N, S, B*Lq) f32 intermediate (~33 GiB
+# at 1M docs); the fused Pallas coarse kernel keeps it in VMEM.
+s, rows = two_stage_search(q, index8, mask, summ, k=K, n_candidates=1024,
+                           scales=scales, use_pallas_coarse=True)
+rows = np.asarray(rows)
+top1 = float(np.mean(rows[:, 0] == np.asarray(qidx)))
+print(f"self-retrieval top-1 (noisy query -> its own doc among 1M): "
+      f"{top1:.2f}", flush=True)
+
+
+def timeit(name, n_candidates, iters=8):
+    @jax.jit
+    def run(q, idx, m, sm, sc):
+        def body(qq, _):
+            s, _ = two_stage_search(qq, idx, m, sm, k=K,
+                                    n_candidates=n_candidates, scales=sc,
+                                    use_pallas_coarse=True)
+            return qq + (s[:, 0] * 1e-9).astype(qq.dtype)[:, None, None], ()
+        qq, _ = jax.lax.scan(body, q, None, length=iters)
+        return qq[:1, :1, :1]
+    _ = np.asarray(run(q, index8, mask, summ, scales))
+    t0 = time.perf_counter()
+    _ = np.asarray(run(q, index8, mask, summ, scales))
+    dt_s = time.perf_counter() - t0
+    print(f"{name}: {B * iters / dt_s:.0f} QPS/chip "
+          f"({dt_s / iters * 1e3:.2f} ms/batch)", flush=True)
+
+
+timeit("two_stage_1M_int8_C1024", 1024)
+timeit("two_stage_1M_int8_C256", 256)
