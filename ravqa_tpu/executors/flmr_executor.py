@@ -100,6 +100,8 @@ class FLMRExecutor(BaseExecutor):
         pos_item_ids: Optional[Sequence[Sequence]] = None,
         ks: Sequence[int] = (5, 10),
         index: Optional[TokenIndex] = None,
+        search_mode: str = "exact",
+        n_candidates: int = 1024,
     ) -> dict:
         """Full reference eval loop (evaluate_outputs, FLMR_executor:722-973).
 
@@ -110,10 +112,15 @@ class FLMRExecutor(BaseExecutor):
         if index is None:
             index = self.build_index(doc_batches, pids=np.arange(
                 len(passage_ids)))
+        if search_mode == "two_stage" and index.summaries is None:
+            index.build_summaries(mesh=self.mesh,
+                                  axis="data" if self.mesh is not None
+                                  else "index")
         searcher = LateInteractionSearcher(
             index, mesh=self.mesh,
             axis="data" if self.mesh is not None else "index",
-            use_pallas=jax.default_backend() == "tpu")
+            use_pallas=jax.default_backend() == "tpu",
+            mode=search_mode, n_candidates=n_candidates)
         q = self.encode_queries(query_batches)
         k = max(ks)
         _, rows = searcher.search(q, k=min(k, index.num_docs))

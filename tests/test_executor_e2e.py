@@ -173,3 +173,19 @@ def test_orbax_checkpoint_roundtrip(tmp_path, world):
                     jax.tree.leaves(jax.device_get(ex2.state.params))):
         np.testing.assert_array_equal(a, b)
     assert int(ex2.state.step) == 2
+
+
+def test_evaluate_retrieval_two_stage(world):
+    cfg, model, params = make_model(world)
+    ex = FLMRExecutor(model, params, TrainConfig(lr=1e-3), quiet=True)
+    qi, qm = world.qt.tensorize(world.queries)
+    di, dm = world.dt.tensorize(world.passages)
+    m = ex.evaluate_retrieval(
+        [dict(query_input_ids=jnp.array(qi),
+              query_attention_mask=jnp.array(qm),
+              image_features=jnp.array(world.image_feats))],
+        [dict(doc_input_ids=jnp.array(di), doc_attention_mask=jnp.array(dm))],
+        passage_ids=[f"GS_{i}" for i in range(world.n_docs)],
+        pos_item_ids=[[f"GS_{i}"] for i in range(world.n_docs)],
+        ks=[1, 5], search_mode="two_stage", n_candidates=16)
+    assert "pos_item_ids_recall_at_5" in m
