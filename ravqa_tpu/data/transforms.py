@@ -88,6 +88,8 @@ class LoadOKVQAData(BaseTransform):
                     "question_type": a.get("question_type", ""),
                     "answer_type": a.get("answer_type", ""),
                 })
+            if getattr(self, "use_dummy_data", False):
+                items = items[:20]   # reference --use_dummy_data truncation
             out[split] = items
         return out
 

@@ -31,6 +31,9 @@ def parse_args(argv=None):
     p.add_argument("--experiment_name", default="default")
     p.add_argument("--log_dir", default="experiments")
     p.add_argument("--opts", nargs="*", default=[])
+    p.add_argument("--modules", nargs="*", default=[],
+                   help="extra model_config.modules flags (reference "
+                        "--modules)")
     p.add_argument("--use_dummy_data", action="store_true")
     p.add_argument("--num_devices", type=int, default=0,
                    help="force a CPU mesh of this size (testing)")
@@ -214,6 +217,9 @@ def run_eval(cfg, ex, data, log_dir: str, split: str = "valid"):
 def main(argv=None):
     args = parse_args(argv)
     cfg = apply_overrides(load_config(args.config), args.opts)
+    if args.modules:
+        cfg.model_config.modules = list(cfg.model_config.get("modules", [])) \
+            + list(args.modules)
     if args.use_dummy_data:
         for node in cfg.data_pipeline.values():
             if isinstance(node, dict) and "setup_kwargs" in node:
