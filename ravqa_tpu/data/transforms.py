@@ -196,8 +196,10 @@ class PrepareDataloaders(BaseTransform):
         base = WordPieceTokenizer(
             vocab_path if vocab_path else
             make_tiny_vocab(SyntheticOKVQA.WORDS))
-        qt = QueryTokenizer(base, query_maxlen=getattr(self, "query_maxlen",
-                                                       32))
+        qt = QueryTokenizer(base,
+                            query_maxlen=getattr(self, "query_maxlen", 32),
+                            attend_to_mask_tokens=getattr(
+                                self, "attend_to_mask_tokens", False))
         dt = DocTokenizer(base, doc_maxlen=getattr(self, "doc_maxlen", 220))
         corpus = data["passages"]["full_passages"]
         train_corpus = data["passages"].get("train_passages", corpus)

@@ -65,6 +65,10 @@ def build_executor(cfg: Config, data, mesh, log_dir: str, quiet=False):
         separate_question_encoder="separate_question_encoder"
         in mc.get("modules", []),
         query_mode=mc.get("query_mode", "text+vision"),
+        interaction=mc.get("interaction", "colbert"),
+        flipr_query_part_len=mc.get("flipr_query_part_len", 0),
+        flipr_k1=mc.get("flipr_k1", 0),
+        flipr_k2=mc.get("flipr_k2", 0),
     )
     model = FLMRRetriever(model_cfg)
 
