@@ -58,8 +58,21 @@ class DataPipeline:
 
     def _cache_key(self, name: str) -> str:
         spec = self.config[name]
+
+        def stable(v):
+            # callables/objects repr with memory addresses -> key by type
+            # name so the cache key is stable across processes
+            if callable(v) or " object at 0x" in repr(v):
+                return f"<{type(v).__name__}>"
+            if isinstance(v, dict):
+                return {k: stable(x) for k, x in sorted(v.items())}
+            if isinstance(v, (list, tuple)):
+                return [stable(x) for x in v]
+            return v
+
         payload = repr((name, spec.get("transform_name"),
-                        sorted(spec.get("setup_kwargs", {}).items()),
+                        sorted((k, stable(v)) for k, v in
+                               spec.get("setup_kwargs", {}).items()),
                         [self._cache_key(i) for i in self._node_inputs(name)]))
         return hashlib.sha1(payload.encode()).hexdigest()[:16]
 

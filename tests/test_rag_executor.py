@@ -176,3 +176,28 @@ def test_rag_beam_generation(rag_setup):
     out = ex.generate(batch)
     assert len(out["predictions"]) == 2
     assert out["doc_scores"].shape == (2, 2)
+
+
+def test_rag_training_on_mesh(rag_setup):
+    """RAG joint training data-parallel over the 8-device mesh."""
+    from ravqa_tpu.parallel import make_mesh
+    world, retriever, rp, gen, gp, index, corpus = rag_setup
+    tok = world["tokenizer"]
+    mesh = make_mesh({"data": 8})
+    # re-shard the index over the mesh for the collective searcher
+    from ravqa_tpu.retrieval import build_index_from_embeddings
+    import numpy as _np
+    toks = _np.asarray(index.tokens, _np.float32)[:index.num_docs]
+    msk = _np.asarray(index.mask, _np.int8)[:index.num_docs]
+    idx_m = build_index_from_embeddings(toks, msk, pad_multiple=8,
+                                        dtype=jnp.float32, mesh=mesh,
+                                        axis="data")
+    ex = RagExecutor(
+        retriever, rp, gen, gp, gen_tokenizer=tok,
+        rag_cfg=RagConfig(n_docs=2, gen_maxlen=32, label_maxlen=4,
+                          max_decode_len=3, use_lora=False),
+        train_cfg=TrainConfig(lr=1e-3), mesh=mesh,
+        index=idx_m, passage_contents=corpus.contents, quiet=True)
+    batch = make_batch(world, [0, 1, 2, 3, 4, 5, 6, 7])
+    m = ex.train_step_rag(batch)
+    assert np.isfinite(float(m["loss"]))
