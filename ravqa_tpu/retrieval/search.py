@@ -38,6 +38,13 @@ def shard_map(f, mesh, in_specs, out_specs):
 
 def _local_scores(q, tokens, mask, scales, use_pallas: bool, tile_d: int):
     if scales is not None:
+        if use_pallas:
+            # fused int8 kernel: no (N, Ld, B, Lq) HBM intermediate
+            from ..ops.quant import (maxsim_search_int8_pallas,
+                                     quantize_queries_int8)
+            q8, qs = quantize_queries_int8(q.astype(jnp.float32))
+            return maxsim_search_int8_pallas(q8, qs, tokens, scales,
+                                             tile_d=tile_d)
         return maxsim_search_int8_xla(q, tokens, scales, mask)
     if use_pallas:
         return maxsim_search_pallas(q, tokens, mask, tile_d=tile_d)
@@ -127,8 +134,7 @@ class LateInteractionSearcher:
         self.mesh = mesh
         self.axis = axis
         if use_pallas is None:
-            use_pallas = (jax.default_backend() == "tpu"
-                          and index.scales is None)
+            use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
         self.tile_d = tile_d
         self.mode = mode
