@@ -133,3 +133,45 @@ class Triples:
                            np.array(scores, np.float32).reshape(
                                bsize, nway) if has_scores else None}
             epoch += 1
+
+
+def docs_to_passages(docs: Sequence[str], max_words: int = 180,
+                     overlap: int = 0) -> list[str]:
+    """Split long documents into word-window passages (reference
+    utility/preprocess/docs2passages.py semantics: fixed word windows)."""
+    out = []
+    step = max(max_words - overlap, 1)
+    for doc in docs:
+        words = doc.split()
+        if not words:
+            continue
+        for s in range(0, len(words), step):
+            chunk = words[s:s + max_words]
+            if chunk:
+                out.append(" ".join(chunk))
+            if s + max_words >= len(words):
+                break
+    return out
+
+
+def create_triples_from_ranking(retrieved_ids: Sequence[Sequence],
+                                pos_item_ids: Sequence[Sequence],
+                                query_ids: Sequence,
+                                n_negatives: int = 1,
+                                seed: int = 0) -> list:
+    """Build training triples [qid, pos, neg...] from a ranking: positives
+    from the annotations, negatives sampled from retrieved non-positives
+    (reference utility/supervision/triples.py semantics)."""
+    rng = np.random.default_rng(seed)
+    triples = []
+    for qid, row, pos in zip(query_ids, retrieved_ids, pos_item_ids):
+        pos_set = set(pos)
+        negs = [r for r in row if r not in pos_set]
+        if not pos or not negs:
+            continue
+        chosen_pos = pos[int(rng.integers(len(pos)))]
+        chosen_negs = list(rng.choice(negs,
+                                      size=min(n_negatives, len(negs)),
+                                      replace=False))
+        triples.append([qid, chosen_pos] + chosen_negs)
+    return triples

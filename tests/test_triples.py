@@ -62,3 +62,24 @@ def test_triples_training_with_distillation(tmp_path):
         losses.append(float(m["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_docs_to_passages():
+    from ravqa_tpu.data.colbert_data import docs_to_passages
+    doc = " ".join(f"w{i}" for i in range(10))
+    out = docs_to_passages([doc], max_words=4)
+    assert out == ["w0 w1 w2 w3", "w4 w5 w6 w7", "w8 w9"]
+    out2 = docs_to_passages([doc], max_words=4, overlap=2)
+    assert out2[0] == "w0 w1 w2 w3" and out2[1] == "w2 w3 w4 w5"
+
+
+def test_create_triples_from_ranking():
+    from ravqa_tpu.data.colbert_data import create_triples_from_ranking
+    tr = create_triples_from_ranking(
+        retrieved_ids=[["a", "b", "c"], ["x", "y"]],
+        pos_item_ids=[["b"], []],
+        query_ids=["q1", "q2"], n_negatives=2)
+    assert len(tr) == 1
+    qid, pos, *negs = tr[0]
+    assert qid == "q1" and pos == "b"
+    assert set(negs) <= {"a", "c"} and len(negs) == 2
