@@ -1,0 +1,58 @@
+"""CLI end-to-end: train + test modes for FLMR and RAG on synthetic configs
+(the reference's `python src/main.py --config ... --mode train/test`)."""
+
+import json
+import os
+
+import pytest
+
+from ravqa_tpu.main import main
+
+CFG_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "configs")
+
+
+@pytest.fixture()
+def log_dir(tmp_path):
+    return str(tmp_path / "exp")
+
+
+def test_cli_flmr_train_then_test(log_dir):
+    assert main(["--config", os.path.join(CFG_DIR, "synthetic_flmr.json"),
+                 "--mode", "train", "--experiment_name", "t",
+                 "--log_dir", log_dir,
+                 "--opts", "train.total_steps=6", "train.log_every=3",
+                 "train.batch_size=4"]) == 0
+    assert os.path.exists(os.path.join(log_dir, "t", "ckpt",
+                                       "params.msgpack"))
+    assert main(["--config", os.path.join(CFG_DIR, "synthetic_flmr.json"),
+                 "--mode", "test", "--experiment_name", "t",
+                 "--log_dir", log_dir]) == 0
+    metrics = json.load(open(os.path.join(log_dir, "t",
+                                          "test_metrics.json")))
+    assert "pos_item_ids_recall_at_5" in metrics
+    preds = json.load(open(os.path.join(log_dir, "t",
+                                        "test_predictions.json")))
+    assert preds and "top_ranking_passages" in preds[0]
+
+
+def test_cli_rag_train_then_test(log_dir):
+    assert main(["--config", os.path.join(CFG_DIR, "synthetic_rag.json"),
+                 "--mode", "train", "--experiment_name", "r",
+                 "--log_dir", log_dir,
+                 "--opts", "train.total_steps=2", "train.log_every=2",
+                 "train.batch_size=4"]) == 0
+    assert main(["--config", os.path.join(CFG_DIR, "synthetic_rag.json"),
+                 "--mode", "test", "--experiment_name", "r",
+                 "--log_dir", log_dir,
+                 "--opts", "train.batch_size=4"]) == 0
+    metrics = json.load(open(os.path.join(log_dir, "r",
+                                          "test_rag_metrics.json")))
+    assert "vqa_accuracy" in metrics and "exact_match" in metrics
+
+
+def test_cli_prepare_data(log_dir, capsys):
+    assert main(["--config", os.path.join(CFG_DIR, "synthetic_flmr.json"),
+                 "--mode", "prepare_data", "--experiment_name", "p",
+                 "--log_dir", log_dir]) == 0
+    assert "prepare_data done" in capsys.readouterr().out
