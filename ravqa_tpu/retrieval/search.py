@@ -100,6 +100,16 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                 n_candidates=c_local)
         return _merge(q, s, i)
 
+    def _local_two_stage_int8(q, tok, msk, summ, scl):
+        s, i = two_stage_search(q, tok, msk, summ, k=k_local,
+                                n_candidates=c_local, scales=scl)
+        return _merge(q, s, i)
+
+    if two_stage and quantized:
+        f = shard_map(_local_two_stage_int8, mesh,
+                      in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+                      out_specs=(P(), P()))
+        return jax.jit(f)
     if two_stage:
         f = shard_map(_local_two_stage, mesh,
                       in_specs=(P(), P(axis), P(axis), P(axis)),
@@ -164,14 +174,15 @@ class LateInteractionSearcher:
             args = (q, idx.tokens, idx.mask)
             if self.mode == "two_stage":
                 args += (idx.summaries,)
-            elif idx.scales is not None:
+            if idx.scales is not None:
                 args += (idx.scales,)
             return fn(*args)
         if self.mode == "two_stage":
             from .coarse import two_stage_search
             return two_stage_search(
                 q, idx.tokens, idx.mask, idx.summaries, k=k,
-                n_candidates=min(self.n_candidates, idx.n_pad))
+                n_candidates=min(self.n_candidates, idx.n_pad),
+                scales=idx.scales)
         return search_single_device(
             q, idx.tokens, idx.mask, idx.scales, k=k,
             use_pallas=self.use_pallas, tile_d=self.tile_d)

@@ -112,3 +112,31 @@ def test_searcher_two_stage_modes():
                                  n_candidates=64, use_pallas=False)
     scores2, pids2 = s2.search(q, k=5)
     assert (pids2[:, 0] == qidx).all()
+
+
+def test_searcher_two_stage_int8_sharded():
+    """Sharded two-stage over an int8-quantized index (1M-scale recipe)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from ravqa_tpu.ops.quant import quantize_index_int8
+    from ravqa_tpu.retrieval import (LateInteractionSearcher, TokenIndex,
+                                     build_index_from_embeddings)
+    rng = np.random.default_rng(6)
+    toks, mask, _, _ = make_clustered_corpus(rng, n_docs=128, ld=16, dim=32)
+    qidx = rng.integers(128, size=4)
+    q = normed(toks[qidx, :8] + 0.05 * rng.normal(size=(4, 8, 32))).astype(
+        np.float32)
+    mesh = Mesh(np.array(jax.devices()), ("index",))
+    idx = build_index_from_embeddings(toks, mask, pad_multiple=8,
+                                      dtype=jnp.float32, mesh=mesh)
+    idx.build_summaries(n_summary=4, iters=4, mesh=mesh)
+    q8, scales = quantize_index_int8(idx.tokens, idx.mask.astype(jnp.float32))
+    sh = NamedSharding(mesh, P("index"))
+    idx_q = TokenIndex(tokens=jax.device_put(q8, sh), mask=idx.mask,
+                       pids=idx.pids, num_docs=idx.num_docs,
+                       scales=jax.device_put(scales, sh),
+                       summaries=idx.summaries)
+    s = LateInteractionSearcher(idx_q, mesh=mesh, mode="two_stage",
+                                n_candidates=64, use_pallas=False)
+    scores, pids = s.search(q, k=5)
+    assert (pids[:, 0] == qidx).all()
