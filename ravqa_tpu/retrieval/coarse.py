@@ -137,3 +137,123 @@ def two_stage_search(q: jax.Array, tokens: jax.Array, mask: jax.Array,
 
     scores, rows = jax.lax.map(fine_one, (q.astype(jnp.float32), cand))
     return scores, rows
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (3-stage) search for very large corpora (Infoseek scale)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("block_size", "n_block_summary",
+                                             "iters"))
+def block_summaries(summaries: jax.Array, block_size: int = 64,
+                    n_block_summary: int = 4, iters: int = 4) -> jax.Array:
+    """Second summary level: k-means over each BLOCK of docs' summary
+    vectors. summaries (N, S, dim) with N % block_size == 0 ->
+    (N/block_size, n_block_summary, dim)."""
+    n, s, d = summaries.shape
+    blocks = summaries.reshape(n // block_size, block_size * s, d)
+    ones = jnp.ones(blocks.shape[:2], jnp.int8)
+    return summarize_docs(blocks, ones, n_summary=n_block_summary,
+                          iters=iters)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_blocks", "n_candidates",
+                                             "block_size"))
+def hierarchical_search(q: jax.Array, tokens: jax.Array, mask: jax.Array,
+                        summaries: jax.Array, block_summ: jax.Array, *,
+                        k: int, n_blocks: int = 1024,
+                        n_candidates: int = 1024, block_size: int = 64,
+                        scales: Optional[jax.Array] = None):
+    """3-stage search: block summaries -> doc summaries -> exact MaxSim.
+
+    Cuts the dominant coarse matmul by ~block_size/n_blocks-fold vs
+    two_stage_search at very large N: stage-0 scores N/block_size block
+    summaries densely; stage-1 scores only the top-n_blocks blocks' doc
+    summaries (gathered); stage-2 re-scores top n_candidates docs exactly
+    (int8 scales supported). Returns (scores (B, k), rows (B, k)).
+    """
+    n, s, d = summaries.shape
+    nb = n // block_size
+    summ_blocks = summaries.reshape(nb, block_size, s, d)
+
+    # stage 0: dense over block summaries (small)
+    s0 = coarse_scores(q, block_summ)                 # (B, nb)
+    _, blk = jax.lax.top_k(s0, n_blocks)              # (B, n_blocks)
+
+    ld = tokens.shape[1]
+
+    def per_q(args):
+        qi, blk_i = args                              # (Lq, d), (n_blocks,)
+        # stage 1: doc summaries of the selected blocks
+        sg = jnp.take(summ_blocks, blk_i, axis=0)     # (n_blocks, bs, S, d)
+        s1 = jnp.einsum("nbsd,qd->nbsq", sg.astype(jnp.float32), qi,
+                        preferred_element_type=jnp.float32)
+        per_tok = jnp.max(s1, axis=2)                 # (n_blocks, bs, Lq)
+        approx = jnp.sum(per_tok, axis=-1).reshape(-1)  # (n_blocks*bs,)
+        _, loc = jax.lax.top_k(approx, n_candidates)
+        doc_ids = blk_i[loc // block_size] * block_size \
+            + (loc % block_size)                      # (n_candidates,)
+        # stage 2: exact on gathered tokens
+        tok = jnp.take(tokens, doc_ids, axis=0)       # (C, Ld, dim)
+        msk = jnp.take(mask, doc_ids, axis=0)
+        s2 = jnp.einsum("cld,qd->clq", tok.astype(jnp.float32), qi,
+                        preferred_element_type=jnp.float32)
+        if scales is not None:
+            scl = jnp.take(scales, doc_ids, axis=0)
+            s2 = s2 * scl[:, :, None]
+        s2 = jnp.where(msk.astype(bool)[:, :, None], s2, NEG_INF)
+        sc = jnp.sum(jnp.max(s2, axis=1), axis=-1)
+        top_s, top_i = jax.lax.top_k(sc, k)
+        return top_s, jnp.take(doc_ids, top_i)
+
+    scores, rows = jax.lax.map(per_q, (q.astype(jnp.float32), cand_q(q, blk)))
+    return scores, rows
+
+
+def cand_q(q, blk):
+    # helper to keep lax.map's pytree simple
+    return blk
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "iters",
+                                             "chunk"))
+def cluster_order(summaries: jax.Array, n_clusters: int = 1024,
+                  iters: int = 4, chunk: int = 65536) -> jax.Array:
+    """Doc ordering that makes hierarchical_search's blocks coherent:
+    global spherical k-means over per-doc mean-summary vectors, then sort
+    docs by cluster id. Returns the permutation (apply it to tokens/mask/
+    scales/summaries before block_summaries).
+
+    Assignment is chunked (lax.map over slabs) so the (N, n_clusters) score
+    matrix never fully materializes at 1M+ docs.
+    """
+    n, s, d = summaries.shape
+    doc_vec = jnp.mean(summaries.astype(jnp.float32), axis=1)
+    doc_vec = doc_vec * jax.lax.rsqrt(
+        jnp.sum(doc_vec ** 2, -1, keepdims=True) + 1e-9)
+    pad = (-n) % chunk
+    dv = jnp.pad(doc_vec, ((0, pad), (0, 0)))
+    slabs = dv.reshape(-1, chunk, d)
+
+    stride = max(n // n_clusters, 1)
+    cent = doc_vec[::stride][:n_clusters]
+
+    def assign_slab(c):
+        def one(sl):
+            return jnp.argmax(sl @ c.T, axis=-1)
+        return jax.lax.map(one, slabs).reshape(-1)[:n]
+
+    def step(c, _):
+        a = assign_slab(c)
+        onehot_sum = jnp.zeros((n_clusters, d), jnp.float32)
+        cnt = jnp.zeros((n_clusters,), jnp.float32)
+        onehot_sum = onehot_sum.at[a].add(doc_vec)
+        cnt = cnt.at[a].add(1.0)
+        new = jnp.where(cnt[:, None] > 0, onehot_sum, c)
+        new = new * jax.lax.rsqrt(jnp.sum(new ** 2, -1,
+                                          keepdims=True) + 1e-9)
+        return new, ()
+
+    cent, _ = jax.lax.scan(step, cent, None, length=iters)
+    assign = assign_slab(cent)
+    return jnp.argsort(assign)

@@ -140,3 +140,31 @@ def test_searcher_two_stage_int8_sharded():
                                 n_candidates=64, use_pallas=False)
     scores, pids = s.search(q, k=5)
     assert (pids[:, 0] == qidx).all()
+
+
+def test_hierarchical_search_with_cluster_order():
+    """3-stage search over cluster-ordered blocks: exact top-1 on
+    clustered data (Infoseek-scale recipe)."""
+    from ravqa_tpu.retrieval.coarse import (block_summaries, cluster_order,
+                                            hierarchical_search)
+    rng = np.random.default_rng(0)
+    n, ld, dim, S = 512, 16, 32, 4
+    toks, mask, _, _ = make_clustered_corpus(rng, n_docs=n, ld=ld, dim=dim,
+                                             n_topics=24)
+    qidx = rng.integers(n, size=16)
+    q = normed(toks[qidx, :8] + 0.05 * rng.normal(size=(16, 8, dim))
+               ).astype(np.float32)
+    summ = summarize_docs(jnp.array(toks), jnp.array(mask), n_summary=S,
+                          iters=4)
+    perm = np.asarray(cluster_order(summ, n_clusters=16, iters=4,
+                                    chunk=128))
+    toks_o, mask_o = toks[perm], mask[perm]
+    summ_o = np.asarray(summ)[perm]
+    bs = block_summaries(jnp.array(summ_o), block_size=32,
+                         n_block_summary=4)
+    _, r3 = hierarchical_search(
+        jnp.array(q), jnp.array(toks_o), jnp.array(mask_o),
+        jnp.array(summ_o), bs, k=5, n_blocks=8, n_candidates=64,
+        block_size=32)
+    got = perm[np.asarray(r3)[:, 0]]
+    assert (got == qidx).mean() >= 0.9
