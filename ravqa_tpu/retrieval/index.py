@@ -38,6 +38,8 @@ class TokenIndex:
     num_docs: int              # real (unpadded) doc count
     scales: Optional[jax.Array] = None   # (N_pad, Ld) f32 if int8-quantized
     summaries: Optional[jax.Array] = None  # (N_pad, S, dim) coarse stage
+    block_summaries: Optional[jax.Array] = None  # (N_pad/bs, Sb, dim)
+    block_size: int = 64
     meta: dict = dataclasses.field(default_factory=dict)
 
     def build_summaries(self, n_summary: int = 8, iters: int = 4,
@@ -52,6 +54,21 @@ class TokenIndex:
         if mesh is not None:
             summ = jax.device_put(summ, NamedSharding(mesh, P(axis)))
         self.summaries = summ
+        return self
+
+    def build_block_summaries(self, block_size: int = 64,
+                              n_block_summary: int = 4,
+                              iters: int = 4) -> "TokenIndex":
+        """Second summary level for hierarchical search. For best recall,
+        build the index with cluster-ordered docs (coarse.cluster_order)."""
+        from .coarse import block_summaries
+        assert self.summaries is not None, "build_summaries() first"
+        assert self.n_pad % block_size == 0
+        self.block_summaries = block_summaries(
+            self.summaries, block_size=block_size,
+            n_block_summary=n_block_summary, iters=iters).astype(
+            self.summaries.dtype)
+        self.block_size = block_size
         return self
 
     @property

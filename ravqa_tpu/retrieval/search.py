@@ -152,6 +152,13 @@ class LateInteractionSearcher:
         if mode == "two_stage":
             assert index.summaries is not None, \
                 "call index.build_summaries() first"
+        if mode == "hierarchical":
+            assert index.summaries is not None \
+                and index.block_summaries is not None, \
+                "call index.build_summaries().build_block_summaries() first"
+            assert mesh is None, \
+                "hierarchical mode is single-device for now; shard with " \
+                "mode='two_stage' or run hierarchical per shard manually"
         self._sharded_fns: dict[int, callable] = {}
 
     def _search_fn(self, k: int):
@@ -177,6 +184,15 @@ class LateInteractionSearcher:
             if idx.scales is not None:
                 args += (idx.scales,)
             return fn(*args)
+        if self.mode == "hierarchical":
+            from .coarse import hierarchical_search
+            nb = idx.block_summaries.shape[0]
+            return hierarchical_search(
+                q, idx.tokens, idx.mask, idx.summaries,
+                idx.block_summaries, k=k,
+                n_blocks=min(max(self.n_candidates // 2, 1), nb),
+                n_candidates=min(self.n_candidates, idx.n_pad),
+                block_size=idx.block_size, scales=idx.scales)
         if self.mode == "two_stage":
             from .coarse import two_stage_search
             return two_stage_search(

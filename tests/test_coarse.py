@@ -168,3 +168,27 @@ def test_hierarchical_search_with_cluster_order():
         block_size=32)
     got = perm[np.asarray(r3)[:, 0]]
     assert (got == qidx).mean() >= 0.9
+
+
+def test_searcher_hierarchical_mode():
+    from ravqa_tpu.retrieval import (LateInteractionSearcher,
+                                     build_index_from_embeddings)
+    from ravqa_tpu.retrieval.coarse import cluster_order, summarize_docs
+    rng = np.random.default_rng(7)
+    toks, mask, _, _ = make_clustered_corpus(rng, n_docs=256, ld=16, dim=32,
+                                             n_topics=16)
+    summ = summarize_docs(jnp.array(toks), jnp.array(mask), n_summary=4,
+                          iters=4)
+    perm = np.asarray(cluster_order(summ, n_clusters=8, iters=4, chunk=128))
+    toks, mask = toks[perm], mask[perm]
+    qsrc = rng.integers(256, size=4)
+    q = normed(toks[qsrc, :8] + 0.05 * rng.normal(size=(4, 8, 32))
+               ).astype(np.float32)
+    idx = build_index_from_embeddings(toks, mask, pad_multiple=8,
+                                      dtype=jnp.float32)
+    idx.build_summaries(n_summary=4, iters=4)
+    idx.build_block_summaries(block_size=32, n_block_summary=4)
+    s = LateInteractionSearcher(idx, mode="hierarchical", n_candidates=64,
+                                use_pallas=False)
+    scores, pids = s.search(q, k=5)
+    assert (pids[:, 0] == qsrc).all()
