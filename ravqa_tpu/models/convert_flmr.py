@@ -47,7 +47,7 @@ def convert_hf_flmr_params(
     cfg: FLMRModelConfig,
     vision_projection_sd: Optional[dict] = None,
     query_encoder_sd: Optional[dict] = None,
-    query_vision_projection_sd: Optional[dict] = None,
+    doc_vision_projection_sd: Optional[dict] = None,
 ) -> dict:
     """Reference FLMR checkpoint -> FLMRRetriever params pytree."""
     params: dict = {
@@ -58,6 +58,10 @@ def convert_hf_flmr_params(
     if vision_projection_sd is not None:
         params["vision_projection"] = convert_mlp_params(
             vision_projection_sd)
+    if doc_vision_projection_sd is not None:
+        # doc_vision_projection.pt side file (base_colbert.py:49-58)
+        params["doc_vision_projection"] = convert_mlp_params(
+            doc_vision_projection_sd)
     if cfg.separate_question_encoder:
         src = query_encoder_sd or colbert_sd
         params["query_encoder"] = convert_hf_bert_params(src, cfg.bert,

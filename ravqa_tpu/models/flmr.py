@@ -56,6 +56,8 @@ class FLMRModelConfig:
     flipr_query_part_len: int = 0       # text-token count (question part)
     flipr_k1: int = 0                   # top-k1 over the question part
     flipr_k2: int = 0                   # top-k2 over the context part
+    multimodal_docs: bool = False       # doc = text ∥ projected vision
+    doc_prefix_len: int = 8             # vision tokens per doc image
 
     @staticmethod
     def tiny(**kw) -> "FLMRModelConfig":
@@ -118,6 +120,14 @@ class FLMRRetriever(nn.Module):
                 vision_dim=cfg.vision_dim, lm_dim=cfg.dim,
                 prefix_len=cfg.prefix_len, dtype=cfg.bert.dtype,
                 name="vision_projection")
+        if cfg.multimodal_docs:
+            # doc-side mapping network (the reference's intended
+            # doc_vision_projection.pt side file, base_colbert.py:49-58 /
+            # colbert_utils.py multimodal-doc path)
+            self.doc_vision_mapping = VisionMapping(
+                vision_dim=cfg.vision_dim, lm_dim=cfg.dim,
+                prefix_len=cfg.doc_prefix_len, dtype=cfg.bert.dtype,
+                name="doc_vision_projection")
         if cfg.in_graph_vision:
             assert cfg.vit is not None
             self.vision_model = CLIPVisionModel(cfg.vit, name="vision_model")
@@ -161,12 +171,14 @@ class FLMRRetriever(nn.Module):
         return l2_normalize(q_all.astype(jnp.float32), axis=-1)
 
     def doc(self, input_ids, attention_mask, skip_mask=None,
-            deterministic=True):
+            doc_image_features=None, deterministic=True):
         """Doc token embeddings + validity mask.
 
         skip_mask: optional precomputed (B, Ld) skiplist mask (see
         skiplist_mask); when None only pads are zeroed.
-        Returns (D (B, Ld, dim) L2-normalized, mask (B, Ld) float).
+        doc_image_features: (B, vision_dim) optional doc-side image features
+        (multimodal_docs=True) — projected to doc_prefix_len extra tokens.
+        Returns (D (B, Ld[+prefix], dim) L2-normalized, mask float).
         """
         cfg = self.cfg
         d = self.doc_bert(input_ids, attention_mask,
@@ -175,12 +187,19 @@ class FLMRRetriever(nn.Module):
         if skip_mask is None:
             skip_mask = (input_ids != cfg.pad_token_id).astype(jnp.float32)
         d = d * skip_mask[..., None].astype(d.dtype)
+        if cfg.multimodal_docs and doc_image_features is not None:
+            v = self.doc_vision_mapping(doc_image_features)
+            v = v.reshape(v.shape[0], -1, cfg.dim)
+            d = jnp.concatenate([d, v.astype(d.dtype)], axis=1)
+            skip_mask = jnp.concatenate(
+                [skip_mask, jnp.ones(v.shape[:2], skip_mask.dtype)], axis=1)
         return l2_normalize(d.astype(jnp.float32), axis=-1), skip_mask
 
     def __call__(self, query_input_ids=None, query_attention_mask=None,
                  image_features=None, pixel_values=None,
                  doc_input_ids=None, doc_attention_mask=None,
-                 doc_skip_mask=None, deterministic=True):
+                 doc_skip_mask=None, doc_image_features=None,
+                 deterministic=True):
         """Training forward: nway scores + losses.
 
         doc_* are grouped per query: row i*nway is query i's positive
@@ -191,7 +210,7 @@ class FLMRRetriever(nn.Module):
         q = self.query(query_input_ids, query_attention_mask, image_features,
                        pixel_values, deterministic)
         d, d_mask = self.doc(doc_input_ids, doc_attention_mask, doc_skip_mask,
-                             deterministic)
+                             doc_image_features, deterministic)
         nway_loss, scores = nway_ce_loss(
             q, d, d_mask, cfg.nway, interaction=cfg.interaction,
             flipr_query_part_len=cfg.flipr_query_part_len,

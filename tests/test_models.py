@@ -211,3 +211,32 @@ def test_flmr_flipr_interaction():
     out2 = FLMRRetriever(cfg2).apply({"params": params}, **batch)
     assert not np.allclose(np.asarray(out["scores"]),
                            np.asarray(out2["scores"]))
+
+
+def test_multimodal_docs():
+    """Doc-side vision tokens (the reference's latent multimodal-doc path,
+    implemented live here): doc embeddings gain doc_prefix_len tokens."""
+    import jax
+    cfg = FLMRModelConfig.tiny(multimodal_docs=True, doc_prefix_len=3)
+    m = FLMRRetriever(cfg)
+    rng = np.random.default_rng(8)
+    batch = dict(
+        query_input_ids=jnp.array(rng.integers(1, 512, (2, 8)), jnp.int32),
+        query_attention_mask=jnp.ones((2, 8), jnp.int32),
+        image_features=jnp.array(rng.normal(size=(2, cfg.vision_dim)),
+                                 jnp.float32),
+        doc_input_ids=jnp.array(rng.integers(1, 512, (4, 10)), jnp.int32),
+        doc_attention_mask=jnp.ones((4, 10), jnp.int32),
+        doc_image_features=jnp.array(rng.normal(size=(4, cfg.vision_dim)),
+                                     jnp.float32),
+    )
+    params = m.init(jax.random.PRNGKey(0), **batch)["params"]
+    assert "doc_vision_projection" in params
+    d, mask = m.apply({"params": params}, batch["doc_input_ids"],
+                      batch["doc_attention_mask"], None,
+                      batch["doc_image_features"],
+                      method=FLMRRetriever.doc)
+    assert d.shape == (4, 10 + 3, cfg.dim)
+    assert mask.shape == (4, 13) and np.asarray(mask)[:, -3:].all()
+    out = m.apply({"params": params}, **batch)
+    assert np.isfinite(float(out["loss"]))
