@@ -124,20 +124,38 @@ def build_rag_executor(cfg: Config, data, mesh, log_dir: str, quiet=False):
     tok = data["tokenizer"]
     gen_cfg_dict.setdefault("vocab_size", tok.vocab_size + 8)
     gen_cfg_dict.setdefault("eos_token_id", tok.sep_token_id)
-    gcfg = T5Config(**gen_cfg_dict)
-    generator = T5Model(gcfg)
-    gp = generator.init(jax.random.PRNGKey(1),
-                        jnp.ones((2, 8), jnp.int32),
-                        jnp.ones((2, 8), jnp.int32),
-                        jnp.ones((2, 3), jnp.int32))["params"]
+    if gen_type == "blip2":
+        from .models.blip2 import (Blip2Config, Blip2T5, Blip2VisionConfig,
+                                   QFormerConfig)
+        bcfg = Blip2Config(
+            vision=Blip2VisionConfig(**gen_cfg_dict.pop("vision", {})),
+            qformer=QFormerConfig(**gen_cfg_dict.pop("qformer", {})),
+            t5=T5Config(**gen_cfg_dict.pop("t5", gen_cfg_dict)),
+            num_query_tokens=gen_cfg_dict.pop("num_query_tokens", 32))
+        generator = Blip2T5(bcfg)
+        v = bcfg.vision
+        gp = generator.init(
+            jax.random.PRNGKey(1),
+            jnp.ones((1, v.image_size, v.image_size, 3), jnp.float32),
+            jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32),
+            jnp.ones((1, 3), jnp.int32))["params"]
+    else:
+        gcfg = T5Config(**gen_cfg_dict)
+        generator = T5Model(gcfg)
+        gp = generator.init(jax.random.PRNGKey(1),
+                            jnp.ones((2, 8), jnp.int32),
+                            jnp.ones((2, 8), jnp.int32),
+                            jnp.ones((2, 3), jnp.int32))["params"]
     corpus = data["passages"]["full_passages"]
     retr_exec = FLMRExecutor(retriever, rp, TrainConfig(lr=1e-4),
                              quiet=True)
     index = retr_exec.build_index(
         corpus_doc_batches(corpus, data["doc_tokenizer"], batch_size=64))
     rag_keys = {f.name for f in __import__("dataclasses").fields(RagConfig)}
-    rag_cfg = RagConfig(**{k: v for k, v in mc.get("rag", {}).items()
-                           if k in rag_keys})
+    rag_kwargs = {k: v for k, v in mc.get("rag", {}).items()
+                  if k in rag_keys}
+    rag_kwargs["generator_type"] = gen_type
+    rag_cfg = RagConfig(**rag_kwargs)
     tc = cfg.get("train", Config())
     train_cfg = TrainConfig(lr=tc.get("lr", 1e-5),
                             total_steps=tc.get("total_steps", 1000),
@@ -159,7 +177,7 @@ def rag_batches(dataset, batch_size: int, seed: int = 0):
             chunk = [items[i] for i in order[s:s + batch_size]]
             qi, qm = dataset.qt.tensorize(
                 [dataset.query_text(it) for it in chunk])
-            yield {
+            batch = {
                 "question_ids": [it["question_id"] for it in chunk],
                 "questions": [it["question"] for it in chunk],
                 "answers": [it["answers"] for it in chunk],
@@ -168,6 +186,10 @@ def rag_batches(dataset, batch_size: int, seed: int = 0):
                     [np.asarray(it["image_features"], np.float32)
                      for it in chunk]),
             }
+            if "image" in chunk[0]:   # raw pixels for BLIP-2 generators
+                batch["pixel_values"] = np.stack(
+                    [np.asarray(it["image"], np.float32) for it in chunk])
+            yield batch
 
 
 def run_rag_eval(cfg, ex, data, log_dir: str, split: str = "test"):
