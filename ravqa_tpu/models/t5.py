@@ -40,7 +40,8 @@ class T5Config:
     pad_token_id: int = 0
     eos_token_id: int = 1
     decoder_start_token_id: int = 0
-    dtype: Any = jnp.float32
+    dtype: Any = jnp.float32             # compute dtype
+    param_dtype: Any = jnp.float32       # parameter storage dtype
 
     @property
     def n_dec(self) -> int:
@@ -66,12 +67,14 @@ class T5Config:
 class RMSNorm(nn.Module):
     eps: float = 1e-6
     dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         var = jnp.mean(jnp.square(x.astype(jnp.float32)), -1, keepdims=True)
         x = x * jax.lax.rsqrt(var + self.eps)
-        w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],),
+                       self.param_dtype)
         return (w * x).astype(self.dtype)
 
 
@@ -115,7 +118,7 @@ class T5Attention(nn.Module):
         inner = cfg.num_heads * cfg.d_kv
         dense = lambda name: nn.DenseGeneral(
             (cfg.num_heads, cfg.d_kv), axis=-1, use_bias=False,
-            dtype=cfg.dtype, name=name)
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name)
         q = dense("q")(x)
         src = x if kv is None else kv
         k = dense("k")(src)
@@ -147,7 +150,7 @@ class T5Attention(nn.Module):
                 cfg.relative_attention_num_buckets,
                 cfg.relative_attention_max_distance)
             emb = nn.Embed(cfg.relative_attention_num_buckets, cfg.num_heads,
-                           dtype=jnp.float32,
+                           dtype=jnp.float32, param_dtype=cfg.param_dtype,
                            name="relative_attention_bias")(rp)
             position_bias = emb.transpose(2, 0, 1)[None]   # (1, H, Tq, Tk)
         if position_bias is not None:
@@ -162,7 +165,8 @@ class T5Attention(nn.Module):
         probs = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = nn.DenseGeneral(cfg.d_model, axis=(-2, -1), use_bias=False,
-                              dtype=cfg.dtype, name="o")(ctx)
+                              dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                              name="o")(ctx)
         return out, position_bias, new_cache
 
 
@@ -174,15 +178,16 @@ class T5FF(nn.Module):
         cfg = self.cfg
         if cfg.feed_forward_proj == "gated-gelu":
             wi0 = nn.Dense(cfg.d_ff, use_bias=False, dtype=cfg.dtype,
-                           name="wi_0")(x)
+                           param_dtype=cfg.param_dtype, name="wi_0")(x)
             wi1 = nn.Dense(cfg.d_ff, use_bias=False, dtype=cfg.dtype,
-                           name="wi_1")(x)
+                           param_dtype=cfg.param_dtype, name="wi_1")(x)
             h = nn.gelu(wi0, approximate=True) * wi1
         else:
             h = nn.relu(nn.Dense(cfg.d_ff, use_bias=False, dtype=cfg.dtype,
+                                 param_dtype=cfg.param_dtype,
                                  name="wi")(x))
         return nn.Dense(cfg.d_model, use_bias=False, dtype=cfg.dtype,
-                        name="wo")(h)
+                        param_dtype=cfg.param_dtype, name="wo")(h)
 
 
 class T5Block(nn.Module):
@@ -197,17 +202,20 @@ class T5Block(nn.Module):
         h, position_bias, new_cache = T5Attention(
             cfg, has_relative_bias=self.has_relative_bias,
             bidirectional=not self.is_decoder, name="self_attn")(
-            RMSNorm(cfg.layer_norm_eps, cfg.dtype, name="ln1")(x),
+            RMSNorm(cfg.layer_norm_eps, cfg.dtype, cfg.param_dtype,
+                    name="ln1")(x),
             mask_bias=self_bias, position_bias=position_bias,
             decode_cache=decode_cache)
         x = x + h
         if self.is_decoder:
             h, _, _ = T5Attention(cfg, name="cross_attn")(
-                RMSNorm(cfg.layer_norm_eps, cfg.dtype, name="ln_cross")(x),
+                RMSNorm(cfg.layer_norm_eps, cfg.dtype, cfg.param_dtype,
+                        name="ln_cross")(x),
                 kv=enc, mask_bias=cross_bias)
             x = x + h
         h = T5FF(cfg, name="ff")(
-            RMSNorm(cfg.layer_norm_eps, cfg.dtype, name="ln2")(x))
+            RMSNorm(cfg.layer_norm_eps, cfg.dtype, cfg.param_dtype,
+                    name="ln2")(x))
         return x + h, position_bias, new_cache
 
 
@@ -226,20 +234,24 @@ class T5Model(nn.Module):
     def setup(self):
         cfg = self.cfg
         self.shared = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=cfg.dtype,
-                               name="shared")
+                               param_dtype=cfg.param_dtype, name="shared")
         self.enc_blocks = [
             T5Block(cfg, is_decoder=False, has_relative_bias=(i == 0),
                     name=f"encoder_{i}") for i in range(cfg.num_layers)]
         self.enc_final_ln = RMSNorm(cfg.layer_norm_eps, cfg.dtype,
+                                    cfg.param_dtype,
                                     name="encoder_final_ln")
         self.dec_blocks = [
             T5Block(cfg, is_decoder=True, has_relative_bias=(i == 0),
                     name=f"decoder_{i}") for i in range(cfg.n_dec)]
         self.dec_final_ln = RMSNorm(cfg.layer_norm_eps, cfg.dtype,
+                                    cfg.param_dtype,
                                     name="decoder_final_ln")
         if not cfg.tie_word_embeddings:
             self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
-                                    dtype=cfg.dtype, name="lm_head")
+                                    dtype=cfg.dtype,
+                                    param_dtype=cfg.param_dtype,
+                                    name="lm_head")
 
     def encode(self, input_ids=None, attention_mask=None,
                inputs_embeds=None):

@@ -15,13 +15,16 @@ import jax.numpy as jnp
 from ravqa_tpu.models.generation import greedy_generate
 from ravqa_tpu.models.t5 import T5Config, T5Model
 
-B, NDOCS, T_IN, T_OUT = 32, 5, 96, 32
+import os as _os
+B = 16 if _os.environ.get("GEN_SCALE") == "xl" else 32
+NDOCS, T_IN, T_OUT = 5, 96, 32
 N = B * NDOCS
 
 import os
 SCALE = os.environ.get("GEN_SCALE", "base")
 if SCALE == "xl":       # flan-t5-xl (the RAVQA-v2 generator, ~2.8B params)
-    cfg = T5Config.flan_t5_xl(dtype=jnp.bfloat16)
+    cfg = T5Config.flan_t5_xl(dtype=jnp.bfloat16,
+                              param_dtype=jnp.bfloat16)
 else:
     cfg = T5Config(vocab_size=32128, d_model=768, d_kv=64, d_ff=3072,
                    num_layers=12, num_heads=12, dtype=jnp.bfloat16)
@@ -31,6 +34,7 @@ ids = jnp.array(rng.integers(2, 32000, (N, T_IN)), jnp.int32)
 mask = jnp.ones((N, T_IN), jnp.int32)
 params = model.init(jax.random.PRNGKey(0), ids[:2], mask[:2],
                     jnp.ones((2, 4), jnp.int32))["params"]
+
 n_params = sum(x.size for x in jax.tree.leaves(params))
 print(f"params: {n_params/1e6:.0f}M", flush=True)
 
