@@ -33,6 +33,7 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     dropout_rate: float = 0.0
     dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
 
     @property
     def encoder_cfg(self) -> EncoderConfig:
@@ -46,6 +47,7 @@ class BertConfig:
             pre_layernorm=False,
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,
+            param_dtype=self.param_dtype,
         )
 
     @staticmethod
@@ -69,12 +71,14 @@ class BertModel(nn.Module):
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(input_ids)
         word = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
+                        param_dtype=cfg.param_dtype,
                         name="word_embeddings")(input_ids)
         pos_ids = jnp.arange(t)[None, :]
         pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
-                       dtype=cfg.dtype,
+                       dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                        name="position_embeddings")(pos_ids)
         typ = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, dtype=cfg.dtype,
+                       param_dtype=cfg.param_dtype,
                        name="token_type_embeddings")(token_type_ids)
         x = word + pos + typ
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
@@ -83,6 +87,7 @@ class BertModel(nn.Module):
         x = TransformerEncoder(cfg.encoder_cfg, name="encoder")(
             x, bias, deterministic)
         pooled = nn.tanh(nn.Dense(cfg.hidden_size, dtype=cfg.dtype,
+                                  param_dtype=cfg.param_dtype,
                                   name="pooler")(x[:, 0]))
         return x, pooled
 

@@ -41,6 +41,7 @@ class EncoderConfig:
     pre_layernorm: bool = False          # False: BERT post-LN; True: ViT/CLIP
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32       # compute dtype (bf16 on TPU)
+    param_dtype: jnp.dtype = jnp.float32  # parameter storage dtype
 
 
 class MultiHeadAttention(nn.Module):
@@ -51,7 +52,8 @@ class MultiHeadAttention(nn.Module):
         cfg = self.cfg
         head_dim = cfg.hidden_size // cfg.num_heads
         dense = lambda name: nn.DenseGeneral(
-            (cfg.num_heads, head_dim), axis=-1, dtype=cfg.dtype, name=name)
+            (cfg.num_heads, head_dim), axis=-1, dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name=name)
         q = dense("query")(x)
         k = dense("key")(x)
         v = dense("value")(x)
@@ -67,7 +69,7 @@ class MultiHeadAttention(nn.Module):
                                                  deterministic=deterministic)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = nn.DenseGeneral(cfg.hidden_size, axis=(-2, -1), dtype=cfg.dtype,
-                              name="out")(ctx)
+                              param_dtype=cfg.param_dtype, name="out")(ctx)
         return out
 
 
@@ -78,9 +80,11 @@ class MlpBlock(nn.Module):
     def __call__(self, x, deterministic=True):
         cfg = self.cfg
         act = ACTIVATIONS[cfg.activation]
-        h = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype, name="fc1")(x)
+        h = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
+                     param_dtype=cfg.param_dtype, name="fc1")(x)
         h = act(h)
-        h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="fc2")(h)
+        h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype,
+                     param_dtype=cfg.param_dtype, name="fc2")(h)
         if cfg.dropout_rate > 0:
             h = nn.Dropout(cfg.dropout_rate)(h, deterministic=deterministic)
         return h
