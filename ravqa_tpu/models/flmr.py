@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..ops.losses import in_batch_negative_loss, nway_ce_loss
 from .bert import BertConfig, BertModel
-from .mapping import VisionMapping
+from .mapping import TransformerMapping, VisionMapping
 from .vit import CLIPVisionModel, ViTConfig
 
 
@@ -58,6 +58,13 @@ class FLMRModelConfig:
     flipr_k2: int = 0                   # top-k2 over the context part
     multimodal_docs: bool = False       # doc = text ∥ projected vision
     doc_prefix_len: int = 8             # vision tokens per doc image
+    # PreFLMR transformer mapping network (companion FLMR repo; one extra
+    # text-conditioned late-interaction token per vision patch)
+    use_transformer_mapping: bool = False
+    transformer_mapping_num_layers: int = 1
+    transformer_mapping_hidden: int = 768
+    transformer_mapping_num_heads: int = 12
+    vision_patch_dim: Optional[int] = None  # patch-feature dim (def: vision_dim)
 
     @staticmethod
     def tiny(**kw) -> "FLMRModelConfig":
@@ -128,6 +135,18 @@ class FLMRRetriever(nn.Module):
                 vision_dim=cfg.vision_dim, lm_dim=cfg.dim,
                 prefix_len=cfg.doc_prefix_len, dtype=cfg.bert.dtype,
                 name="doc_vision_projection")
+        if cfg.use_transformer_mapping:
+            assert cfg.query_mode == "text+vision", \
+                "transformer mapping cross-attends to text; needs text+vision"
+            self.transformer_mapping = TransformerMapping(
+                vision_dim=cfg.vision_patch_dim or cfg.vision_dim,
+                hidden_size=cfg.transformer_mapping_hidden,
+                lm_dim=cfg.dim,
+                num_layers=cfg.transformer_mapping_num_layers,
+                num_heads=cfg.transformer_mapping_num_heads,
+                intermediate_size=cfg.transformer_mapping_hidden * 4,
+                dtype=cfg.bert.dtype, param_dtype=cfg.bert.param_dtype,
+                name="transformer_mapping")
         if cfg.in_graph_vision:
             assert cfg.vit is not None
             self.vision_model = CLIPVisionModel(cfg.vit, name="vision_model")
@@ -143,30 +162,48 @@ class FLMRRetriever(nn.Module):
         return cls
 
     def query(self, input_ids=None, attention_mask=None, image_features=None,
-              pixel_values=None, deterministic=True):
+              pixel_values=None, image_patch_features=None,
+              deterministic=True):
         """Late-interaction query embeddings, L2-normalized.
 
         image_features: (B, vision_dim) or (B, n_roi, vision_dim) pre-extracted
         CLS features; or pass pixel_values with in_graph_vision=True.
+        image_patch_features: (B, P, patch_dim) pre-extracted vision patch
+        embeddings for the PreFLMR transformer mapping (the companion repo
+        takes the ViT's second-to-last layer; with in_graph_vision and no
+        explicit patches, the last layer's patch rows are used instead).
         Returns (B, Lq_total, dim); padded text rows are zero vectors.
         """
         cfg = self.cfg
         parts = []
+        text_hidden = None
         if cfg.query_mode != "vision_only":
-            q = self.query_bert(input_ids, attention_mask,
-                                deterministic=deterministic)[0]
-            q = self.linear(q)
+            text_hidden = self.query_bert(input_ids, attention_mask,
+                                          deterministic=deterministic)[0]
+            q = self.linear(text_hidden)
             # query masking uses empty skiplist: only pads zeroed (FLMR.py:80)
             mask = (input_ids != cfg.pad_token_id).astype(q.dtype)
             parts.append(q * mask[..., None])
         if cfg.query_mode != "text_only":
             if image_features is None:
-                image_features = self.encode_images(pixel_values,
-                                                    deterministic)
+                if (cfg.use_transformer_mapping
+                        and image_patch_features is None
+                        and pixel_values.ndim == 4):
+                    last_hidden, image_features = self.vision_model(
+                        pixel_values, deterministic)
+                    image_patch_features = last_hidden[:, 1:]
+                else:
+                    image_features = self.encode_images(pixel_values,
+                                                        deterministic)
             v = self.vision_mapping(image_features)
             # (B, prefix, dim) or (B, n_roi, prefix, dim) -> (B, n_v, dim)
             v = v.reshape(v.shape[0], -1, cfg.dim)
             parts.append(v)
+            if cfg.use_transformer_mapping:
+                t = self.transformer_mapping(
+                    image_patch_features, text_hidden, attention_mask,
+                    deterministic)
+                parts.append(t.astype(v.dtype))
         q_all = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
         return l2_normalize(q_all.astype(jnp.float32), axis=-1)
 
@@ -199,7 +236,7 @@ class FLMRRetriever(nn.Module):
                  image_features=None, pixel_values=None,
                  doc_input_ids=None, doc_attention_mask=None,
                  doc_skip_mask=None, doc_image_features=None,
-                 deterministic=True):
+                 image_patch_features=None, deterministic=True):
         """Training forward: nway scores + losses.
 
         doc_* are grouped per query: row i*nway is query i's positive
@@ -208,7 +245,7 @@ class FLMRRetriever(nn.Module):
         """
         cfg = self.cfg
         q = self.query(query_input_ids, query_attention_mask, image_features,
-                       pixel_values, deterministic)
+                       pixel_values, image_patch_features, deterministic)
         d, d_mask = self.doc(doc_input_ids, doc_attention_mask, doc_skip_mask,
                              doc_image_features, deterministic)
         nway_loss, scores = nway_ce_loss(

@@ -48,15 +48,18 @@ class MultiHeadAttention(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, x, attention_bias=None, deterministic=True):
+    def __call__(self, x, attention_bias=None, deterministic=True, kv=None):
+        """Self-attention over x, or cross-attention when `kv` (the
+        key/value source sequence) is given."""
         cfg = self.cfg
         head_dim = cfg.hidden_size // cfg.num_heads
         dense = lambda name: nn.DenseGeneral(
             (cfg.num_heads, head_dim), axis=-1, dtype=cfg.dtype,
             param_dtype=cfg.param_dtype, name=name)
+        kv_src = x if kv is None else kv.astype(cfg.dtype)
         q = dense("query")(x)
-        k = dense("key")(x)
-        v = dense("value")(x)
+        k = dense("key")(kv_src)
+        v = dense("value")(kv_src)
         scale = head_dim ** -0.5
         # (B, H, Tq, Tk), accumulate in f32 for stability.
         logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,

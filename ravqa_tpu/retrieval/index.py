@@ -58,16 +58,28 @@ class TokenIndex:
 
     def build_block_summaries(self, block_size: int = 64,
                               n_block_summary: int = 4,
-                              iters: int = 4) -> "TokenIndex":
+                              iters: int = 4, mesh=None,
+                              axis: str = "index") -> "TokenIndex":
         """Second summary level for hierarchical search. For best recall,
-        build the index with cluster-ordered docs (coarse.cluster_order)."""
+        build the index with cluster-ordered docs (coarse.cluster_order).
+        With `mesh`, block summaries are sharded over `axis` (blocks are
+        contiguous doc ranges, so doc-sharding and block-sharding align as
+        long as block_size divides the per-shard doc count)."""
         from .coarse import block_summaries
         assert self.summaries is not None, "build_summaries() first"
         assert self.n_pad % block_size == 0
+        if mesh is not None:
+            n_local = self.n_pad // mesh.shape[axis]
+            assert n_local % block_size == 0, \
+                (f"block_size {block_size} must divide the per-shard doc "
+                 f"count {n_local}")
         self.block_summaries = block_summaries(
             self.summaries, block_size=block_size,
             n_block_summary=n_block_summary, iters=iters).astype(
             self.summaries.dtype)
+        if mesh is not None:
+            self.block_summaries = jax.device_put(
+                self.block_summaries, NamedSharding(mesh, P(axis)))
         self.block_size = block_size
         return self
 

@@ -63,21 +63,32 @@ def search_single_device(q, tokens, mask, scales=None, *, k: int,
 def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                         axis: str = "index", use_pallas: bool = False,
                         tile_d: int = 16, quantized: bool = False,
-                        two_stage: bool = False, n_candidates: int = 1024):
+                        two_stage: bool = False, n_candidates: int = 1024,
+                        hierarchical: bool = False,
+                        n_blocks: Optional[int] = None,
+                        block_size: int = 64):
     """Build a jitted collective search fn over `mesh`.
 
-    Returned fn(q, tokens, mask[, scales | summaries]) -> (scores (B,k),
-    rows (B,k)), with index arrays sharded over dim 0 on `axis` and q
-    replicated. Rows are global (pre-pid-mapping) indices into the padded
-    index. two_stage: each shard runs coarse->fine over its slice (with
-    n_candidates/nshards local candidates) before the cross-shard merge.
+    Returned fn(q, tokens, mask[, summaries[, block_summaries]][, scales])
+    -> (scores (B,k), rows (B,k)), with index arrays sharded over dim 0 on
+    `axis` and q replicated. Rows are global (pre-pid-mapping) indices into
+    the padded index. two_stage: each shard runs coarse->fine over its
+    slice (with n_candidates/nshards local candidates) before the
+    cross-shard merge. hierarchical: 3-stage (block summaries -> doc
+    summaries -> exact) per shard, with n_blocks/nshards local blocks.
     """
-    from .coarse import two_stage_search
+    from .coarse import hierarchical_search, two_stage_search
 
     nshards = mesh.shape[axis]
     n_local = n_pad // nshards
     k_local = min(k, n_local)
     c_local = min(max(n_candidates // nshards, k_local), n_local)
+    if hierarchical:
+        nb_local = n_local // block_size
+        if n_blocks is None:
+            n_blocks = max(n_candidates // 2, nshards)
+        b_local = min(max(n_blocks // nshards, 1), nb_local)
+        c_local = min(c_local, b_local * block_size)
 
     def _merge(q, s, i):
         i = i + jax.lax.axis_index(axis) * n_local
@@ -105,6 +116,24 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                 n_candidates=c_local, scales=scl)
         return _merge(q, s, i)
 
+    def _local_hier(q, tok, msk, summ, bsum, scl=None):
+        s, i = hierarchical_search(q, tok, msk, summ, bsum, k=k_local,
+                                   n_blocks=b_local, n_candidates=c_local,
+                                   block_size=block_size, scales=scl)
+        return _merge(q, s, i)
+
+    if hierarchical and quantized:
+        f = shard_map(_local_hier, mesh,
+                      in_specs=(P(), P(axis), P(axis), P(axis), P(axis),
+                                P(axis)),
+                      out_specs=(P(), P()))
+        return jax.jit(f)
+    if hierarchical:
+        f = shard_map(lambda q, t, m, s, b: _local_hier(q, t, m, s, b),
+                      mesh,
+                      in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+                      out_specs=(P(), P()))
+        return jax.jit(f)
     if two_stage and quantized:
         f = shard_map(_local_two_stage_int8, mesh,
                       in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
@@ -136,10 +165,14 @@ class LateInteractionSearcher:
     def __init__(self, index: TokenIndex, mesh: Optional[Mesh] = None,
                  axis: str = "index", use_pallas: Optional[bool] = None,
                  tile_d: int = 16, mode: str = "exact",
-                 n_candidates: int = 1024):
-        """mode: "exact" (exhaustive MaxSim) or "two_stage" (coarse over
+                 n_candidates: int = 1024,
+                 n_blocks: Optional[int] = None):
+        """mode: "exact" (exhaustive MaxSim), "two_stage" (coarse over
         index.summaries -> exact re-score of top n_candidates; requires
-        index.build_summaries())."""
+        index.build_summaries()), or "hierarchical" (block summaries ->
+        doc summaries -> exact; requires build_block_summaries(); works
+        single-device and sharded — each shard prunes to its local
+        n_blocks/nshards blocks before the cross-shard merge)."""
         self.index = index
         self.mesh = mesh
         self.axis = axis
@@ -149,6 +182,7 @@ class LateInteractionSearcher:
         self.tile_d = tile_d
         self.mode = mode
         self.n_candidates = n_candidates
+        self.n_blocks = n_blocks
         if mode == "two_stage":
             assert index.summaries is not None, \
                 "call index.build_summaries() first"
@@ -156,9 +190,6 @@ class LateInteractionSearcher:
             assert index.summaries is not None \
                 and index.block_summaries is not None, \
                 "call index.build_summaries().build_block_summaries() first"
-            assert mesh is None, \
-                "hierarchical mode is single-device for now; shard with " \
-                "mode='two_stage' or run hierarchical per shard manually"
         self._sharded_fns: dict[int, callable] = {}
 
     def _search_fn(self, k: int):
@@ -170,7 +201,10 @@ class LateInteractionSearcher:
                 use_pallas=self.use_pallas, tile_d=self.tile_d,
                 quantized=self.index.scales is not None,
                 two_stage=self.mode == "two_stage",
-                n_candidates=self.n_candidates)
+                n_candidates=self.n_candidates,
+                hierarchical=self.mode == "hierarchical",
+                n_blocks=self.n_blocks,
+                block_size=self.index.block_size)
         return self._sharded_fns[k]
 
     def search_device(self, q: jax.Array, k: int):
@@ -179,18 +213,22 @@ class LateInteractionSearcher:
         if self.mesh is not None:
             fn = self._search_fn(k)
             args = (q, idx.tokens, idx.mask)
-            if self.mode == "two_stage":
+            if self.mode in ("two_stage", "hierarchical"):
                 args += (idx.summaries,)
+            if self.mode == "hierarchical":
+                args += (idx.block_summaries,)
             if idx.scales is not None:
                 args += (idx.scales,)
             return fn(*args)
         if self.mode == "hierarchical":
             from .coarse import hierarchical_search
             nb = idx.block_summaries.shape[0]
+            want_blocks = (self.n_blocks if self.n_blocks is not None
+                           else max(self.n_candidates // 2, 1))
             return hierarchical_search(
                 q, idx.tokens, idx.mask, idx.summaries,
                 idx.block_summaries, k=k,
-                n_blocks=min(max(self.n_candidates // 2, 1), nb),
+                n_blocks=min(want_blocks, nb),
                 n_candidates=min(self.n_candidates, idx.n_pad),
                 block_size=idx.block_size, scales=idx.scales)
         if self.mode == "two_stage":

@@ -192,3 +192,33 @@ def test_searcher_hierarchical_mode():
                                 use_pallas=False)
     scores, pids = s.search(q, k=5)
     assert (pids[:, 0] == qsrc).all()
+
+
+def test_searcher_hierarchical_sharded():
+    """Hierarchical mode over an 8-way sharded index: each shard runs the
+    3-stage search on its slice, then the cross-shard top-k merge."""
+    import jax
+    from jax.sharding import Mesh
+    from ravqa_tpu.retrieval import (LateInteractionSearcher,
+                                     build_index_from_embeddings)
+    from ravqa_tpu.retrieval.coarse import cluster_order, summarize_docs
+    rng = np.random.default_rng(8)
+    toks, mask, _, _ = make_clustered_corpus(rng, n_docs=256, ld=16, dim=32,
+                                             n_topics=16)
+    summ = summarize_docs(jnp.array(toks), jnp.array(mask), n_summary=4,
+                          iters=4)
+    perm = np.asarray(cluster_order(summ, n_clusters=8, iters=4, chunk=128))
+    toks, mask = toks[perm], mask[perm]
+    qsrc = rng.integers(256, size=4)
+    q = normed(toks[qsrc, :8] + 0.05 * rng.normal(size=(4, 8, 32))
+               ).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()), ("index",))
+    idx = build_index_from_embeddings(toks, mask, pad_multiple=8,
+                                      dtype=jnp.float32, mesh=mesh)
+    idx.build_summaries(n_summary=4, iters=4, mesh=mesh)
+    idx.build_block_summaries(block_size=16, n_block_summary=4, mesh=mesh)
+    s = LateInteractionSearcher(idx, mesh=mesh, mode="hierarchical",
+                                n_candidates=64, n_blocks=16,
+                                use_pallas=False)
+    scores, pids = s.search(q, k=5)
+    assert (pids[:, 0] == qsrc).all()

@@ -240,3 +240,75 @@ def test_multimodal_docs():
     assert mask.shape == (4, 13) and np.asarray(mask)[:, -3:].all()
     out = m.apply({"params": params}, **batch)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_transformer_mapping_query():
+    """PreFLMR transformer mapping: patch features cross-attend to text and
+    add one late-interaction token per patch (companion FLMR repo's
+    transformer_mapping_network; not in the /root/reference snapshot)."""
+    import jax
+    cfg = FLMRModelConfig.tiny(use_transformer_mapping=True,
+                               transformer_mapping_hidden=32,
+                               transformer_mapping_num_heads=4,
+                               vision_patch_dim=24)
+    m = FLMRRetriever(cfg)
+    rng = np.random.default_rng(9)
+    b, lq, n_patch = 2, 8, 5
+    ids = jnp.array(rng.integers(1, 512, (b, lq)), jnp.int32)
+    amask = jnp.ones((b, lq), jnp.int32)
+    feats = jnp.array(rng.normal(size=(b, cfg.vision_dim)), jnp.float32)
+    patches = jnp.array(rng.normal(size=(b, n_patch, 24)), jnp.float32)
+    batch = dict(query_input_ids=ids, query_attention_mask=amask,
+                 image_features=feats, image_patch_features=patches,
+                 doc_input_ids=jnp.array(rng.integers(1, 512, (4, 10)),
+                                         jnp.int32),
+                 doc_attention_mask=jnp.ones((4, 10), jnp.int32))
+    params = m.init(jax.random.PRNGKey(0), **batch)["params"]
+    assert "transformer_mapping" in params
+    q = m.apply({"params": params}, ids, amask, feats, None, patches,
+                method=FLMRRetriever.query)
+    # text tokens + MLP prefix tokens + one token per patch
+    assert q.shape == (b, lq + cfg.prefix_len + n_patch, cfg.dim)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(q), axis=-1),
+                               1.0, atol=1e-5)
+    # the mapping is text-conditioned: different text -> different
+    # transformer-mapping tokens for the same image
+    ids2 = jnp.array(rng.integers(1, 512, (b, lq)), jnp.int32)
+    q2 = m.apply({"params": params}, ids2, amask, feats, None, patches,
+                 method=FLMRRetriever.query)
+    tm1, tm2 = np.asarray(q[:, -n_patch:]), np.asarray(q2[:, -n_patch:])
+    assert np.abs(tm1 - tm2).max() > 1e-4
+    # training forward runs and is finite
+    out = m.apply({"params": params}, **batch)
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_transformer_mapping_in_graph_vision():
+    """With in_graph_vision and no precomputed patches, the vision model's
+    patch rows feed the transformer mapping."""
+    import jax
+    vit = ViTConfig.tiny()
+    cfg = FLMRModelConfig.tiny(use_transformer_mapping=True,
+                               transformer_mapping_hidden=32,
+                               transformer_mapping_num_heads=4,
+                               in_graph_vision=True, vit=vit,
+                               vision_dim=vit.hidden_size,
+                               vision_patch_dim=vit.hidden_size)
+    m = FLMRRetriever(cfg)
+    rng = np.random.default_rng(10)
+    b, lq = 2, 6
+    batch = dict(
+        query_input_ids=jnp.array(rng.integers(1, 512, (b, lq)), jnp.int32),
+        query_attention_mask=jnp.ones((b, lq), jnp.int32),
+        pixel_values=jnp.array(rng.normal(size=(b, 32, 32, 3)), jnp.float32),
+        doc_input_ids=jnp.array(rng.integers(1, 512, (4, 8)), jnp.int32),
+        doc_attention_mask=jnp.ones((4, 8), jnp.int32),
+    )
+    params = m.init(jax.random.PRNGKey(0), **batch)["params"]
+    q = m.apply({"params": params}, batch["query_input_ids"],
+                batch["query_attention_mask"], None, batch["pixel_values"],
+                method=FLMRRetriever.query)
+    n_patch = vit.num_patches
+    assert q.shape == (b, lq + cfg.prefix_len + n_patch, cfg.dim)
+    out = m.apply({"params": params}, **batch)
+    assert np.isfinite(float(out["loss"]))
