@@ -100,6 +100,11 @@ class RetrievalDataset:
             batch["image_features"] = np.stack(
                 [np.asarray(it["image_features"], np.float32)
                  for it in items])
+        if "image_patch_features" in items[0]:
+            # PreFLMR transformer mapping input: (P, patch_dim) per item
+            batch["image_patch_features"] = np.stack(
+                [np.asarray(it["image_patch_features"], np.float32)
+                 for it in items])
         return batch
 
     def loader(self, batch_size: int, shuffle: bool = True,
@@ -138,5 +143,9 @@ def query_eval_batches(dataset: RetrievalDataset,
         if "image_features" in items[0]:
             batch["image_features"] = np.stack(
                 [np.asarray(it["image_features"], np.float32)
+                 for it in items])
+        if "image_patch_features" in items[0]:
+            batch["image_patch_features"] = np.stack(
+                [np.asarray(it["image_patch_features"], np.float32)
                  for it in items])
         yield batch

@@ -159,6 +159,7 @@ class SyntheticOKVQA(BaseTransform):
         n_docs = getattr(self, "n_docs", 64)
         n_q = getattr(self, "n_questions", 32)
         vdim = getattr(self, "vision_dim", 16)
+        n_patches = getattr(self, "n_patches", 0)  # >0: emit patch features
         rng = np.random.default_rng(getattr(self, "seed", 0))
         contents = [" ".join(rng.choice(self.WORDS, 5, replace=False))
                     for _ in range(n_docs)]
@@ -177,6 +178,9 @@ class SyntheticOKVQA(BaseTransform):
                 "pos_item_contents": [contents[d]],
                 "image_features": rng.normal(size=(vdim,)).astype(np.float32),
             })
+            if n_patches:
+                items[-1]["image_patch_features"] = rng.normal(
+                    size=(n_patches, vdim)).astype(np.float32)
         n_train = max(1, int(0.8 * n_q))
         return {"train": items[:n_train], "test": items[n_train:],
                 "passages": {"train_passages": corpus,

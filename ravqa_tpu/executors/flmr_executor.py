@@ -28,10 +28,10 @@ from .base import BaseExecutor, TrainConfig
 class FLMRExecutor(BaseExecutor):
     def __init__(self, model: FLMRRetriever, params, train_cfg: TrainConfig,
                  mesh=None, log_dir=None, seed: int = 0, quiet: bool = False,
-                 skip_ids: Optional[Sequence[int]] = None):
+                 skip_ids: Optional[Sequence[int]] = None, **kwargs):
         self.skip_ids = tuple(skip_ids or ())
         super().__init__(model, params, train_cfg, mesh, log_dir, seed,
-                         quiet=quiet)
+                         quiet=quiet, **kwargs)
         self._encode_doc = jax.jit(self._encode_doc_impl)
         self._encode_query = jax.jit(self._encode_query_impl)
 
@@ -50,9 +50,10 @@ class FLMRExecutor(BaseExecutor):
                                 method=FLMRRetriever.doc)
 
     def _encode_query_impl(self, params, input_ids, attention_mask,
-                           image_features):
+                           image_features, image_patch_features=None):
         return self.model.apply({"params": params}, input_ids,
                                 attention_mask, image_features,
+                                None, image_patch_features,
                                 method=FLMRRetriever.query)
 
     def encode_queries(self, batches: Iterable[dict]) -> np.ndarray:
@@ -61,7 +62,8 @@ class FLMRExecutor(BaseExecutor):
             q = self._encode_query(self.state.params,
                                    b.get("query_input_ids"),
                                    b.get("query_attention_mask"),
-                                   b.get("image_features"))
+                                   b.get("image_features"),
+                                   b.get("image_patch_features"))
             out.append(np.asarray(q, np.float32))
         return np.concatenate(out, axis=0)
 

@@ -69,6 +69,13 @@ def build_executor(cfg: Config, data, mesh, log_dir: str, quiet=False):
         flipr_query_part_len=mc.get("flipr_query_part_len", 0),
         flipr_k1=mc.get("flipr_k1", 0),
         flipr_k2=mc.get("flipr_k2", 0),
+        use_transformer_mapping=mc.get("use_transformer_mapping", False),
+        transformer_mapping_num_layers=mc.get(
+            "transformer_mapping_num_layers", 1),
+        transformer_mapping_hidden=mc.get("transformer_mapping_hidden", 768),
+        transformer_mapping_num_heads=mc.get(
+            "transformer_mapping_num_heads", 12),
+        vision_patch_dim=mc.get("vision_patch_dim"),
     )
     model = FLMRRetriever(model_cfg)
 

@@ -42,6 +42,68 @@ def convert_mlp_params(sd: dict, prefix: str = "model.") -> dict:
     return {"mlp": out}
 
 
+def convert_transformer_mapping_params(
+        sd: dict, num_layers: int, num_heads: int,
+        prefix: str = "transformer_mapping_") -> dict:
+    """PreFLMR transformer-mapping weights -> TransformerMapping params.
+
+    Companion-repo (FLMRModelForRetrieval) layout:
+    `{prefix}input_linear.*`, `{prefix}network.layer.{i}.attention.self.*` /
+    `.attention.output.*` / `.crossattention.self.*` /
+    `.crossattention.output.*` / `.intermediate.dense` / `.output.dense` /
+    `.output.LayerNorm`, `{prefix}output_linear.*` (a 1-layer BERT decoder
+    stack with add_cross_attention=True bracketed by two linears).
+    """
+    def g(name):
+        return _np(sd[prefix + name])
+
+    p: dict = {"input_linear": {"kernel": g("input_linear.weight").T,
+                                "bias": g("input_linear.bias")}}
+    h = p["input_linear"]["kernel"].shape[1]
+    nh = num_heads
+    hd = h // nh
+    for i in range(num_layers):
+        pre = f"network.layer.{i}."
+
+        def lin(name, pre=pre):
+            return g(pre + name + ".weight").T, g(pre + name + ".bias")
+
+        def attn(block, pre=pre):
+            qk, qb = lin(block + ".self.query", pre)
+            kk, kb = lin(block + ".self.key", pre)
+            vk, vb = lin(block + ".self.value", pre)
+            ok, ob = lin(block + ".output.dense", pre)
+            return {
+                "query": {"kernel": qk.reshape(-1, nh, hd),
+                          "bias": qb.reshape(nh, hd)},
+                "key": {"kernel": kk.reshape(-1, nh, hd),
+                        "bias": kb.reshape(nh, hd)},
+                "value": {"kernel": vk.reshape(-1, nh, hd),
+                          "bias": vb.reshape(nh, hd)},
+                "out": {"kernel": ok.reshape(nh, hd, h), "bias": ob},
+            }
+
+        fc1k, fc1b = lin("intermediate.dense")
+        fc2k, fc2b = lin("output.dense")
+        p[f"layer_{i}"] = {
+            "attention": attn("attention"),
+            "ln_self": {
+                "scale": g(pre + "attention.output.LayerNorm.weight"),
+                "bias": g(pre + "attention.output.LayerNorm.bias")},
+            "cross_attention": attn("crossattention"),
+            "ln_cross": {
+                "scale": g(pre + "crossattention.output.LayerNorm.weight"),
+                "bias": g(pre + "crossattention.output.LayerNorm.bias")},
+            "mlp": {"fc1": {"kernel": fc1k, "bias": fc1b},
+                    "fc2": {"kernel": fc2k, "bias": fc2b}},
+            "ln_out": {"scale": g(pre + "output.LayerNorm.weight"),
+                       "bias": g(pre + "output.LayerNorm.bias")},
+        }
+    p["output_linear"] = {"kernel": g("output_linear.weight").T,
+                          "bias": g("output_linear.bias")}
+    return p
+
+
 def convert_hf_flmr_params(
     colbert_sd: dict,
     cfg: FLMRModelConfig,
@@ -85,6 +147,11 @@ def convert_preflmr_params(sd: dict, cfg: FLMRModelConfig) -> dict:
             k.startswith("query_text_encoder.") for k in sd):
         params["query_encoder"] = convert_hf_bert_params(
             sd, cfg.bert, prefix="query_text_encoder.bert_model.")
+    if cfg.use_transformer_mapping and any(
+            k.startswith("transformer_mapping_input_linear") for k in sd):
+        params["transformer_mapping"] = convert_transformer_mapping_params(
+            sd, cfg.transformer_mapping_num_layers,
+            cfg.transformer_mapping_num_heads)
     return params
 
 

@@ -22,7 +22,8 @@ def quick_gelu(x):
 
 
 ACTIVATIONS: dict[str, Callable] = {
-    "gelu": nn.gelu,
+    # HF "gelu" is the exact erf form; "gelu_new" is the tanh approximation
+    "gelu": lambda x: nn.gelu(x, approximate=False),
     "gelu_new": nn.gelu,
     "quick_gelu": quick_gelu,
     "relu": nn.relu,

@@ -56,3 +56,24 @@ def test_cli_prepare_data(log_dir, capsys):
                  "--mode", "prepare_data", "--experiment_name", "p",
                  "--log_dir", log_dir]) == 0
     assert "prepare_data done" in capsys.readouterr().out
+
+
+def test_cli_flmr_transformer_mapping(log_dir):
+    """PreFLMR-style run: synthetic patch features feed the transformer
+    mapping network end-to-end (train + test through the CLI)."""
+    opts = ["data_pipeline.raw.setup_kwargs.n_patches=3",
+            "model_config.use_transformer_mapping=True",
+            "model_config.transformer_mapping_hidden=32",
+            "model_config.transformer_mapping_num_heads=4",
+            "model_config.vision_patch_dim=16",
+            "train.total_steps=4", "train.log_every=2",
+            "train.batch_size=4"]
+    assert main(["--config", os.path.join(CFG_DIR, "synthetic_flmr.json"),
+                 "--mode", "train", "--experiment_name", "tm",
+                 "--log_dir", log_dir, "--opts"] + opts) == 0
+    assert main(["--config", os.path.join(CFG_DIR, "synthetic_flmr.json"),
+                 "--mode", "test", "--experiment_name", "tm",
+                 "--log_dir", log_dir, "--opts"] + opts) == 0
+    metrics = json.load(open(os.path.join(log_dir, "tm",
+                                          "test_metrics.json")))
+    assert "pos_item_ids_recall_at_5" in metrics

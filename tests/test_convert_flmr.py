@@ -118,3 +118,59 @@ def test_export_roundtrip(tmp_path, torch_world):
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_transformer_mapping_conversion_parity():
+    """TransformerMapping vs the companion repo's construction: a HF
+    BertLayer with add_cross_attention=True bracketed by input/output
+    linears. Converted weights must reproduce torch outputs."""
+    import torch
+    from transformers.models.bert.modeling_bert import BertLayer
+    from transformers import BertConfig as HFBertConfig
+    from ravqa_tpu.models.convert_flmr import (
+        convert_transformer_mapping_params)
+    from ravqa_tpu.models.mapping import TransformerMapping
+
+    torch.manual_seed(1)
+    h, nh, inter, vdim, lmdim = 32, 4, 64, 24, 16
+    hf_cfg = HFBertConfig(hidden_size=h, num_attention_heads=nh,
+                          intermediate_size=inter, is_decoder=True,
+                          add_cross_attention=True,
+                          hidden_dropout_prob=0.0,
+                          attention_probs_dropout_prob=0.0)
+    hf_cfg._attn_implementation = "eager"
+    layer = BertLayer(hf_cfg).eval()
+    lin_in = torch.nn.Linear(vdim, h)
+    lin_out = torch.nn.Linear(h, lmdim)
+
+    sd = {"transformer_mapping_input_linear.weight": lin_in.weight,
+          "transformer_mapping_input_linear.bias": lin_in.bias,
+          "transformer_mapping_output_linear.weight": lin_out.weight,
+          "transformer_mapping_output_linear.bias": lin_out.bias}
+    sd.update({f"transformer_mapping_network.layer.0.{k}": v
+               for k, v in layer.state_dict().items()})
+
+    params = convert_transformer_mapping_params(sd, num_layers=1,
+                                                num_heads=nh)
+    m = TransformerMapping(vision_dim=vdim, hidden_size=h, lm_dim=lmdim,
+                           num_layers=1, num_heads=nh,
+                           intermediate_size=inter)
+
+    rng = np.random.default_rng(3)
+    patches = rng.normal(size=(2, 5, vdim)).astype(np.float32)
+    text = rng.normal(size=(2, 7, h)).astype(np.float32)
+    tmask = np.ones((2, 7), np.int32)
+    tmask[1, 5:] = 0
+
+    with torch.no_grad():
+        x = lin_in(torch.tensor(patches))
+        ext = (1.0 - torch.tensor(tmask, dtype=torch.float32)) * -1e9
+        ext = ext[:, None, None, :]
+        y = layer(x, attention_mask=None,
+                  encoder_hidden_states=torch.tensor(text),
+                  encoder_attention_mask=ext)[0]
+        want = lin_out(y).numpy()
+
+    got = np.asarray(m.apply({"params": params}, jnp.array(patches),
+                             jnp.array(text), jnp.array(tmask)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
