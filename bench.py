@@ -1,10 +1,11 @@
 """Benchmark: late-interaction retrieval queries/sec/chip.
 
 Measures the serving hot path on one real TPU chip over a 112640-doc token
-index (the OK-VQA GoogleSearch corpus scale): two-stage coarse->fine search
-(per-doc summary vectors -> top-C candidates -> exact MaxSim re-score), with
-the exhaustive fused-Pallas-MaxSim QPS and the two-stage-vs-exact recall@10
-reported alongside. Prints ONE JSON line.
+index (the OK-VQA GoogleSearch corpus scale): hierarchical 3-stage search
+(block summaries -> doc summaries -> exact MaxSim re-score) over a
+cluster-ordered index (the build-time cluster_order recipe), with the
+two-stage and exhaustive fused-Pallas-MaxSim QPS and the recall@10 /
+top-1 agreement vs exact reported alongside. Prints ONE JSON line.
 
 vs_baseline: published ColBERT-v2/PLAID GPU throughput is ~10-100 ms/query
 (A100, aggressive IVF pruning); we take 50 QPS/GPU as the ColBERT-on-GPU
@@ -29,18 +30,22 @@ def main():
     import jax
     import jax.numpy as jnp
     from ravqa_tpu.ops import maxsim_search_pallas, maxsim_search_xla
-    from ravqa_tpu.retrieval.coarse import summarize_docs, two_stage_search
+    from ravqa_tpu.retrieval.coarse import (block_summaries,
+                                            hierarchical_search,
+                                            summarize_docs, two_stage_search)
 
     on_tpu = jax.default_backend() == "tpu"
     n, ld, dim = (112640, 128, 128) if on_tpu else (2048, 32, 128)
     b, lq, k = 32, 32, 10
     n_candidates = 256
-    n_topics = 2048
+    n_topics = 2048 if on_tpu else 64
     iters = 8
     dt = jnp.bfloat16 if on_tpu else jnp.float32
 
     # Structured synthetic index (doc tokens cluster around topics, as real
-    # passage embeddings do); generated on-device.
+    # passage embeddings do); generated on-device, cluster-ordered (the
+    # sorted assignment models coarse.cluster_order applied at build time,
+    # which hierarchical search requires for coherent blocks).
     @jax.jit
     def make_index(key):
         kt, kn, ka = jax.random.split(key, 3)
@@ -48,7 +53,7 @@ def main():
         topics = topics * jax.lax.rsqrt(
             jnp.sum(topics.astype(jnp.float32) ** 2, -1,
                     keepdims=True) + 1e-9).astype(dt)
-        assign = jax.random.randint(ka, (n,), 0, n_topics)
+        assign = jnp.sort(jax.random.randint(ka, (n,), 0, n_topics))
         t = topics[assign][:, None, :] + (0.3 * jax.random.normal(
             kn, (n, ld, dim), dt)).astype(dt)
         sq = jnp.sum(t.astype(jnp.float32) ** 2, -1, keepdims=True)
@@ -67,18 +72,24 @@ def main():
     mask = jnp.ones((n, ld), jnp.float32)
     q = make_queries(jax.random.PRNGKey(1), index)
     summ = summarize_docs(index, mask, n_summary=8, iters=4).astype(dt)
-    summ = jax.block_until_ready(summ)
+    block = 64
+    n_blocks = 32 if on_tpu else 8
+    bsum = block_summaries(summ, block_size=block,
+                           n_block_summary=4).astype(dt)
+    bsum = jax.block_until_ready(bsum)
 
     def exact_fn(qq, idx, m):
         if on_tpu:
             return maxsim_search_pallas(qq, idx, m, tile_d=16)
         return maxsim_search_xla(qq, idx, m)
 
-    # recall of two-stage vs exact
+    # recall of hierarchical (the headline mode) vs exact
     exact_scores = np.asarray(exact_fn(q, index, mask))
     exact_top = np.argsort(-exact_scores, 1)[:, :k]
-    _, rows = two_stage_search(q, index, mask, summ, k=k,
-                               n_candidates=n_candidates)
+    _, rows = hierarchical_search(q, index, mask, summ, bsum, k=k,
+                                  n_blocks=n_blocks,
+                                  n_candidates=n_candidates,
+                                  block_size=block)
     rows = np.asarray(rows)
     recall = float(np.mean([len(set(rows[i]) & set(exact_top[i])) / k
                             for i in range(b)]))
@@ -103,22 +114,29 @@ def main():
         lambda qq, idx, m, sm: two_stage_search(
             qq, idx, m, sm, k=k, n_candidates=n_candidates)[0],
         (index, mask, summ))
+    dt_hier = timeit(
+        lambda qq, idx, m, sm, bm: hierarchical_search(
+            qq, idx, m, sm, bm, k=k, n_blocks=n_blocks,
+            n_candidates=n_candidates, block_size=block)[0],
+        (index, mask, summ, bsum))
 
     qps_exact = b * iters / dt_exact
     qps_two = b * iters / dt_two
+    qps_hier = b * iters / dt_hier
     out = {
         "metric": f"late-interaction search QPS/chip ({n} docs x {ld} toks, "
-                  f"two-stage C={n_candidates}, top-{k})",
-        "value": round(qps_two, 1),
+                  f"hierarchical B={n_blocks} C={n_candidates}, top-{k})",
+        "value": round(qps_hier, 1),
         "unit": "queries/s/chip",
-        "vs_baseline": round(qps_two / 50.0, 2),
+        "vs_baseline": round(qps_hier / 50.0, 2),
         "extra": {
             "backend": jax.default_backend(),
             "recall_at_10_vs_exact": round(recall, 4),
             "top1_agreement_vs_exact": round(top1, 4),
             "exact_qps": round(qps_exact, 1),
+            "two_stage_qps": round(qps_two, 1),
             "exact_ms_per_batch32": round(dt_exact / iters * 1e3, 2),
-            "two_stage_ms_per_batch32": round(dt_two / iters * 1e3, 2),
+            "hierarchical_ms_per_batch32": round(dt_hier / iters * 1e3, 2),
             "index_gib": round(n * ld * dim
                                * (2 if on_tpu else 4) / 2 ** 30, 2),
         },
