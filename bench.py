@@ -73,7 +73,9 @@ def main():
     q = make_queries(jax.random.PRNGKey(1), index)
     summ = summarize_docs(index, mask, n_summary=8, iters=4).astype(dt)
     block = 64
-    n_blocks = 32 if on_tpu else 8
+    # nb sweep on v5e (recall flat at 0.9906 from nb=8 to 32; summary-stage
+    # limited): nb=32: 6119 QPS, nb=16: 7303, nb=8: 7649. 16 is the robust pick.
+    n_blocks = 16 if on_tpu else 8
     bsum = block_summaries(summ, block_size=block,
                            n_block_summary=4).astype(dt)
     bsum = jax.block_until_ready(bsum)
