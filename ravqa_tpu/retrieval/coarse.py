@@ -158,42 +158,48 @@ def block_summaries(summaries: jax.Array, block_size: int = 64,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_blocks", "n_candidates",
-                                             "block_size"))
+                                             "block_size",
+                                             "coarse_query_len"))
 def hierarchical_search(q: jax.Array, tokens: jax.Array, mask: jax.Array,
                         summaries: jax.Array, block_summ: jax.Array, *,
                         k: int, n_blocks: int = 1024,
                         n_candidates: int = 1024, block_size: int = 64,
-                        scales: Optional[jax.Array] = None):
+                        scales: Optional[jax.Array] = None,
+                        coarse_query_len: Optional[int] = None):
     """3-stage search: block summaries -> doc summaries -> exact MaxSim.
 
     Cuts the dominant coarse matmul by ~block_size/n_blocks-fold vs
     two_stage_search at very large N: stage-0 scores N/block_size block
     summaries densely; stage-1 scores only the top-n_blocks blocks' doc
     summaries (gathered); stage-2 re-scores top n_candidates docs exactly
-    (int8 scales supported). Returns (scores (B, k), rows (B, k)).
+    (int8 scales supported). coarse_query_len: only the first L query tokens
+    drive stages 0-1, full Q scores stage 2 (the reference's candidate-
+    generation truncation, index_storage.py:68-77).
+    Returns (scores (B, k), rows (B, k)).
     """
     n, s, d = summaries.shape
     nb = n // block_size
     summ_blocks = summaries.reshape(nb, block_size, s, d)
 
     # stage 0: dense over block summaries (small)
-    s0 = coarse_scores(q, block_summ)                 # (B, nb)
+    s0 = coarse_scores(q, block_summ, coarse_query_len)  # (B, nb)
     _, blk = jax.lax.top_k(s0, n_blocks)              # (B, n_blocks)
 
     ld = tokens.shape[1]
 
     def per_q(args):
         qi, blk_i = args                              # (Lq, d), (n_blocks,)
+        qc = qi if coarse_query_len is None else qi[:coarse_query_len]
         # stage 1: doc summaries of the selected blocks
         sg = jnp.take(summ_blocks, blk_i, axis=0)     # (n_blocks, bs, S, d)
-        s1 = jnp.einsum("nbsd,qd->nbsq", sg.astype(jnp.float32), qi,
+        s1 = jnp.einsum("nbsd,qd->nbsq", sg.astype(jnp.float32), qc,
                         preferred_element_type=jnp.float32)
         per_tok = jnp.max(s1, axis=2)                 # (n_blocks, bs, Lq)
         approx = jnp.sum(per_tok, axis=-1).reshape(-1)  # (n_blocks*bs,)
         _, loc = jax.lax.top_k(approx, n_candidates)
         doc_ids = blk_i[loc // block_size] * block_size \
             + (loc % block_size)                      # (n_candidates,)
-        # stage 2: exact on gathered tokens
+        # stage 2: exact on gathered tokens (full query)
         tok = jnp.take(tokens, doc_ids, axis=0)       # (C, Ld, dim)
         msk = jnp.take(mask, doc_ids, axis=0)
         s2 = jnp.einsum("cld,qd->clq", tok.astype(jnp.float32), qi,

@@ -66,7 +66,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                         two_stage: bool = False, n_candidates: int = 1024,
                         hierarchical: bool = False,
                         n_blocks: Optional[int] = None,
-                        block_size: int = 64):
+                        block_size: int = 64,
+                        coarse_query_len: Optional[int] = None):
     """Build a jitted collective search fn over `mesh`.
 
     Returned fn(q, tokens, mask[, summaries[, block_summaries]][, scales])
@@ -108,18 +109,21 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
 
     def _local_two_stage(q, tok, msk, summ):
         s, i = two_stage_search(q, tok, msk, summ, k=k_local,
-                                n_candidates=c_local)
+                                n_candidates=c_local,
+                                coarse_query_len=coarse_query_len)
         return _merge(q, s, i)
 
     def _local_two_stage_int8(q, tok, msk, summ, scl):
         s, i = two_stage_search(q, tok, msk, summ, k=k_local,
-                                n_candidates=c_local, scales=scl)
+                                n_candidates=c_local, scales=scl,
+                                coarse_query_len=coarse_query_len)
         return _merge(q, s, i)
 
     def _local_hier(q, tok, msk, summ, bsum, scl=None):
         s, i = hierarchical_search(q, tok, msk, summ, bsum, k=k_local,
                                    n_blocks=b_local, n_candidates=c_local,
-                                   block_size=block_size, scales=scl)
+                                   block_size=block_size, scales=scl,
+                                   coarse_query_len=coarse_query_len)
         return _merge(q, s, i)
 
     if hierarchical and quantized:
@@ -166,13 +170,17 @@ class LateInteractionSearcher:
                  axis: str = "index", use_pallas: Optional[bool] = None,
                  tile_d: int = 16, mode: str = "exact",
                  n_candidates: int = 1024,
-                 n_blocks: Optional[int] = None):
+                 n_blocks: Optional[int] = None,
+                 coarse_query_len: Optional[int] = None):
         """mode: "exact" (exhaustive MaxSim), "two_stage" (coarse over
         index.summaries -> exact re-score of top n_candidates; requires
         index.build_summaries()), or "hierarchical" (block summaries ->
         doc summaries -> exact; requires build_block_summaries(); works
         single-device and sharded — each shard prunes to its local
-        n_blocks/nshards blocks before the cross-shard merge)."""
+        n_blocks/nshards blocks before the cross-shard merge).
+        coarse_query_len: only the first L query rows drive the pruning
+        stages; full Q scores the final exact stage (the reference's
+        candidate-generation truncation, index_storage.py:68-77)."""
         self.index = index
         self.mesh = mesh
         self.axis = axis
@@ -183,6 +191,7 @@ class LateInteractionSearcher:
         self.mode = mode
         self.n_candidates = n_candidates
         self.n_blocks = n_blocks
+        self.coarse_query_len = coarse_query_len
         if mode == "two_stage":
             assert index.summaries is not None, \
                 "call index.build_summaries() first"
@@ -204,7 +213,8 @@ class LateInteractionSearcher:
                 n_candidates=self.n_candidates,
                 hierarchical=self.mode == "hierarchical",
                 n_blocks=self.n_blocks,
-                block_size=self.index.block_size)
+                block_size=self.index.block_size,
+                coarse_query_len=self.coarse_query_len)
         return self._sharded_fns[k]
 
     def search_device(self, q: jax.Array, k: int):
@@ -230,13 +240,15 @@ class LateInteractionSearcher:
                 idx.block_summaries, k=k,
                 n_blocks=min(want_blocks, nb),
                 n_candidates=min(self.n_candidates, idx.n_pad),
-                block_size=idx.block_size, scales=idx.scales)
+                block_size=idx.block_size, scales=idx.scales,
+                coarse_query_len=self.coarse_query_len)
         if self.mode == "two_stage":
             from .coarse import two_stage_search
             return two_stage_search(
                 q, idx.tokens, idx.mask, idx.summaries, k=k,
                 n_candidates=min(self.n_candidates, idx.n_pad),
-                scales=idx.scales)
+                scales=idx.scales,
+                coarse_query_len=self.coarse_query_len)
         return search_single_device(
             q, idx.tokens, idx.mask, idx.scales, k=k,
             use_pallas=self.use_pallas, tile_d=self.tile_d)

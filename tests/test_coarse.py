@@ -222,3 +222,29 @@ def test_searcher_hierarchical_sharded():
                                 use_pallas=False)
     scores, pids = s.search(q, k=5)
     assert (pids[:, 0] == qsrc).all()
+
+
+def test_searcher_coarse_query_len():
+    """The reference's candidate-generation query truncation
+    (index_storage.py:68-77) exposed through the Searcher: truncated Q
+    drives pruning, full Q scores the final stage exactly."""
+    from ravqa_tpu.retrieval import (LateInteractionSearcher,
+                                     build_index_from_embeddings)
+    rng = np.random.default_rng(9)
+    toks, mask, _, _ = make_clustered_corpus(rng, n_docs=128, ld=16, dim=32)
+    qidx = rng.integers(128, size=4)
+    q = normed(toks[qidx, :8] + 0.05 * rng.normal(size=(4, 8, 32))
+               ).astype(np.float32)
+    idx = build_index_from_embeddings(toks, mask, pad_multiple=8,
+                                      dtype=jnp.float32)
+    idx.build_summaries(n_summary=4, iters=4)
+    s = LateInteractionSearcher(idx, mode="two_stage", n_candidates=32,
+                                use_pallas=False, coarse_query_len=4)
+    scores, pids = s.search(q, k=5)
+    assert (pids[:, 0] == qidx).all()
+    # final scores are full-query exact scores for the retrieved docs
+    exact = np.asarray(maxsim_search_xla(jnp.array(q), jnp.array(toks),
+                                         jnp.array(mask)))
+    rows = np.asarray(pids)  # pids == rows here (no padding reorder)
+    np.testing.assert_allclose(
+        scores, np.take_along_axis(exact, rows, axis=1), rtol=1e-4)
