@@ -48,7 +48,15 @@ def build_index(key):
     def body(i, carry):
         idx8, scl, smm = carry
         ka, kn = jax.random.split(jax.random.fold_in(key, i))
-        assign = jax.random.randint(ka, (SLAB,), 0, N_TOPICS)
+        # cluster-ordered corpus: contiguous ~N/N_TOPICS-doc runs per topic
+        # (models coarse.cluster_order applied at build time; hierarchical
+        # search needs coherent blocks, two-stage is order-agnostic)
+        gidx = i * SLAB + jnp.arange(SLAB, dtype=jnp.int32)
+        # gidx * N_TOPICS overflows int32; f32 has ample precision here
+        # (values ≤ N_TOPICS with ~0.008 steps)
+        assign = jnp.clip(jnp.floor(gidx.astype(jnp.float32)
+                                    * (N_TOPICS / N)).astype(jnp.int32),
+                          0, N_TOPICS - 1)
         t = topics[assign][:, None, :] + (0.3 * jax.random.normal(
             kn, (SLAB, LD, DIM), dt)).astype(dt)
         sq = jnp.sum(t.astype(jnp.float32) ** 2, -1, keepdims=True)
@@ -124,3 +132,42 @@ def timeit(name, n_candidates, iters=8):
 
 timeit("two_stage_1M_int8_C1024", 1024)
 timeit("two_stage_1M_int8_C256", 256)
+
+
+# ---- hierarchical 3-stage over the cluster-ordered index -------------------
+from ravqa_tpu.retrieval.coarse import block_summaries, hierarchical_search
+
+BLOCK = 64
+bsum = block_summaries(summ, block_size=BLOCK, n_block_summary=4).astype(dt)
+bsum = jax.block_until_ready(bsum)
+print(f"block summaries: {bsum.shape}", flush=True)
+
+_, hrows = hierarchical_search(q, index8, mask, summ, bsum, k=K,
+                               n_blocks=128, n_candidates=1024,
+                               block_size=BLOCK, scales=scales)
+htop1 = float(np.mean(np.asarray(hrows)[:, 0] == np.asarray(qidx)))
+print(f"hierarchical self-retrieval top-1: {htop1:.2f}", flush=True)
+
+
+def timeit_hier(name, n_blocks, n_candidates, iters=8):
+    @jax.jit
+    def run(q, idx, m, sm, bm, sc):
+        def body(qq, _):
+            s, _ = hierarchical_search(qq, idx, m, sm, bm, k=K,
+                                       n_blocks=n_blocks,
+                                       n_candidates=n_candidates,
+                                       block_size=BLOCK, scales=sc)
+            return qq + (s[:, 0] * 1e-9).astype(qq.dtype)[:, None, None], ()
+        qq, _ = jax.lax.scan(body, q, None, length=iters)
+        return qq[:1, :1, :1]
+    _ = np.asarray(run(q, index8, mask, summ, bsum, scales))
+    t0 = time.perf_counter()
+    _ = np.asarray(run(q, index8, mask, summ, bsum, scales))
+    dt_s = time.perf_counter() - t0
+    print(f"{name}: {B * iters / dt_s:.0f} QPS/chip "
+          f"({dt_s / iters * 1e3:.2f} ms/batch)", flush=True)
+
+
+timeit_hier("hier_1M_int8_B128_C1024", 128, 1024)
+timeit_hier("hier_1M_int8_B64_C256", 64, 256)
+timeit_hier("hier_1M_int8_B32_C256", 32, 256)
