@@ -108,15 +108,20 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
         return _merge(q, s, i)
 
     def _local_two_stage(q, tok, msk, summ):
+        # use_pallas routes the coarse sweep through the fused Pallas MaxSim
+        # kernel: the XLA einsum materializes an (N_local, S, B, Lq) f32
+        # intermediate that OOMs a shard at 1M+ docs (see scripts/bench_1m.py)
         s, i = two_stage_search(q, tok, msk, summ, k=k_local,
                                 n_candidates=c_local,
-                                coarse_query_len=coarse_query_len)
+                                coarse_query_len=coarse_query_len,
+                                use_pallas_coarse=use_pallas)
         return _merge(q, s, i)
 
     def _local_two_stage_int8(q, tok, msk, summ, scl):
         s, i = two_stage_search(q, tok, msk, summ, k=k_local,
                                 n_candidates=c_local, scales=scl,
-                                coarse_query_len=coarse_query_len)
+                                coarse_query_len=coarse_query_len,
+                                use_pallas_coarse=use_pallas)
         return _merge(q, s, i)
 
     def _local_hier(q, tok, msk, summ, bsum, scl=None):
