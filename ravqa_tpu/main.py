@@ -46,16 +46,11 @@ def build_pipeline(cfg: Config, cache_dir: Optional[str]):
                         global_config=cfg)
 
 
-def build_executor(cfg: Config, data, mesh, log_dir: str, quiet=False):
-    import jax
-    import jax.numpy as jnp
-    from .executors import (FLMRExecutor, TrainConfig)
-    from .executors.pretraining_executor import FLMRVisionPretrainingExecutor
-    from .models import BertConfig, FLMRModelConfig, FLMRRetriever
-
-    mc = cfg.model_config
+def _flmr_config_from(mc):
+    """model_config dict -> FLMRModelConfig (shared by FLMR and RAG paths)."""
+    from .models import BertConfig, FLMRModelConfig
     bert = BertConfig(**mc.get("bert", {}))
-    model_cfg = FLMRModelConfig(
+    return FLMRModelConfig(
         bert=bert,
         dim=mc.get("dim", 128),
         vision_dim=mc.get("vision_embedding_size", 768),
@@ -77,6 +72,17 @@ def build_executor(cfg: Config, data, mesh, log_dir: str, quiet=False):
             "transformer_mapping_num_heads", 12),
         vision_patch_dim=mc.get("vision_patch_dim"),
     )
+
+
+def build_executor(cfg: Config, data, mesh, log_dir: str, quiet=False):
+    import jax
+    import jax.numpy as jnp
+    from .executors import (FLMRExecutor, TrainConfig)
+    from .executors.pretraining_executor import FLMRVisionPretrainingExecutor
+    from .models import FLMRRetriever
+
+    mc = cfg.model_config
+    model_cfg = _flmr_config_from(mc)
     model = FLMRRetriever(model_cfg)
 
     # init with a probe batch from the train loader
@@ -111,15 +117,11 @@ def build_rag_executor(cfg: Config, data, mesh, log_dir: str, quiet=False):
     import jax.numpy as jnp
     from .data.datasets import corpus_doc_batches
     from .executors import FLMRExecutor, RagConfig, RagExecutor, TrainConfig
-    from .models import (BertConfig, FLMRModelConfig, FLMRRetriever,
+    from .models import (FLMRRetriever,
                          T5Config, T5Model)
 
     mc = cfg.model_config
-    bert = BertConfig(**mc.get("bert", {}))
-    rcfg = FLMRModelConfig(
-        bert=bert, dim=mc.get("dim", 128),
-        vision_dim=mc.get("vision_embedding_size", 768),
-        prefix_len=mc.get("mapping_network_prefix_length", 32))
+    rcfg = _flmr_config_from(mc)
     retriever = FLMRRetriever(rcfg)
     train_ds = data["train"]
     probe = train_ds.collate([0, 1])
