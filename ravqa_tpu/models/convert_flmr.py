@@ -104,6 +104,61 @@ def convert_transformer_mapping_params(
     return p
 
 
+def export_transformer_mapping_params(
+        params: dict, num_heads: int,
+        prefix: str = "transformer_mapping_") -> dict:
+    """Reverse of convert_transformer_mapping_params: TransformerMapping
+    params -> the companion repo's torch state-dict layout (numpy values;
+    wrap in torch.tensor to save)."""
+    out = {}
+
+    def put(name, kernel=None, bias=None):
+        if kernel is not None:
+            out[prefix + name + ".weight"] = np.ascontiguousarray(kernel.T)
+        if bias is not None:
+            out[prefix + name + ".bias"] = np.asarray(bias)
+
+    il = params["input_linear"]
+    put("input_linear", np.asarray(il["kernel"]), il["bias"])
+    h = np.asarray(il["kernel"]).shape[1]
+    i = 0
+    while f"layer_{i}" in params:
+        lp = params[f"layer_{i}"]
+        pre = f"network.layer.{i}."
+
+        def attn(block, p):
+            for name in ("query", "key", "value"):
+                k = np.asarray(p[name]["kernel"])
+                put(pre + block + f".self.{name}",
+                    k.reshape(k.shape[0], -1),
+                    np.asarray(p[name]["bias"]).reshape(-1))
+            ok = np.asarray(p["out"]["kernel"]).reshape(-1, h)
+            put(pre + block + ".output.dense", ok, p["out"]["bias"])
+
+        attn("attention", lp["attention"])
+        attn("crossattention", lp["cross_attention"])
+        out[prefix + pre + "attention.output.LayerNorm.weight"] = \
+            np.asarray(lp["ln_self"]["scale"])
+        out[prefix + pre + "attention.output.LayerNorm.bias"] = \
+            np.asarray(lp["ln_self"]["bias"])
+        out[prefix + pre + "crossattention.output.LayerNorm.weight"] = \
+            np.asarray(lp["ln_cross"]["scale"])
+        out[prefix + pre + "crossattention.output.LayerNorm.bias"] = \
+            np.asarray(lp["ln_cross"]["bias"])
+        put(pre + "intermediate.dense", np.asarray(lp["mlp"]["fc1"]["kernel"]),
+            lp["mlp"]["fc1"]["bias"])
+        put(pre + "output.dense", np.asarray(lp["mlp"]["fc2"]["kernel"]),
+            lp["mlp"]["fc2"]["bias"])
+        out[prefix + pre + "output.LayerNorm.weight"] = \
+            np.asarray(lp["ln_out"]["scale"])
+        out[prefix + pre + "output.LayerNorm.bias"] = \
+            np.asarray(lp["ln_out"]["bias"])
+        i += 1
+    ol = params["output_linear"]
+    put("output_linear", np.asarray(ol["kernel"]), ol["bias"])
+    return out
+
+
 def convert_hf_flmr_params(
     colbert_sd: dict,
     cfg: FLMRModelConfig,

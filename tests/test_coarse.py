@@ -248,3 +248,40 @@ def test_searcher_coarse_query_len():
     rows = np.asarray(pids)  # pids == rows here (no padding reorder)
     np.testing.assert_allclose(
         scores, np.take_along_axis(exact, rows, axis=1), rtol=1e-4)
+
+
+def test_searcher_hierarchical_int8_sharded():
+    """Sharded hierarchical over an int8-quantized index (the 1M-on-a-mesh
+    recipe: block summaries bf16, tokens int8 with in-stage dequant)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from ravqa_tpu.ops.quant import quantize_index_int8
+    from ravqa_tpu.retrieval import (LateInteractionSearcher, TokenIndex,
+                                     build_index_from_embeddings)
+    from ravqa_tpu.retrieval.coarse import cluster_order, summarize_docs
+    rng = np.random.default_rng(11)
+    toks, mask, _, _ = make_clustered_corpus(rng, n_docs=256, ld=16, dim=32,
+                                             n_topics=16)
+    summ = summarize_docs(jnp.array(toks), jnp.array(mask), n_summary=4,
+                          iters=4)
+    perm = np.asarray(cluster_order(summ, n_clusters=8, iters=4, chunk=128))
+    toks, mask = toks[perm], mask[perm]
+    qsrc = rng.integers(256, size=4)
+    q = normed(toks[qsrc, :8] + 0.05 * rng.normal(size=(4, 8, 32))
+               ).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()), ("index",))
+    idx = build_index_from_embeddings(toks, mask, pad_multiple=8,
+                                      dtype=jnp.float32, mesh=mesh)
+    idx.build_summaries(n_summary=4, iters=4, mesh=mesh)
+    q8, scales = quantize_index_int8(idx.tokens, idx.mask.astype(jnp.float32))
+    sh = NamedSharding(mesh, P("index"))
+    idx_q = TokenIndex(tokens=jax.device_put(q8, sh), mask=idx.mask,
+                       pids=idx.pids, num_docs=idx.num_docs,
+                       scales=jax.device_put(scales, sh),
+                       summaries=idx.summaries)
+    idx_q.build_block_summaries(block_size=16, n_block_summary=4, mesh=mesh)
+    s = LateInteractionSearcher(idx_q, mesh=mesh, mode="hierarchical",
+                                n_candidates=64, n_blocks=16,
+                                use_pallas=False)
+    scores, pids = s.search(q, k=5)
+    assert (pids[:, 0] == qsrc).all()

@@ -174,3 +174,30 @@ def test_transformer_mapping_conversion_parity():
     got = np.asarray(m.apply({"params": params}, jnp.array(patches),
                              jnp.array(text), jnp.array(tmask)))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_transformer_mapping_export_roundtrip():
+    """export_transformer_mapping_params inverts the converter exactly."""
+    import jax
+    from ravqa_tpu.models.convert_flmr import (
+        convert_transformer_mapping_params, export_transformer_mapping_params)
+    from ravqa_tpu.models.mapping import TransformerMapping
+
+    h, nh, inter, vdim, lmdim = 32, 4, 64, 24, 16
+    m = TransformerMapping(vision_dim=vdim, hidden_size=h, lm_dim=lmdim,
+                           num_layers=2, num_heads=nh,
+                           intermediate_size=inter)
+    rng = np.random.default_rng(4)
+    patches = jnp.array(rng.normal(size=(1, 3, vdim)), jnp.float32)
+    text = jnp.array(rng.normal(size=(1, 5, h)), jnp.float32)
+    tmask = jnp.ones((1, 5), jnp.int32)
+    params = m.init(jax.random.PRNGKey(2), patches, text, tmask)["params"]
+
+    sd = export_transformer_mapping_params(params, num_heads=nh)
+    back = convert_transformer_mapping_params(sd, num_layers=2, num_heads=nh)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(np.asarray(leaf), flat_b[path],
+                                   atol=1e-6, err_msg=str(path))
