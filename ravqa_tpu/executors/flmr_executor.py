@@ -114,10 +114,19 @@ class FLMRExecutor(BaseExecutor):
         if index is None:
             index = self.build_index(doc_batches, pids=np.arange(
                 len(passage_ids)))
-        if search_mode == "two_stage" and index.summaries is None:
+        if search_mode in ("two_stage", "hierarchical") \
+                and index.summaries is None:
             index.build_summaries(mesh=self.mesh,
                                   axis="data" if self.mesh is not None
                                   else "index")
+        if search_mode == "hierarchical" and index.block_summaries is None:
+            n_local = index.n_pad // (self.mesh.shape["data"]
+                                      if self.mesh is not None else 1)
+            bs = max(b for b in (64, 32, 16, 8, 4, 2, 1)
+                     if n_local % b == 0)
+            index.build_block_summaries(
+                block_size=bs, mesh=self.mesh,
+                axis="data" if self.mesh is not None else "index")
         searcher = LateInteractionSearcher(
             index, mesh=self.mesh,
             axis="data" if self.mesh is not None else "index",

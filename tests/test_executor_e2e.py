@@ -189,3 +189,22 @@ def test_evaluate_retrieval_two_stage(world):
         pos_item_ids=[[f"GS_{i}"] for i in range(world.n_docs)],
         ks=[1, 5], search_mode="two_stage", n_candidates=16)
     assert "pos_item_ids_recall_at_5" in m
+
+
+def test_evaluate_retrieval_hierarchical(world):
+    """search_mode='hierarchical' auto-builds summaries + block summaries
+    (block size adapted to the padded index)."""
+    cfg, model, params = make_model(world)
+    ex = FLMRExecutor(model, params, TrainConfig(lr=1e-3), quiet=True)
+    qi, qm = world.qt.tensorize(world.queries)
+    di, dm = world.dt.tensorize(world.passages)
+    m = ex.evaluate_retrieval(
+        [dict(query_input_ids=jnp.array(qi),
+              query_attention_mask=jnp.array(qm),
+              image_features=jnp.array(world.image_feats))],
+        [dict(doc_input_ids=jnp.array(di), doc_attention_mask=jnp.array(dm))],
+        passage_ids=[f"GS_{i}" for i in range(world.n_docs)],
+        pos_item_ids=[[f"GS_{i}"] for i in range(world.n_docs)],
+        ks=[1, 5], search_mode="hierarchical", n_candidates=16)
+    assert "pos_item_ids_recall_at_5" in m
+    assert m["_index"].block_summaries is not None
