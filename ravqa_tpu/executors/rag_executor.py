@@ -52,6 +52,26 @@ class RagConfig:
     label_maxlen: int = 8
     generator_type: str = "t5"            # "t5" | "blip2" (RAVQA-v2)
     num_beams: int = 1                    # reference RAVQA-v2 uses 2
+    search_mode: str = "exact"            # | "two_stage" | "hierarchical"
+    n_candidates: int = 1024              # pruned-mode candidate count
+
+
+def _make_searcher(index: TokenIndex, mesh, rag_cfg: "RagConfig"):
+    """Searcher for live retrieval, honoring rag_cfg.search_mode (pruned
+    modes auto-build the summary levels; hierarchical picks a block size
+    that divides the padded per-shard doc count)."""
+    axis = "data" if mesh is not None else "index"
+    mode = rag_cfg.search_mode
+    if mode in ("two_stage", "hierarchical") and index.summaries is None:
+        index.build_summaries(mesh=mesh, axis=axis)
+    if mode == "hierarchical" and index.block_summaries is None:
+        n_local = index.n_pad // (mesh.shape[axis] if mesh is not None else 1)
+        bs = max(b for b in (64, 32, 16, 8, 4, 2, 1) if n_local % b == 0)
+        index.build_block_summaries(block_size=bs, mesh=mesh, axis=axis)
+    return LateInteractionSearcher(
+        index, mesh=mesh, axis=axis,
+        use_pallas=jax.default_backend() == "tpu",
+        mode=mode, n_candidates=rag_cfg.n_candidates)
 
 
 class RagExecutor(BaseExecutor):
@@ -78,9 +98,7 @@ class RagExecutor(BaseExecutor):
         self.input_builder = input_builder or GeneratorInputBuilder()
         self.searcher = None
         if index is not None:
-            self.searcher = LateInteractionSearcher(
-                index, mesh=mesh, axis="data" if mesh is not None else
-                "index", use_pallas=jax.default_backend() == "tpu")
+            self.searcher = _make_searcher(index, mesh, rag_cfg)
 
         gen_tree = generator_params
         if rag_cfg.use_lora:
@@ -361,7 +379,5 @@ def refresh_index(executor: "RagExecutor", flmr_executor,
     new_index = flmr_executor.build_index(list(doc_batches))
     executor.index = new_index
     if executor.searcher is not None:
-        executor.searcher = LateInteractionSearcher(
-            new_index, mesh=executor.mesh,
-            axis="data" if executor.mesh is not None else "index",
-            use_pallas=jax.default_backend() == "tpu")
+        executor.searcher = _make_searcher(new_index, executor.mesh,
+                                           executor.rag_cfg)

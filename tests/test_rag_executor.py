@@ -201,3 +201,24 @@ def test_rag_training_on_mesh(rag_setup):
     batch = make_batch(world, [0, 1, 2, 3, 4, 5, 6, 7])
     m = ex.train_step_rag(batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_rag_live_pruned_search(rag_setup):
+    """Live retrieval through the pruned search modes (search_mode in
+    RagConfig auto-builds summaries / block summaries on the index)."""
+    world, retriever, rp, gen, gp, index, corpus = rag_setup
+    tok = world["tokenizer"]
+    ex = RagExecutor(
+        retriever, rp, gen, gp, gen_tokenizer=tok,
+        rag_cfg=RagConfig(n_docs=2, gen_maxlen=32, label_maxlen=4,
+                          max_decode_len=4, use_lora=False,
+                          search_mode="hierarchical", n_candidates=8),
+        train_cfg=TrainConfig(lr=1e-3),
+        index=index, passage_contents=corpus.contents, quiet=True)
+    assert ex.index.summaries is not None
+    assert ex.index.block_summaries is not None
+    batch = make_batch(world, [0, 1])
+    m = ex.train_step_rag(batch)
+    assert np.isfinite(float(m["loss"]))
+    out = ex.generate(batch)
+    assert len(out["predictions"]) == 2
