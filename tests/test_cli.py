@@ -77,3 +77,15 @@ def test_cli_flmr_transformer_mapping(log_dir):
     metrics = json.load(open(os.path.join(log_dir, "tm",
                                           "test_metrics.json")))
     assert "pos_item_ids_recall_at_5" in metrics
+
+
+def test_cli_flmr_eval_mode(log_dir):
+    """--mode eval (valid-split eval without training) runs and prints
+    metrics (reference eval_main path)."""
+    assert main(["--config", os.path.join(CFG_DIR, "synthetic_flmr.json"),
+                 "--mode", "eval", "--experiment_name", "e",
+                 "--log_dir", log_dir,
+                 "--opts", "train.batch_size=4"]) == 0
+    metrics = json.load(open(os.path.join(log_dir, "e",
+                                          "valid_metrics.json")))
+    assert "pos_item_ids_recall_at_5" in metrics
