@@ -225,8 +225,11 @@ def flipr_reduce(scores: jax.Array, d_mask: jax.Array,
     rest = per_q[..., query_part_len:]
     top1, _ = jax.lax.top_k(first, min(k1, first.shape[-1]))
     out = jnp.sum(top1, axis=-1)
-    if rest.shape[-1] > 0 and k2 > 0:
-        top2, _ = jax.lax.top_k(rest, min(k2, rest.shape[-1]))
+    # Reference edge case (colbert.py:258): the context-part sum is added
+    # only when at least k2 context tokens exist; a shorter context part
+    # contributes NOTHING (not a partial top-k).
+    if k2 > 0 and rest.shape[-1] >= k2:
+        top2, _ = jax.lax.top_k(rest, k2)
         out = out + jnp.sum(top2, axis=-1)
     return out
 
