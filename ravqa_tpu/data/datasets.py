@@ -21,6 +21,25 @@ from ..tokenization import DocTokenizer, QueryTokenizer
 from .module_parser import ModuleParser
 
 
+def _attach_vision(batch: dict, items: Sequence[dict],
+                   parsed: Optional[Sequence[dict]] = None) -> None:
+    """Attach stacked vision features to a batch. Prefers the ModuleParser's
+    VisionInput output (which applies the reference's ROI padding to a fixed
+    row count, module_parser.py:154-178) over the raw item field, so
+    variable-ROI-count items stack cleanly."""
+    if parsed and "vision_features" in parsed[0]:
+        batch["image_features"] = np.stack(
+            [np.asarray(p["vision_features"], np.float32) for p in parsed])
+    elif "image_features" in items[0]:
+        batch["image_features"] = np.stack(
+            [np.asarray(it["image_features"], np.float32) for it in items])
+    if "image_patch_features" in items[0]:
+        # PreFLMR transformer mapping input: (P, patch_dim) per item
+        batch["image_patch_features"] = np.stack(
+            [np.asarray(it["image_patch_features"], np.float32)
+             for it in items])
+
+
 @dataclasses.dataclass
 class PassageCorpus:
     ids: list            # passage ids (e.g. "GS_123")
@@ -89,22 +108,15 @@ class RetrievalDataset:
 
     def collate(self, indices: Sequence[int]) -> dict:
         items = [self.items[i] for i in indices]
-        qi, qm = self.qt.tensorize([self.query_text(it) for it in items])
+        parsed = [self.parser.parse(it, self.input_modules) for it in items]
+        qi, qm = self.qt.tensorize([p["text_sequence"] for p in parsed])
         docs: list[str] = []
         for it in items:
             docs.extend(self.sample_docs(it))
         di, dm = self.dt.tensorize(docs)
         batch = {"query_input_ids": qi, "query_attention_mask": qm,
                  "doc_input_ids": di, "doc_attention_mask": dm}
-        if "image_features" in items[0]:
-            batch["image_features"] = np.stack(
-                [np.asarray(it["image_features"], np.float32)
-                 for it in items])
-        if "image_patch_features" in items[0]:
-            # PreFLMR transformer mapping input: (P, patch_dim) per item
-            batch["image_patch_features"] = np.stack(
-                [np.asarray(it["image_patch_features"], np.float32)
-                 for it in items])
+        _attach_vision(batch, items, parsed)
         return batch
 
     def loader(self, batch_size: int, shuffle: bool = True,
@@ -137,15 +149,9 @@ def query_eval_batches(dataset: RetrievalDataset,
     n = len(dataset.items)
     for s in range(0, n, batch_size):
         items = dataset.items[s:s + batch_size]
-        qi, qm = dataset.qt.tensorize(
-            [dataset.query_text(it) for it in items])
+        parsed = [dataset.parser.parse(it, dataset.input_modules)
+                  for it in items]
+        qi, qm = dataset.qt.tensorize([p["text_sequence"] for p in parsed])
         batch = {"query_input_ids": qi, "query_attention_mask": qm}
-        if "image_features" in items[0]:
-            batch["image_features"] = np.stack(
-                [np.asarray(it["image_features"], np.float32)
-                 for it in items])
-        if "image_patch_features" in items[0]:
-            batch["image_patch_features"] = np.stack(
-                [np.asarray(it["image_patch_features"], np.float32)
-                 for it in items])
+        _attach_vision(batch, items, parsed)
         yield batch

@@ -15,6 +15,8 @@ from __future__ import annotations
 import random
 from typing import Any, Optional
 
+import numpy as np
+
 
 def _st(module: dict) -> dict:
     st = module.get("separation_tokens", {})
@@ -86,7 +88,23 @@ class ModuleParser:
     def VisionInput(self, sample: dict, module: dict) -> dict:
         option = module.get("option", "from_embeddings")
         if option == "from_embeddings":
-            return {"vision_features": sample["image_features"]}
+            feats = sample["image_features"]
+            num_rois = module.get("num_ROIs", 0)
+            if module.get("use_ROI", False) and num_rois:
+                # Reference ROI stacking & padding (module_parser.py:154-178):
+                # row 0 is the global image feature; ROI rows pad by
+                # repeating the LAST ROI up to num_ROIs, then truncate ->
+                # fixed (1 + num_ROIs, dim). With zero ROIs the global
+                # feature repeats (the reference would IndexError there).
+                feats = np.asarray(feats)
+                if feats.ndim == 1:
+                    feats = feats[None]
+                glob, rois = feats[:1], list(feats[1:])
+                pad = rois[-1] if rois else glob[0]
+                rois = (rois + [pad] * (num_rois - len(rois)))[:num_rois]
+                feats = np.concatenate([glob, np.stack(rois)]) if rois \
+                    else glob
+            return {"vision_features": feats}
         if option == "from_file":
             return {"pixel_values": sample["image"]}
         raise ValueError(option)

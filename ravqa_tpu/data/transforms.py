@@ -63,10 +63,128 @@ class LoadGoogleSearchPassages(BaseTransform):
 
 
 @register_transform
-class LoadOKVQAData(BaseTransform):
-    """setup: questions_path / annotations_path dicts keyed by split."""
+class LoadVinVLFeatures(BaseTransform):
+    """Parse offline VinVL object-detection dumps (TSV: image_key \\t json),
+    matching the reference schema (vqa_data_ops.py:54-105): each prediction
+    carries `objects`: [{class, rect [xmin,ymin,xmax,ymax], conf, attributes,
+    attr_scores, feature(base64 — dropped, as the reference does at :89)}].
+
+    setup: features_path {split: tsv}. Returns {"vinvl_features":
+    {image_key: prediction}} keyed by the zero-padded image key the TSV uses.
+    """
 
     def __call__(self, *inputs):
+        vinvl: dict[str, dict] = {}
+        for split, path in self.features_path.items():
+            with open(path, newline="") as f:
+                for row in csv.reader(f, delimiter="\t"):
+                    if len(row) < 2:
+                        continue
+                    image_key, prediction = row[0], json.loads(row[1])
+                    for obj in prediction.get("objects", []):
+                        obj.pop("feature", None)
+                    vinvl[image_key] = prediction
+        return {"vinvl_features": vinvl}
+
+
+@register_transform
+class LoadOscarCaptionFeatures(BaseTransform):
+    """Load Oscar captioning outputs (JSON {image_key: [caption, ...]}),
+    merged across files (reference vqa_data_ops.py:108-129).
+
+    setup: caption_features {name: json_path}.
+    Returns {"caption_features": {image_key: captions}}.
+    """
+
+    def __call__(self, *inputs):
+        captions: dict = {}
+        for path in self.caption_features.values():
+            with open(path) as f:
+                captions.update(json.load(f))
+        return {"caption_features": captions}
+
+
+def _poly_area(xs, ys) -> float:
+    """Shoelace area of a polygon (reference PolyArea,
+    vqa_data_ops.py:182-183)."""
+    xs, ys = np.asarray(xs, float), np.asarray(ys, float)
+    return 0.5 * abs(np.dot(xs, np.roll(ys, 1)) - np.dot(ys, np.roll(xs, 1)))
+
+
+@register_transform
+class LoadGoogleOCRFeatures(BaseTransform):
+    """Load per-image Google-OCR JSONs ({image_key}_ocr.json with
+    `filtered_text_annotations`: [{description, vertices}]) and optionally
+    attach each annotation to the VinVL objects containing it, scored by
+    text-area / object-area (reference vqa_data_ops.py:131-227).
+
+    setup: ocr_features {train/test: dir, combine_with_vinvl: bool}.
+    Input: a dict carrying "vinvl_features".
+    """
+
+    def __call__(self, data):
+        vinvl = data["vinvl_features"]
+        ocr: dict[str, dict] = {}
+        dirs = [v for k, v in self.ocr_features.items()
+                if k != "combine_with_vinvl"]
+        for d in dirs:
+            for image_key in vinvl:
+                p = os.path.join(d, f"{image_key}_ocr.json")
+                if os.path.exists(p):
+                    with open(p) as f:
+                        ocr[image_key] = json.load(f)
+
+        if self.ocr_features.get("combine_with_vinvl"):
+            first = next(iter(vinvl.values()), {})
+            if "ocr" not in first:
+                for image_key, prediction in vinvl.items():
+                    anns = ocr.get(image_key, {}).get(
+                        "filtered_text_annotations", [])
+                    count = 0
+                    for ann in anns:
+                        desc = ann["description"].replace("\n", " ")
+                        xs, ys = zip(*ann["vertices"])
+                        area = _poly_area(xs, ys)
+                        for obj in prediction.get("objects", []):
+                            xmin, ymin, xmax, ymax = obj["rect"]
+                            obj_area = (ymax - ymin) * (xmax - xmin)
+                            v = np.asarray(ann["vertices"], float)
+                            within = (v[:, 0] >= xmin).all() \
+                                and (v[:, 0] <= xmax).all() \
+                                and (v[:, 1] >= ymin).all() \
+                                and (v[:, 1] <= ymax).all()
+                            score = area / obj_area if within else 0.0
+                            if score > 0:
+                                count += 1
+                                obj.setdefault("ocr", []).append(
+                                    {"text": desc, "score": score})
+                    prediction["ocr"] = count
+        return {"vinvl_features": vinvl, "ocr_features": ocr}
+
+
+@register_transform
+class LoadOKVQAData(BaseTransform):
+    """setup: questions_path / annotations_path dicts keyed by split, plus
+    the reference's feature-attachment flags (vqa_data_ops.py:297-395):
+    add_caption_features (img_caption from caption_features[str(image_id)]),
+    add_VinVL_features (objects from vinvl_features[zfill12 key]; missing
+    key raises, as the reference does at :372), add_OCR_features (img_ocr
+    from ocr_features[zfill12 key].filtered_text_annotations).
+
+    Inputs: zero or more dicts carrying vinvl_features / caption_features /
+    ocr_features from the D1 loader nodes.
+    """
+
+    def __call__(self, *inputs):
+        feats: dict = {}
+        for d in inputs:
+            if isinstance(d, dict):
+                feats.update({k: v for k, v in d.items()
+                              if k in ("vinvl_features", "caption_features",
+                                       "ocr_features")})
+        add_cap = getattr(self, "add_caption_features", False)
+        add_vinvl = getattr(self, "add_VinVL_features", False)
+        add_ocr = getattr(self, "add_OCR_features", False)
         out = {}
         for split in self.questions_path:
             with open(self.questions_path[split]) as f:
@@ -78,7 +196,7 @@ class LoadOKVQAData(BaseTransform):
             for q in questions:
                 a = ann_by_qid[q["question_id"]]
                 answers = [x["answer"] for x in a["answers"]]
-                items.append({
+                item = {
                     "question_id": str(q["question_id"]),
                     "question": q["question"],
                     "image_id": q["image_id"],
@@ -87,7 +205,28 @@ class LoadOKVQAData(BaseTransform):
                                          answers[0] if answers else ""),
                     "question_type": a.get("question_type", ""),
                     "answer_type": a.get("answer_type", ""),
-                })
+                }
+                img_key = str(q["image_id"])          # caption key (:298)
+                img_key_full = img_key.zfill(12)      # vinvl/ocr key (:304)
+                if add_cap:
+                    cap = feats.get("caption_features", {}).get(img_key)
+                    item["img_caption"] = cap[0] if cap else None
+                if add_vinvl:
+                    pred = feats.get("vinvl_features", {}).get(img_key_full)
+                    if pred is None:
+                        raise KeyError(
+                            f"Image {img_key_full} has no VinVL features")
+                    item["objects"] = [
+                        {"class": o["class"], "rect": o["rect"],
+                         "attributes": o.get("attributes", []),
+                         "attribute_scores": o.get("attr_scores", []),
+                         "ocr": o.get("ocr", [])}
+                        for o in pred.get("objects", [])]
+                if add_ocr:
+                    item["img_ocr"] = feats.get("ocr_features", {}).get(
+                        img_key_full, {}).get("filtered_text_annotations",
+                                              [])
+                items.append(item)
             if getattr(self, "use_dummy_data", False):
                 items = items[:20]   # reference --use_dummy_data truncation
             out[split] = items
@@ -321,27 +460,136 @@ class CropRegionOfInterestImages(BaseTransform):
 
 
 @register_transform
+class CropRandomRegionOfInterestImages(BaseTransform):
+    """Random or even-grid ROI crops, the reference's ablation variant
+    (vqa_data_ops.py:524-596): even_split tiles the image into a
+    sqrt(max_objects)^2 grid; otherwise max_objects random boxes with a
+    10px minimum margin.
+
+    setup: max_objects=9, even_split=False, seed=0, image_size=(512, 512)
+    (fallback when an item has no "img_size" (w, h) field; the reference
+    reads sizes from disk via PIL).
+    """
+
+    def __call__(self, data):
+        import math
+
+        rng = np.random.default_rng(getattr(self, "seed", 0))
+        max_objects = getattr(self, "max_objects", 9)
+        even = getattr(self, "even_split", False)
+        crops: dict[str, dict] = dict(data.get("roi_crops", {}))
+        for split, items in data.items():
+            if not isinstance(items, list):
+                continue
+            for it in items:
+                w, h = it.get("img_size",
+                              getattr(self, "image_size", (512, 512)))
+                selected = []
+                if even:
+                    size = math.isqrt(max_objects)
+                    assert size * size == max_objects, \
+                        "even_split needs a square max_objects"
+                    for i in range(size):
+                        for j in range(size):
+                            selected.append({
+                                "class": "even_split",
+                                "rect": [w / size * i, h / size * j,
+                                         min(w, w / size * (i + 1)),
+                                         min(h, h / size * (j + 1))]})
+                else:
+                    m = 10
+                    for _ in range(max_objects):
+                        xmin = m + rng.random() * (w - 2 * m)
+                        xmax = min(w, xmin + m + (w - xmin - m)
+                                   * rng.random())
+                        ymin = m + rng.random() * (h - 2 * m)
+                        ymax = min(h, ymin + m + (h - ymin - m)
+                                   * rng.random())
+                        selected.append({"class": "random",
+                                         "rect": [xmin, ymin, xmax, ymax]})
+                rois = []
+                for obj in selected:
+                    xmin, ymin, xmax, ymax = [round(v, 2)
+                                              for v in obj["rect"]]
+                    rid = (f"{it.get('img_path', it.get('image_id'))}"
+                           f"|||{obj['class']}_{xmin}_{ymin}_{xmax}_{ymax}")
+                    crops[rid] = {"id": rid,
+                                  "img_path": it.get("img_path"),
+                                  "image_id": it.get("image_id"),
+                                  "obj": obj,
+                                  "crop": [xmin, ymin, xmax, ymax]}
+                    rois.append(rid)
+                it["ROIs"] = rois
+        data["roi_crops"] = crops
+        return data
+
+
+@register_transform
 class ExtractImageFeaturesWithViT(BaseTransform):
     """Batch-encode images (and ROI crops) with the Flax CLIP-ViT, keeping
     the CLS embedding; caches to an .npz store (replaces the reference's
     ElasticSearch cache + multi-GPU datasets.map, vqa_data_ops.py:834-1444).
 
-    setup: image_loader (callable id -> HxWx3 uint8 array), vit_config
-    (ViTConfig) + vit_params, batch_size=64, cache_path (npz, optional),
-    image_size=224.
+    ROI crop application happens HERE, in-repo (the reference crops at
+    feature-extraction time too, via the registered crop records,
+    vqa_data_ops.py:489-497): for a ROI id the source image is loaded,
+    sliced to the crop box, and encoded like any other image.
+
+    setup:
+      image sources (one of): image_loader (callable image_key ->
+        HxWx3 uint8 array), image_store (npz path keyed by str(image_id)),
+        synthetic_images=True (deterministic noise — test fixtures);
+      model: vit_config (ViTConfig) + vit_params, OR vit ({"tiny": true} or
+        ViTConfig field dict; params random-initialized from `seed`) for
+        config-file-driven runs;
+      num_rois (optional int): pad/truncate each item's ROI list to exactly
+        this many, repeating the last ROI (the reference's padding rule,
+        module_parser.py:164-166; the global feature repeats when an item
+        has no ROIs at all) -> fixed (1 + num_rois, dim) feature stacks;
+      batch_size=64, cache_path (npz, optional), image_size=224.
     """
+
+    def _image_source(self):
+        if getattr(self, "image_loader", None) is not None:
+            return self.image_loader
+        if getattr(self, "image_store", None) is not None:
+            store = np.load(self.image_store)
+            return lambda key: store[str(key)]
+        if getattr(self, "synthetic_images", False):
+            size = getattr(self, "image_size", 224)
+
+            def synth(key):
+                rng = np.random.default_rng(abs(hash(str(key))) % (2**32))
+                return rng.integers(0, 255, (size, size, 3)).astype(np.uint8)
+            return synth
+        raise ValueError("ExtractImageFeaturesWithViT needs image_loader, "
+                         "image_store, or synthetic_images")
+
+    def _load(self, key, roi_crops, source):
+        """Load an image or an ROI crop of it (crop applied in-repo)."""
+        rec = roi_crops.get(key)
+        if rec is None:
+            return np.asarray(source(key))
+        img = np.asarray(source(str(rec.get("image_id",
+                                            rec.get("img_path")))))
+        xmin, ymin, xmax, ymax = rec["crop"]
+        h, w = img.shape[:2]
+        y0, y1 = max(0, int(ymin)), min(h, max(int(ymin) + 1, int(ymax)))
+        x0, x1 = max(0, int(xmin)), min(w, max(int(xmin) + 1, int(xmax)))
+        return img[y0:y1, x0:x1]
 
     def __call__(self, data):
         import jax
         import jax.numpy as jnp
 
-        from ..models import CLIPVisionModel, clip_preprocess
+        from ..models import CLIPVisionModel, ViTConfig, clip_preprocess
 
         cache_path = getattr(self, "cache_path", None)
         cache = {}
         if cache_path and os.path.exists(cache_path):
             cache = dict(np.load(cache_path))
 
+        roi_crops = data.get("roi_crops", {})
         ids = []
         for split, items in data.items():
             if not isinstance(items, list):
@@ -356,20 +604,38 @@ class ExtractImageFeaturesWithViT(BaseTransform):
         ids = [i for j, i in enumerate(ids) if i not in ids[:j]]
 
         if ids:
-            model = CLIPVisionModel(self.vit_config)
-            bs = getattr(self, "batch_size", 64)
+            vit_cfg = getattr(self, "vit_config", None)
+            params = getattr(self, "vit_params", None)
+            if vit_cfg is None:
+                spec = dict(getattr(self, "vit", {}))
+                vit_cfg = ViTConfig.tiny() if spec.pop("tiny", False) \
+                    else ViTConfig(**spec)
+            model = CLIPVisionModel(vit_cfg)
             size = getattr(self, "image_size", 224)
+            if params is None:
+                params = model.init(
+                    jax.random.PRNGKey(getattr(self, "seed", 0)),
+                    np.zeros((1, size, size, 3), np.float32))["params"]
+            bs = getattr(self, "batch_size", 64)
 
             @jax.jit
             def encode(px):
-                _, cls = model.apply({"params": self.vit_params},
+                _, cls = model.apply({"params": params},
                                      clip_preprocess(px, size))
                 return cls
 
+            source = self._image_source()
             for s in range(0, len(ids), bs):
                 chunk = ids[s:s + bs]
-                imgs = np.stack([self.image_loader(i) for i in chunk])
-                cls = np.asarray(encode(jnp.asarray(imgs)))
+                # resize on host to a common shape (crops vary), then the
+                # jitted encode handles normalization + model
+                imgs = []
+                for i in chunk:
+                    im = self._load(i, roi_crops, source)
+                    im = np.asarray(jax.image.resize(
+                        im.astype(np.float32), (size, size, 3), "bilinear"))
+                    imgs.append(im)
+                cls = np.asarray(encode(jnp.asarray(np.stack(imgs))))
                 for key, feat in zip(chunk, cls):
                     cache[key] = feat
 
@@ -377,11 +643,15 @@ class ExtractImageFeaturesWithViT(BaseTransform):
             os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
             np.savez(cache_path, **cache)
 
+        num_rois = getattr(self, "num_rois", None)
         for split, items in data.items():
             if not isinstance(items, list):
                 continue
             for it in items:
-                feats = [cache[str(it.get("image_id"))]]
-                feats += [cache[r] for r in it.get("ROIs", [])]
-                it["image_features"] = np.stack(feats)
+                glob = cache[str(it.get("image_id"))]
+                rois = [cache[r] for r in it.get("ROIs", [])]
+                if num_rois is not None:
+                    pad = rois[-1] if rois else glob
+                    rois = (rois + [pad] * (num_rois - len(rois)))[:num_rois]
+                it["image_features"] = np.stack([glob] + rois)
         return data
