@@ -103,7 +103,8 @@ class FLMRExecutor(BaseExecutor):
         ks: Sequence[int] = (5, 10),
         index: Optional[TokenIndex] = None,
         search_mode: str = "exact",
-        n_candidates: int = 1024,
+        n_candidates: "int | None" = None,
+        add_null_document: bool = False,
     ) -> dict:
         """Full reference eval loop (evaluate_outputs, FLMR_executor:722-973).
 
@@ -142,7 +143,8 @@ class FLMRExecutor(BaseExecutor):
             contents = [[passage_contents[r] for r in row if r >= 0]
                         for row in rows]
             metrics.update(pseudo_relevance_scores(
-                contents, answers, ks, gold_answers))
+                contents, answers, ks, gold_answers,
+                add_null_document=add_null_document))
         if pos_item_ids is not None:
             metrics.update(positive_id_scores(retrieved_pids, pos_item_ids,
                                               ks))

@@ -53,7 +53,19 @@ class RagConfig:
     generator_type: str = "t5"            # "t5" | "blip2" (RAVQA-v2)
     num_beams: int = 1                    # reference RAVQA-v2 uses 2
     search_mode: str = "exact"            # | "two_stage" | "hierarchical"
-    n_candidates: int = 1024              # pruned-mode candidate count
+    n_candidates: Optional[int] = None    # pruned-mode candidate count
+    #   (None -> searcher's k-dependent auto preset)
+    # published-config behaviors (reference rag_model_blip.py):
+    n_docs_in_training: Optional[int] = None  # num_knowledge_passages_in_
+    #   training (:552-557): randomly subsample this many of the top n_docs
+    #   per TRAINING step (the reference's OOM mitigation); eval uses n_docs.
+    use_gt_docs_for_training: bool = False    # :559-573 — train against
+    #   randomly-sampled ground-truth positives instead of retrieved docs
+    ignore_knowledge_passages: bool = False   # :617 — generator sees
+    #   "Question: .. Answer:" without the passage
+    force_existence: bool = False             # :678-690 — train labels are
+    #   the per-doc selected answers (answer guaranteed in doc when any
+    #   matches); default labels are the gold answer repeated per doc
 
 
 def _make_searcher(index: TokenIndex, mesh, rag_cfg: "RagConfig"):
@@ -84,6 +96,7 @@ class RagExecutor(BaseExecutor):
                  query_tokenizer=None,
                  index: Optional[TokenIndex] = None,
                  passage_contents: Optional[Sequence[str]] = None,
+                 passage_ids: Optional[Sequence] = None,
                  static_retrieval: Optional[dict] = None,
                  input_builder: Optional[GeneratorInputBuilder] = None,
                  mesh=None, log_dir=None, seed: int = 0, quiet: bool = False):
@@ -95,7 +108,17 @@ class RagExecutor(BaseExecutor):
         self.index = index
         self.passage_contents = passage_contents
         self.static_retrieval = static_retrieval
-        self.input_builder = input_builder or GeneratorInputBuilder()
+        self.input_builder = input_builder or GeneratorInputBuilder(
+            ignore_knowledge=rag_cfg.ignore_knowledge_passages)
+        self._rng = np.random.default_rng(seed)
+        # corpus passage id -> index row (for use_gt_docs_for_training)
+        self._pid2row = None
+        if passage_ids is not None and index is not None:
+            corpus2row = {int(c): r for r, c in enumerate(
+                np.asarray(index.pids).tolist()) if c >= 0}
+            self._pid2row = {str(pid): corpus2row[i]
+                             for i, pid in enumerate(passage_ids)
+                             if i in corpus2row}
         self.searcher = None
         if index is not None:
             self.searcher = _make_searcher(index, mesh, rag_cfg)
@@ -139,14 +162,41 @@ class RagExecutor(BaseExecutor):
             image_features, method=FLMRRetriever.query)
 
     # -- retrieval ------------------------------------------------------------
-    def retrieve(self, batch) -> dict:
-        """Host-facing: returns rows (B, n_docs) int, doc token embs+masks
-        for in-graph rescoring, doc contents."""
-        n_docs = self.rag_cfg.n_docs
-        if self.static_retrieval is not None:
+    def retrieve(self, batch, training: bool = False) -> dict:
+        """Host-facing: returns rows (B, n) int (-1 = dummy), doc token
+        embs+masks for in-graph rescoring, doc contents.
+
+        training=True enables the reference's training-only behaviors:
+        use_gt_docs_for_training (rag_model_blip.py:559-573) and the
+        n_docs_in_training random subsample (:552-557).
+        """
+        cfg = self.rag_cfg
+        n_docs = cfg.n_docs
+        pos_ids = batch.get("pos_item_ids")
+        if training and cfg.use_gt_docs_for_training and pos_ids is not None \
+                and self._pid2row is not None:
+            # each of the n_docs slots gets an independently-sampled positive
+            rows = np.array(
+                [[self._pid2row.get(
+                    str(pos[self._rng.integers(len(pos))]), -1)
+                  for _ in range(n_docs)] if pos else [-1] * n_docs
+                 for pos in pos_ids], np.int32)
+        elif self.static_retrieval is not None:
             qids = batch["question_ids"]
-            rows = np.array([[p for p, _ in self.static_retrieval[q][:n_docs]]
-                             for q in qids], np.int32)
+            rows = []
+            for q in qids:
+                ann = self.static_retrieval.get(str(q))
+                if ann is None:
+                    ann = self.static_retrieval.get(q)
+                if not ann:
+                    # missing question id -> dummy passages (reference
+                    # substitutes empty docs, rag_model_blip.py:541-548)
+                    rows.append([-1] * n_docs)
+                else:
+                    row = [p for p, _ in ann[:n_docs]]
+                    row += [-1] * (n_docs - len(row))
+                    rows.append(row)
+            rows = np.asarray(rows, np.int32)
         else:
             q = self._encode_query(self.state.params,
                                    jnp.asarray(batch["query_input_ids"]),
@@ -154,15 +204,25 @@ class RagExecutor(BaseExecutor):
                                    jnp.asarray(batch["image_features"]))
             _, rows = self.searcher.search_device(q, k=n_docs)
             rows = np.asarray(rows)
+        if training and cfg.n_docs_in_training \
+                and cfg.n_docs_in_training < rows.shape[1]:
+            # random n_docs_in_training of the top n_docs, per question
+            cols = np.stack([self._rng.permutation(rows.shape[1])
+                             [:cfg.n_docs_in_training]
+                             for _ in range(rows.shape[0])])
+            rows = np.take_along_axis(rows, cols, axis=1)
         # gather on device: fetching the whole index to host per step would
         # move the entire KB over PCIe/tunnel every retrieve
-        rows_dev = jnp.asarray(rows)
-        doc_tokens = np.asarray(
-            jnp.take(self.index.tokens, rows_dev, axis=0), np.float32)
-        doc_masks = np.asarray(
+        dummy = rows < 0
+        rows_dev = jnp.asarray(np.where(dummy, 0, rows))
+        doc_tokens = np.array(self.index.gather_tokens(rows_dev), np.float32)
+        doc_masks = np.array(
             jnp.take(self.index.mask, rows_dev, axis=0), np.float32)
-        contents = [[self.passage_contents[self.index.pids[r]]
-                     for r in row] for row in rows]
+        # dummy docs: all-zero tokens/mask, empty content (score -> pad fill)
+        doc_tokens[dummy] = 0.0
+        doc_masks[dummy] = 0.0
+        contents = [[self.passage_contents[self.index.pids[r]] if r >= 0
+                     else "" for r in row] for row in rows]
         return {"rows": rows, "doc_tokens": doc_tokens,
                 "doc_masks": doc_masks, "contents": contents}
 
@@ -170,14 +230,23 @@ class RagExecutor(BaseExecutor):
     def make_train_batch(self, batch) -> dict:
         """Host side: retrieval + strings -> device arrays."""
         cfg = self.rag_cfg
-        ret = self.retrieve(batch)
+        ret = self.retrieve(batch, training=True)
         questions = batch["questions"]
         answers = batch["answers"]
         retrieval_labels, selected = get_retrieval_labels(answers,
                                                           ret["contents"])
         gen_texts = self.input_builder.build(questions, ret["contents"])
         gi, gm = self._tensorize(gen_texts, cfg.gen_maxlen)
-        labels = self._labels(selected, cfg.label_maxlen)
+        if cfg.force_existence:
+            # per-doc selected answers (reference :678-690)
+            label_texts = selected
+        else:
+            # gold answer repeated per retrieved doc (reference :691-692)
+            from ..models.rag import most_frequent
+            n = ret["rows"].shape[1]
+            label_texts = [most_frequent([a for a in ans if a != ""])
+                           for ans in answers for _ in range(n)]
+        labels = self._labels(label_texts, cfg.label_maxlen)
         return {
             "query_input_ids": np.asarray(batch["query_input_ids"]),
             "query_attention_mask":

@@ -21,8 +21,15 @@ def pseudo_relevance_scores(
     answers: Sequence[Sequence[str]],
     ks: Sequence[int],
     gold_answers: Sequence[str] | None = None,
+    add_null_document: bool = False,
 ) -> dict[str, float]:
-    """retrieved_contents[i] = top-maxK passage texts for question i."""
+    """retrieved_contents[i] = top-maxK passage texts for question i.
+
+    add_null_document: the reference module flag (metrics_processors.py:225)
+    — position 0 holds an inserted null document; drop it before scoring.
+    """
+    if add_null_document:
+        retrieved_contents = [c[1:] for c in retrieved_contents]
     n = len(retrieved_contents)
     out = {f"recall_at_{k}": 0.0 for k in ks}
     out.update({f"precision_at_{k}": 0.0 for k in ks})

@@ -125,7 +125,16 @@ def rag_loss_components(seq_logits: jax.Array, doc_scores: jax.Array,
 # Host-side plumbing (strings)
 # ---------------------------------------------------------------------------
 
-MARKER_RE = re.compile(r"<(BOQ|EOQ|BOC|EOC|BOV|EOV|SOV|BOK|EOK)>")
+# Marker -> generator-text replacements, exactly the reference's table
+# (rag_model_blip.py:607-614): <BOC> becomes "Caption: ", <BOV> "Objects: ",
+# <EOV> ". ", <SOV> ", "; question markers and the rest vanish.
+MARKER_REPLACEMENTS = {
+    "<BOQ>": "", "<EOQ>": "",
+    "<BOC>": "Caption: ", "<EOC>": "",
+    "<BOV>": "Objects: ", "<EOV>": ". ", "<SOV>": ", ",
+    "<BOK>": "", "<EOK>": "",
+}
+MARKER_RE = re.compile("|".join(re.escape(m) for m in MARKER_REPLACEMENTS))
 
 
 def most_frequent(items: Sequence[str]) -> str:
@@ -170,12 +179,19 @@ def get_retrieval_labels(batch_answers: Sequence[Sequence[str]],
 
 @dataclasses.dataclass
 class GeneratorInputBuilder:
-    """prepare_inputs_for_generator equivalent (host)."""
+    """prepare_inputs_for_generator equivalent (rag_model_blip.py:591-647).
+
+    ignore_knowledge: the `ignore_knowledge_passages` module flag (:617) —
+    render "Question: ... Answer:" without the retrieved passage.
+    """
     template: str = "Question: {question} Knowledge: {knowledge} Answer:"
+    no_knowledge_template: str = "Question: {question} Answer:"
     prefix: str = ""
+    ignore_knowledge: bool = False
 
     def strip_markers(self, text: str) -> str:
-        return " ".join(MARKER_RE.sub(" ", text).split())
+        out = MARKER_RE.sub(lambda m: MARKER_REPLACEMENTS[m.group(0)], text)
+        return " ".join(out.split())
 
     def build(self, questions: Sequence[str],
               batch_docs: Sequence[Sequence[str]]) -> list[str]:
@@ -184,8 +200,13 @@ class GeneratorInputBuilder:
         for q, docs in zip(questions, batch_docs):
             q = self.strip_markers(q)
             for d in docs:
-                out.append(self.prefix + self.template.format(
-                    question=q, knowledge=d.strip()))
+                if self.ignore_knowledge:
+                    out.append(self.prefix
+                               + self.no_knowledge_template.format(
+                                   question=q))
+                else:
+                    out.append(self.prefix + self.template.format(
+                        question=q, knowledge=d.strip()))
         return out
 
 

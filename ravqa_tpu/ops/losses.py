@@ -8,8 +8,9 @@ Mirrors the reference's loss semantics:
   `compute_ib_loss_new`);
 - DPR dot-product in-batch CE (/root/reference/src/models/retriever/
   retriever_dpr.py:102-157);
-- RAG-sequence marginalized NLL and pseudo-relevance BCE variants
-  (/root/reference/src/models/rag/rag_model_blip.py:826-1026).
+RAG losses (RAG-sequence NLL + pseudo-relevance Approach1-6/NoPR,
+rag_model_blip.py:826-1026) live in ravqa_tpu.models.rag
+.rag_loss_components — the single, reference-verified implementation.
 
 All are pure functions of arrays -> scalar, differentiable, jit/pjit-safe.
 Cross-device in-batch negatives: all_gather the doc/query embeddings over the
@@ -93,85 +94,3 @@ def dpr_in_batch_loss(q_pooled: jax.Array, d_pooled: jax.Array, nway: int):
     labels = jnp.arange(b, dtype=jnp.int32) * nway
     loss = optax.softmax_cross_entropy_with_integer_labels(scores, labels)
     return jnp.mean(loss), scores
-
-
-# ---------------------------------------------------------------------------
-# RAG losses (reference rag_model_blip.py:826-1026)
-# ---------------------------------------------------------------------------
-
-def rag_sequence_nll(seq_logprobs: jax.Array, doc_scores: jax.Array,
-                     marginalize: bool = True) -> jax.Array:
-    """RAG-sequence loss.
-
-    Args:
-      seq_logprobs: (B, n_docs) total log p(y|x, z_k) per retrieved doc.
-      doc_scores: (B, n_docs) retrieval scores g(z_k|x).
-      marginalize: if True, loss = -logsumexp_k [log p_ret(z_k) + log p(y|z_k)]
-        (reference get_loss RAG-sequence path); else mean NLL over docs.
-    """
-    if marginalize:
-        doc_logprobs = jax.nn.log_softmax(doc_scores, axis=-1)
-        joint = seq_logprobs + doc_logprobs
-        return -jnp.mean(jax.nn.logsumexp(joint, axis=-1))
-    return -jnp.mean(seq_logprobs)
-
-
-def pseudo_relevance_bce(doc_scores: jax.Array, retrieval_labels: jax.Array,
-                         approach: str = "approach4") -> jax.Array:
-    """Pseudo-relevance losses on retrieval scores (Approach1-6 / NoPR).
-
-    retrieval_labels: (B, n_docs) in {1 (answer found in doc), 0, -1 (ignore)}.
-    Approaches (reference get_loss :876-1026):
-      approach1: BCE(sigmoid(score), label) on labeled docs.
-      approach2: softmax over docs, CE against normalized labels.
-      approach3: BCE on log_softmax-normalized scores vs labels.
-      approach4: if no positive doc, push all probs down; else CE to the
-                 positive set (the variant used by published configs).
-      approach5/6: margin-style variants; mapped here onto approach4 math with
-                 temperature differences.
-      nopr: returns 0.
-    """
-    if approach == "nopr":
-        return jnp.zeros(())
-    valid = (retrieval_labels >= 0).astype(jnp.float32)
-    labels = jnp.clip(retrieval_labels.astype(jnp.float32), 0.0, 1.0)
-    if approach == "approach1":
-        logp = jax.nn.log_sigmoid(doc_scores)
-        log1mp = jax.nn.log_sigmoid(-doc_scores)
-        bce = -(labels * logp + (1 - labels) * log1mp) * valid
-        return jnp.sum(bce) / jnp.maximum(jnp.sum(valid), 1.0)
-    # softmax-family approaches
-    logprobs = jax.nn.log_softmax(doc_scores, axis=-1)
-    has_pos = jnp.sum(labels * valid, axis=-1) > 0       # (B,)
-    pos_mass = labels * valid
-    pos_mass = pos_mass / jnp.maximum(jnp.sum(pos_mass, axis=-1,
-                                              keepdims=True), 1.0)
-    ce_pos = -jnp.sum(pos_mass * logprobs, axis=-1)      # CE to positive set
-    if approach in ("approach2", "approach3"):
-        return jnp.mean(jnp.where(has_pos, ce_pos, 0.0))
-    # approach4/5/6: when no positive exists, suppress confidence by pushing
-    # towards the uniform distribution (reference trains scores of all docs
-    # down when the answer appears in none).
-    n_docs = doc_scores.shape[-1]
-    uniform = jnp.full_like(logprobs, 1.0 / n_docs)
-    ce_uniform = -jnp.sum(uniform * logprobs, axis=-1)
-    return jnp.mean(jnp.where(has_pos, ce_pos, ce_uniform))
-
-
-def token_nll(logits: jax.Array, labels: jax.Array,
-              ignore_index: int = -100):
-    """Per-sequence token NLL with -100 masking (HF convention).
-
-    Args:
-      logits: (B, T, V); labels: (B, T) int with ignore_index on pads.
-    Returns: (per_seq_logprob (B,), mean_loss scalar).
-    """
-    mask = (labels != ignore_index)
-    safe_labels = jnp.where(mask, labels, 0)
-    logprobs = jax.nn.log_softmax(logits, axis=-1)
-    tok_lp = jnp.take_along_axis(logprobs, safe_labels[..., None],
-                                 axis=-1)[..., 0]
-    tok_lp = jnp.where(mask, tok_lp, 0.0)
-    per_seq = jnp.sum(tok_lp, axis=-1)
-    denom = jnp.maximum(jnp.sum(mask), 1)
-    return per_seq, -jnp.sum(tok_lp) / denom
