@@ -38,6 +38,9 @@ class TrainConfig:
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
     modules: tuple = ()                    # feature-flag bus incl. freeze_*
+    accumulate_grad_batches: int = 1       # reference accumulate_grad_batches
+    #   (every published FLMR config uses 4; RAVQA-v2 is bs1 x accum16) —
+    #   grads average over this many micro-steps before one optimizer update
 
 
 @flax.struct.dataclass
@@ -54,8 +57,16 @@ def make_schedule(cfg: TrainConfig, lr: float):
             return optax.linear_schedule(0.0, lr, cfg.warmup_steps)
         return lr
     if cfg.schedule == "linear":
-        return optax.warmup_constant_schedule(0.0, lr, cfg.warmup_steps) \
-            if cfg.warmup_steps else lr
+        # warmup then LINEAR DECAY to 0 over total_steps (HF
+        # get_linear_schedule_with_warmup semantics, which the reference's
+        # configs request)
+        warm = max(cfg.warmup_steps, 0)
+        decay = optax.linear_schedule(
+            lr, 0.0, max(cfg.total_steps - warm, 1))
+        if warm > 0:
+            return optax.join_schedules(
+                [optax.linear_schedule(0.0, lr, warm), decay], [warm])
+        return decay
     if cfg.schedule == "cosine":
         return optax.warmup_cosine_decay_schedule(
             0.0, lr, max(cfg.warmup_steps, 1), cfg.total_steps)
@@ -90,6 +101,11 @@ def make_optimizer(cfg: TrainConfig, params) -> optax.GradientTransformation:
             optax.masked(optax.set_to_zero(),
                          jax.tree.map(lambda t: not t, mask)),
             tx)
+    if cfg.accumulate_grad_batches > 1:
+        # reference accumulate_grad_batches: average grads over k micro-steps,
+        # apply one optimizer update (params are bit-identical in between)
+        tx = optax.MultiSteps(tx, every_k_schedule=
+                              cfg.accumulate_grad_batches)
     return tx
 
 

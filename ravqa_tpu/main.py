@@ -102,6 +102,7 @@ def build_executor(cfg: Config, data, mesh, log_dir: str, quiet=False):
         schedule=tc.get("schedule", "constant"),
         grad_clip=tc.get("grad_clip", 0.0),
         modules=tuple(mc.get("modules", [])),
+        accumulate_grad_batches=tc.get("accumulate_grad_batches", 1),
     )
     cls = FLMRVisionPretrainingExecutor \
         if cfg.executor.get("ExecutorClass") == \
@@ -164,15 +165,56 @@ def build_rag_executor(cfg: Config, data, mesh, log_dir: str, quiet=False):
     rag_kwargs = {k: v for k, v in mc.get("rag", {}).items()
                   if k in rag_keys}
     rag_kwargs["generator_type"] = gen_type
+    # the reference's module-flag bus (model_config.modules strings)
+    modules = mc.get("modules", [])
+    for flag in ("use_gt_docs_for_training", "ignore_knowledge_passages",
+                 "force_existence"):
+        if flag in modules:
+            rag_kwargs[flag] = True
+    if mc.get("num_knowledge_passages_in_training"):
+        rag_kwargs["n_docs_in_training"] = \
+            mc["num_knowledge_passages_in_training"]
+    if mc.get("num_knowledge_passages"):
+        rag_kwargs.setdefault("n_docs", mc["num_knowledge_passages"])
     rag_cfg = RagConfig(**rag_kwargs)
     tc = cfg.get("train", Config())
     train_cfg = TrainConfig(lr=tc.get("lr", 1e-5),
                             total_steps=tc.get("total_steps", 1000),
-                            modules=tuple(mc.get("modules", [])))
+                            modules=tuple(mc.get("modules", [])),
+                            accumulate_grad_batches=tc.get(
+                                "accumulate_grad_batches", 1))
     return RagExecutor(retriever, rp, generator, gp, gen_tokenizer=tok,
                        rag_cfg=rag_cfg, train_cfg=train_cfg, index=index,
-                       passage_contents=corpus.contents, mesh=None,
+                       passage_contents=corpus.contents,
+                       passage_ids=corpus.ids, mesh=mesh,
                        log_dir=log_dir, quiet=quiet)
+
+
+
+def _callbacks_from(cfg, log_dir: str):
+    """Build CheckpointManager / EarlyStopping from the reference's config
+    keys (train.model_checkpoint_callback_paras /
+    train.early_stopping_callback_paras, e.g.
+    FLMR_base_preload_vision_features.jsonnet:206-232)."""
+    from .executors.callbacks import CheckpointManager, EarlyStopping
+    tc = cfg.get("train", Config())
+    ckpt_manager = None
+    mp = tc.get("model_checkpoint_callback_paras")
+    if mp:
+        ckpt_manager = CheckpointManager(
+            dirpath=mp.get("dirpath", os.path.join(log_dir, "ckpts")),
+            monitor=mp.get("monitor", "loss"),
+            mode=mp.get("mode", "max"),
+            save_top_k=mp.get("save_top_k", 1),
+            save_last=mp.get("save_last", True))
+    early = None
+    ep = tc.get("early_stopping_callback_paras")
+    if ep:
+        early = EarlyStopping(monitor=ep.get("monitor", "loss"),
+                              mode=ep.get("mode", "max"),
+                              patience=ep.get("patience", 3),
+                              min_delta=ep.get("min_delta", 0.0))
+    return ckpt_manager, early
 
 
 def rag_batches(dataset, batch_size: int, seed: int = 0):
@@ -184,21 +226,54 @@ def rag_batches(dataset, batch_size: int, seed: int = 0):
         order = rng.permutation(len(items))
         for s in range(0, len(order) - batch_size + 1, batch_size):
             chunk = [items[i] for i in order[s:s + batch_size]]
+            parsed = [dataset.parser.parse(it, dataset.input_modules)
+                      for it in chunk]
             qi, qm = dataset.qt.tensorize(
-                [dataset.query_text(it) for it in chunk])
+                [p["text_sequence"] for p in parsed])
             batch = {
                 "question_ids": [it["question_id"] for it in chunk],
                 "questions": [it["question"] for it in chunk],
                 "answers": [it["answers"] for it in chunk],
+                "pos_item_ids": [it.get("pos_item_ids") for it in chunk],
                 "query_input_ids": qi, "query_attention_mask": qm,
-                "image_features": np.stack(
-                    [np.asarray(it["image_features"], np.float32)
-                     for it in chunk]),
             }
+            from .data.datasets import _attach_vision
+            _attach_vision(batch, chunk, parsed)
             if "image" in chunk[0]:   # raw pixels for BLIP-2 generators
                 batch["pixel_values"] = np.stack(
                     [np.asarray(it["image"], np.float32) for it in chunk])
             yield batch
+
+
+def rag_eval_batches(dataset, batch_size: int):
+    """Deterministic, dedup-safe eval batches: dataset order, final batch
+    padded by repeating the last item; pads carry question_id None so the
+    caller drops them (each question evaluated EXACTLY once — the reference
+    evaluates each sample once per epoch)."""
+    items = dataset.items
+    n = len(items)
+    for s in range(0, n, batch_size):
+        chunk = [items[i] for i in range(s, min(s + batch_size, n))]
+        qids = [it["question_id"] for it in chunk]
+        while len(chunk) < batch_size:          # static-shape pad
+            chunk.append(chunk[-1])
+            qids.append(None)
+        parsed = [dataset.parser.parse(it, dataset.input_modules)
+                  for it in chunk]
+        qi, qm = dataset.qt.tensorize([p["text_sequence"] for p in parsed])
+        batch = {
+            "question_ids": qids,
+            "questions": [it["question"] for it in chunk],
+            "answers": [it["answers"] for it in chunk],
+            "pos_item_ids": [it.get("pos_item_ids") for it in chunk],
+            "query_input_ids": qi, "query_attention_mask": qm,
+        }
+        from .data.datasets import _attach_vision
+        _attach_vision(batch, chunk, parsed)
+        if "image" in chunk[0]:
+            batch["pixel_values"] = np.stack(
+                [np.asarray(it["image"], np.float32) for it in chunk])
+        yield batch
 
 
 def run_rag_eval(cfg, ex, data, log_dir: str, split: str = "test"):
@@ -206,12 +281,15 @@ def run_rag_eval(cfg, ex, data, log_dir: str, split: str = "test"):
     ds = data.get(split) or data["test"]
     preds, answers = [], []
     bs = cfg.get("train", Config()).get("batch_size", 8)
-    for batch in rag_batches(ds, min(bs, len(ds.items)), seed=1):
+    for batch in rag_eval_batches(ds, min(bs, len(ds.items))):
         out = ex.generate(batch)
-        preds.extend(out["predictions"])
-        answers.extend(batch["answers"])
-        if len(preds) >= len(ds.items):
-            break
+        for qid, p, a in zip(batch["question_ids"], out["predictions"],
+                             batch["answers"]):
+            if qid is None:                     # padded tail duplicate
+                continue
+            preds.append(p)
+            answers.append(a)
+    assert len(preds) == len(ds.items)
     metrics = {"exact_match": exact_match(preds, answers),
                "vqa_accuracy": vqa_accuracy(preds, answers)}
     ex.logger.log(metrics, int(ex.state.step), prefix=f"{split}/")
@@ -232,7 +310,9 @@ def run_eval(cfg, ex, data, log_dir: str, split: str = "valid"):
         passage_contents=corpus.contents,
         answers=[it.get("answers", []) for it in ds.items],
         pos_item_ids=[it.get("pos_item_ids", []) for it in ds.items],
-        ks=ks)
+        ks=ks,
+        add_null_document="add_null_document"
+        in cfg.model_config.get("modules", []))
     metrics = {k: v for k, v in m.items() if not k.startswith("_")}
     ex.logger.log(metrics, int(ex.state.step), prefix=f"{split}/")
     with open(os.path.join(log_dir, f"{split}_metrics.json"), "w") as f:
@@ -282,17 +362,18 @@ def main(argv=None):
     if is_rag:
         ex = build_rag_executor(cfg, data, mesh, log_dir)
         if args.mode == "train":
-            batches = rag_batches(data["train"],
-                                  tc.get("batch_size", 8),
-                                  seed=cfg.get("seed", 0))
-            steps = tc.get("total_steps", 100)
-            for i, batch in enumerate(batches):
-                if i >= steps:
-                    break
-                m = ex.train_step_rag(batch)
-                if (i + 1) % tc.get("log_every", 20) == 0:
-                    ex.logger.log({k: float(v) for k, v in m.items()},
-                                  int(ex.state.step), prefix="train/")
+            raw = rag_batches(data["train"], tc.get("batch_size", 8),
+                              seed=cfg.get("seed", 0))
+            batches = (ex.make_train_batch(b) for b in raw)
+            ckpt_manager, early_stopping = _callbacks_from(cfg, log_dir)
+            ex.fit(batches, steps=tc.get("total_steps", 100),
+                   log_every=tc.get("log_every", 20),
+                   val_every=tc.get("val_every"),
+                   val_fn=(lambda: run_rag_eval(cfg, ex, data, log_dir,
+                                                "valid"))
+                   if tc.get("val_every") else None,
+                   ckpt_manager=ckpt_manager,
+                   early_stopping=early_stopping)
             ex.save_checkpoint(os.path.join(log_dir, "ckpt"))
             return 0
         metrics = run_rag_eval(cfg, ex, data, log_dir,
@@ -309,10 +390,12 @@ def main(argv=None):
         batches = data["train"].loader(
             batch_size=tc.get("batch_size", 8), shuffle=True,
             seed=cfg.get("seed", 0))
+        ckpt_manager, early_stopping = _callbacks_from(cfg, log_dir)
         ex.fit(batches, steps=tc.get("total_steps", 100),
                log_every=tc.get("log_every", 20),
                val_every=tc.get("val_every"),
-               val_fn=lambda: run_eval(cfg, ex, data, log_dir, "valid"))
+               val_fn=lambda: run_eval(cfg, ex, data, log_dir, "valid"),
+               ckpt_manager=ckpt_manager, early_stopping=early_stopping)
         ex.save_checkpoint(os.path.join(log_dir, "ckpt"))
         return 0
 

@@ -35,18 +35,25 @@ FREEZE_FLAG_PREFIXES = {
 def trainable_mask(params, modules: list[str]):
     """Bool pytree: True = trainable, honoring reference freeze flags.
 
-    Prefixes match at any path depth boundary, so "generator/base" freezes
-    the whole params["generator"]["base"] subtree."""
+    Prefixes match at ANY '/'-aligned path boundary, not just the tree
+    root — RagExecutor nests the retriever under "retriever/", so e.g.
+    freeze_mapping_network must also freeze
+    "retriever/vision_projection/..." during RAG joint training (the
+    reference passes the same module flags through, RAG_BLIP executor
+    configs)."""
     frozen_prefixes: tuple[str, ...] = ()
     for flag, prefixes in FREEZE_FLAG_PREFIXES.items():
         if flag in modules:
             frozen_prefixes += prefixes
 
     def is_trainable(path) -> bool:
-        joined = "/".join(p.key if hasattr(p, "key") else str(p)
-                          for p in path)
-        return not any(joined == pre or joined.startswith(pre + "/")
-                       for pre in frozen_prefixes)
+        parts = [p.key if hasattr(p, "key") else str(p) for p in path]
+        for pre in frozen_prefixes:
+            npre = pre.count("/") + 1
+            for start in range(len(parts) - npre + 1):
+                if "/".join(parts[start:start + npre]) == pre:
+                    return False
+        return True
 
     return jax.tree_util.tree_map_with_path(
         lambda path, _: is_trainable(path), params)

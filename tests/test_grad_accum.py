@@ -1,0 +1,94 @@
+"""Gradient accumulation (reference accumulate_grad_batches), the linear
+LR schedule fix, and the CLI RAG train path on the 8-device mesh with
+accumulation + checkpoint/early-stop callbacks."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ravqa_tpu.executors.base import BaseExecutor, TrainConfig, make_schedule
+
+CFG_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "configs")
+
+
+class _QuadExecutor(BaseExecutor):
+    """loss = mean((w - batch)^2) on a single param vector."""
+
+    def loss_fn(self, params, batch, rng):
+        loss = jnp.mean((params["w"] - batch) ** 2)
+        return loss, {}
+
+
+def test_accumulation_matches_large_batch():
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(8, 4)).astype(np.float32)
+    w0 = {"w": jnp.zeros((4,))}
+
+    # accum=4 over 4 micro-batches of 2
+    ex_acc = _QuadExecutor(None, w0, TrainConfig(
+        lr=0.1, accumulate_grad_batches=4), quiet=True)
+    snapshots = []
+    for i in range(4):
+        ex_acc.train_step(jnp.asarray(data[2 * i:2 * i + 2]))
+        snapshots.append(np.asarray(ex_acc.state.params["w"]).copy())
+    # params must not move during accumulation, only at the k-th step
+    np.testing.assert_array_equal(snapshots[0], np.zeros(4))
+    np.testing.assert_array_equal(snapshots[1], snapshots[0])
+    np.testing.assert_array_equal(snapshots[2], snapshots[0])
+    assert not np.allclose(snapshots[3], snapshots[0])
+
+    # one full-batch step must produce the same update (grads average)
+    ex_big = _QuadExecutor(None, w0, TrainConfig(lr=0.1), quiet=True)
+    ex_big.train_step(jnp.asarray(data))
+    np.testing.assert_allclose(np.asarray(ex_big.state.params["w"]),
+                               snapshots[3], rtol=1e-5, atol=1e-6)
+
+
+def test_linear_schedule_decays_to_zero():
+    """ADVICE r1: 'linear' used to return warmup->CONSTANT."""
+    sched = make_schedule(TrainConfig(schedule="linear", warmup_steps=10,
+                                      total_steps=100), 1e-3)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-6)
+    mid = float(sched(55))
+    assert 0 < mid < 1e-3
+    np.testing.assert_allclose(float(sched(100)), 0.0, atol=1e-12)
+    # no warmup variant
+    s2 = make_schedule(TrainConfig(schedule="linear", total_steps=50), 1e-2)
+    np.testing.assert_allclose(float(s2(0)), 1e-2, rtol=1e-6)
+    np.testing.assert_allclose(float(s2(50)), 0.0, atol=1e-12)
+
+
+def test_cli_rag_mesh_accum_with_callbacks(tmp_path):
+    """CLI RAG training on the 8-device virtual mesh with
+    accumulate_grad_batches>1 and checkpoint/early-stopping callbacks
+    (VERDICT r1 item 4)."""
+    from ravqa_tpu.main import main
+    log_dir = str(tmp_path / "exp")
+    assert main([
+        "--config", os.path.join(CFG_DIR, "synthetic_rag.json"),
+        "--mode", "train", "--experiment_name", "acc",
+        "--log_dir", log_dir, "--num_devices", "8",
+        "--opts", "train.total_steps=4", "train.batch_size=8",
+        "train.log_every=2", "train.accumulate_grad_batches=2",
+        "train.val_every=2",
+        "train.model_checkpoint_callback_paras={'monitor':'exact_match',"
+        "'mode':'max','save_top_k':1}",
+        "train.early_stopping_callback_paras={'monitor':'exact_match',"
+        "'mode':'max','patience':5}",
+    ]) == 0
+    exp = os.path.join(log_dir, "acc")
+    assert os.path.exists(os.path.join(exp, "ckpt", "params.msgpack"))
+    # callback checkpoints written at validation steps
+    ckpts = os.listdir(os.path.join(exp, "ckpts"))
+    assert "last" in ckpts
+    assert any(c.startswith("step_") for c in ckpts)
+    # metrics history contains valid/ entries (val_fn ran)
+    hist = [json.loads(l) for l in
+            open(os.path.join(exp, "metrics.jsonl"))]
+    assert any("valid/exact_match" in h for h in hist)
