@@ -81,14 +81,20 @@ def coarse_scores(q: jax.Array, summaries: jax.Array,
 @functools.partial(jax.jit, static_argnames=("k", "n_candidates",
                                              "coarse_query_len",
                                              "use_pallas_fine",
-                                             "use_pallas_coarse"))
-def two_stage_search(q: jax.Array, tokens: jax.Array, mask: jax.Array,
+                                             "use_pallas_coarse", "nbits"))
+def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
+                     mask: jax.Array,
                      summaries: jax.Array, *, k: int,
                      n_candidates: int = 1024,
                      coarse_query_len: Optional[int] = None,
                      use_pallas_fine: bool = False,
                      use_pallas_coarse: bool = False,
-                     scales: Optional[jax.Array] = None):
+                     scales: Optional[jax.Array] = None,
+                     codes: Optional[jax.Array] = None,
+                     residuals: Optional[jax.Array] = None,
+                     centroids: Optional[jax.Array] = None,
+                     bucket_weights: Optional[jax.Array] = None,
+                     nbits: int = 0):
     """Returns (scores (B, k), rows (B, k)) — exact scores on the coarse
     stage's top `n_candidates` docs.
 
@@ -99,6 +105,9 @@ def two_stage_search(q: jax.Array, tokens: jax.Array, mask: jax.Array,
     scales: per-token f32 scales when `tokens` is an int8-quantized index
     (ops.quant.quantize_index_int8) — dequantization happens inside the
     fine stage, so a 1M-passage index fits one chip's HBM.
+    codes/residuals/centroids/bucket_weights/nbits: residual-codec index
+    (ops.residual; tokens=None) — candidates decompress inside the fine
+    stage, nothing ever materializes at full precision.
     """
     b = q.shape[0]
     if use_pallas_coarse:
@@ -108,6 +117,11 @@ def two_stage_search(q: jax.Array, tokens: jax.Array, mask: jax.Array,
         approx = maxsim_search_pallas(qc, summaries, ones, tile_d=128)
     else:
         approx = coarse_scores(q, summaries, coarse_query_len)  # (B, N)
+    # padded index rows have all-zero summaries scoring exactly 0, which
+    # would outrank real docs with negative coarse scores and burn
+    # candidate slots — mask them to NEG_INF
+    doc_valid = jnp.any(mask != 0, axis=1)                   # (N,)
+    approx = jnp.where(doc_valid[None, :], approx, NEG_INF)
     _, cand = jax.lax.top_k(approx, n_candidates)            # (B, C)
 
     if use_pallas_fine:
@@ -123,7 +137,13 @@ def two_stage_search(q: jax.Array, tokens: jax.Array, mask: jax.Array,
     # C=256: 3486 vs 3215 QPS; C=1024: 2664 vs 2001 QPS on v5e.
     def fine_one(args):
         qi, cand_i = args
-        tok = jnp.take(tokens, cand_i, axis=0)               # (C, Ld, dim)
+        if codes is not None:                                # residual codec
+            from ..ops.residual import decompress
+            tok = decompress(jnp.take(codes, cand_i, axis=0),
+                             jnp.take(residuals, cand_i, axis=0),
+                             centroids, bucket_weights, nbits)
+        else:
+            tok = jnp.take(tokens, cand_i, axis=0)           # (C, Ld, dim)
         msk = jnp.take(mask, cand_i, axis=0)
         s = jnp.einsum("cld,qd->clq", tok.astype(jnp.float32), qi,
                        preferred_element_type=jnp.float32)
@@ -159,13 +179,19 @@ def block_summaries(summaries: jax.Array, block_size: int = 64,
 
 @functools.partial(jax.jit, static_argnames=("k", "n_blocks", "n_candidates",
                                              "block_size",
-                                             "coarse_query_len"))
-def hierarchical_search(q: jax.Array, tokens: jax.Array, mask: jax.Array,
+                                             "coarse_query_len", "nbits"))
+def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
+                        mask: jax.Array,
                         summaries: jax.Array, block_summ: jax.Array, *,
                         k: int, n_blocks: int = 1024,
                         n_candidates: int = 1024, block_size: int = 64,
                         scales: Optional[jax.Array] = None,
-                        coarse_query_len: Optional[int] = None):
+                        coarse_query_len: Optional[int] = None,
+                        codes: Optional[jax.Array] = None,
+                        residuals: Optional[jax.Array] = None,
+                        centroids: Optional[jax.Array] = None,
+                        bucket_weights: Optional[jax.Array] = None,
+                        nbits: int = 0):
     """3-stage search: block summaries -> doc summaries -> exact MaxSim.
 
     Cuts the dominant coarse matmul by ~block_size/n_blocks-fold vs
@@ -180,12 +206,14 @@ def hierarchical_search(q: jax.Array, tokens: jax.Array, mask: jax.Array,
     n, s, d = summaries.shape
     nb = n // block_size
     summ_blocks = summaries.reshape(nb, block_size, s, d)
+    # per-doc validity, blocked — pad rows' zero summaries must not win
+    # coarse slots (see two_stage_search)
+    doc_valid_blocks = jnp.any(mask != 0, axis=1).reshape(nb, block_size)
 
-    # stage 0: dense over block summaries (small)
+    # stage 0: dense over block summaries (small); fully-padded blocks out
     s0 = coarse_scores(q, block_summ, coarse_query_len)  # (B, nb)
+    s0 = jnp.where(jnp.any(doc_valid_blocks, axis=1)[None, :], s0, NEG_INF)
     _, blk = jax.lax.top_k(s0, n_blocks)              # (B, n_blocks)
-
-    ld = tokens.shape[1]
 
     def per_q(args):
         qi, blk_i = args                              # (Lq, d), (n_blocks,)
@@ -196,11 +224,19 @@ def hierarchical_search(q: jax.Array, tokens: jax.Array, mask: jax.Array,
                         preferred_element_type=jnp.float32)
         per_tok = jnp.max(s1, axis=2)                 # (n_blocks, bs, Lq)
         approx = jnp.sum(per_tok, axis=-1).reshape(-1)  # (n_blocks*bs,)
+        valid = jnp.take(doc_valid_blocks, blk_i, axis=0).reshape(-1)
+        approx = jnp.where(valid, approx, NEG_INF)
         _, loc = jax.lax.top_k(approx, n_candidates)
         doc_ids = blk_i[loc // block_size] * block_size \
             + (loc % block_size)                      # (n_candidates,)
         # stage 2: exact on gathered tokens (full query)
-        tok = jnp.take(tokens, doc_ids, axis=0)       # (C, Ld, dim)
+        if codes is not None:                         # residual codec
+            from ..ops.residual import decompress
+            tok = decompress(jnp.take(codes, doc_ids, axis=0),
+                             jnp.take(residuals, doc_ids, axis=0),
+                             centroids, bucket_weights, nbits)
+        else:
+            tok = jnp.take(tokens, doc_ids, axis=0)   # (C, Ld, dim)
         msk = jnp.take(mask, doc_ids, axis=0)
         s2 = jnp.einsum("cld,qd->clq", tok.astype(jnp.float32), qi,
                         preferred_element_type=jnp.float32)
@@ -212,13 +248,8 @@ def hierarchical_search(q: jax.Array, tokens: jax.Array, mask: jax.Array,
         top_s, top_i = jax.lax.top_k(sc, k)
         return top_s, jnp.take(doc_ids, top_i)
 
-    scores, rows = jax.lax.map(per_q, (q.astype(jnp.float32), cand_q(q, blk)))
+    scores, rows = jax.lax.map(per_q, (q.astype(jnp.float32), blk))
     return scores, rows
-
-
-def cand_q(q, blk):
-    # helper to keep lax.map's pytree simple
-    return blk
 
 
 @functools.partial(jax.jit, static_argnames=("n_clusters", "iters",

@@ -67,7 +67,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                         hierarchical: bool = False,
                         n_blocks: Optional[int] = None,
                         block_size: int = 64,
-                        coarse_query_len: Optional[int] = None):
+                        coarse_query_len: Optional[int] = None,
+                        residual_nbits: int = 0):
     """Build a jitted collective search fn over `mesh`.
 
     Returned fn(q, tokens, mask[, summaries[, block_summaries]][, scales])
@@ -131,6 +132,38 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                    coarse_query_len=coarse_query_len)
         return _merge(q, s, i)
 
+    # residual-codec variants: per-doc arrays shard over `axis`; the small
+    # codec tables (centroids / bucket weights) replicate
+    def _local_two_stage_res(q, msk, summ, cod, res, cent, bw):
+        s, i = two_stage_search(q, None, msk, summ, k=k_local,
+                                n_candidates=c_local,
+                                coarse_query_len=coarse_query_len,
+                                use_pallas_coarse=use_pallas,
+                                codes=cod, residuals=res, centroids=cent,
+                                bucket_weights=bw, nbits=residual_nbits)
+        return _merge(q, s, i)
+
+    def _local_hier_res(q, msk, summ, bsum, cod, res, cent, bw):
+        s, i = hierarchical_search(q, None, msk, summ, bsum, k=k_local,
+                                   n_blocks=b_local, n_candidates=c_local,
+                                   block_size=block_size,
+                                   coarse_query_len=coarse_query_len,
+                                   codes=cod, residuals=res, centroids=cent,
+                                   bucket_weights=bw, nbits=residual_nbits)
+        return _merge(q, s, i)
+
+    if residual_nbits and hierarchical:
+        f = shard_map(_local_hier_res, mesh,
+                      in_specs=(P(), P(axis), P(axis), P(axis), P(axis),
+                                P(axis), P(), P()),
+                      out_specs=(P(), P()))
+        return jax.jit(f)
+    if residual_nbits and two_stage:
+        f = shard_map(_local_two_stage_res, mesh,
+                      in_specs=(P(), P(axis), P(axis), P(axis), P(axis),
+                                P(), P()),
+                      out_specs=(P(), P()))
+        return jax.jit(f)
     if hierarchical and quantized:
         f = shard_map(_local_hier, mesh,
                       in_specs=(P(), P(axis), P(axis), P(axis), P(axis),
@@ -174,7 +207,7 @@ class LateInteractionSearcher:
     def __init__(self, index: TokenIndex, mesh: Optional[Mesh] = None,
                  axis: str = "index", use_pallas: Optional[bool] = None,
                  tile_d: int = 16, mode: str = "exact",
-                 n_candidates: int = 1024,
+                 n_candidates: Optional[int] = None,
                  n_blocks: Optional[int] = None,
                  coarse_query_len: Optional[int] = None):
         """mode: "exact" (exhaustive MaxSim), "two_stage" (coarse over
@@ -185,7 +218,10 @@ class LateInteractionSearcher:
         n_blocks/nshards blocks before the cross-shard merge).
         coarse_query_len: only the first L query rows drive the pruning
         stages; full Q scores the final exact stage (the reference's
-        candidate-generation truncation, index_storage.py:68-77)."""
+        candidate-generation truncation, index_storage.py:68-77).
+        n_candidates None -> k-dependent auto preset mirroring the
+        reference's ndocs rule (searcher.py:91-118): 1024 for k <= 100,
+        max(4k, 4096) above."""
         self.index = index
         self.mesh = mesh
         self.axis = axis
@@ -204,7 +240,24 @@ class LateInteractionSearcher:
             assert index.summaries is not None \
                 and index.block_summaries is not None, \
                 "call index.build_summaries().build_block_summaries() first"
+        if index.tokens is None:
+            assert mode in ("two_stage", "hierarchical"), \
+                ("a residual-compressed index has no full-precision tokens; "
+                 "use a pruned search mode")
         self._sharded_fns: dict[int, callable] = {}
+
+    def resolve_candidates(self, k: int) -> int:
+        """k-dependent candidate-count preset (reference searcher.py:91-118:
+        ndocs=1024 up to k=100, max(4k, 4096) beyond — too-small fixed
+        defaults silently cost recall at large k)."""
+        if self.n_candidates is not None:
+            return self.n_candidates
+        return 1024 if k <= 100 else max(4 * k, 4096)
+
+    def resolve_blocks(self, k: int) -> Optional[int]:
+        if self.n_blocks is not None:
+            return self.n_blocks
+        return max(self.resolve_candidates(k) // 2, 1)
 
     def _search_fn(self, k: int):
         if self.mesh is None:
@@ -215,11 +268,13 @@ class LateInteractionSearcher:
                 use_pallas=self.use_pallas, tile_d=self.tile_d,
                 quantized=self.index.scales is not None,
                 two_stage=self.mode == "two_stage",
-                n_candidates=self.n_candidates,
+                n_candidates=self.resolve_candidates(k),
                 hierarchical=self.mode == "hierarchical",
-                n_blocks=self.n_blocks,
+                n_blocks=self.resolve_blocks(k)
+                if self.mode == "hierarchical" else self.n_blocks,
                 block_size=self.index.block_size,
-                coarse_query_len=self.coarse_query_len)
+                coarse_query_len=self.coarse_query_len,
+                residual_nbits=self.index.nbits)
         return self._sharded_fns[k]
 
     def search_device(self, q: jax.Array, k: int):
@@ -227,6 +282,13 @@ class LateInteractionSearcher:
         idx = self.index
         if self.mesh is not None:
             fn = self._search_fn(k)
+            if idx.tokens is None:                  # residual codec
+                args = (q, idx.mask, idx.summaries)
+                if self.mode == "hierarchical":
+                    args += (idx.block_summaries,)
+                args += (idx.codes, idx.residuals, idx.codec_centroids,
+                         idx.codec_weights)
+                return fn(*args)
             args = (q, idx.tokens, idx.mask)
             if self.mode in ("two_stage", "hierarchical"):
                 args += (idx.summaries,)
@@ -238,22 +300,26 @@ class LateInteractionSearcher:
         if self.mode == "hierarchical":
             from .coarse import hierarchical_search
             nb = idx.block_summaries.shape[0]
-            want_blocks = (self.n_blocks if self.n_blocks is not None
-                           else max(self.n_candidates // 2, 1))
             return hierarchical_search(
                 q, idx.tokens, idx.mask, idx.summaries,
                 idx.block_summaries, k=k,
-                n_blocks=min(want_blocks, nb),
-                n_candidates=min(self.n_candidates, idx.n_pad),
+                n_blocks=min(self.resolve_blocks(k), nb),
+                n_candidates=min(self.resolve_candidates(k), idx.n_pad),
                 block_size=idx.block_size, scales=idx.scales,
-                coarse_query_len=self.coarse_query_len)
+                coarse_query_len=self.coarse_query_len,
+                codes=idx.codes, residuals=idx.residuals,
+                centroids=idx.codec_centroids,
+                bucket_weights=idx.codec_weights, nbits=idx.nbits)
         if self.mode == "two_stage":
             from .coarse import two_stage_search
             return two_stage_search(
                 q, idx.tokens, idx.mask, idx.summaries, k=k,
-                n_candidates=min(self.n_candidates, idx.n_pad),
+                n_candidates=min(self.resolve_candidates(k), idx.n_pad),
                 scales=idx.scales,
-                coarse_query_len=self.coarse_query_len)
+                coarse_query_len=self.coarse_query_len,
+                codes=idx.codes, residuals=idx.residuals,
+                centroids=idx.codec_centroids,
+                bucket_weights=idx.codec_weights, nbits=idx.nbits)
         return search_single_device(
             q, idx.tokens, idx.mask, idx.scales, k=k,
             use_pallas=self.use_pallas, tile_d=self.tile_d)

@@ -1,0 +1,118 @@
+"""Recall CI gate: pruned search modes must track exact search on a
+100k-doc clustered corpus (VERDICT r1: the recall-vs-exact evidence lived
+only in bench scripts; this fails if a kernel/pruning change drops recall).
+Also covers the k-dependent auto presets (reference searcher.py:91-118)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ravqa_tpu.retrieval import (LateInteractionSearcher,
+                                 build_index_from_embeddings)
+
+N_DOCS = 100_000
+LD, DIM, B, LQ = 8, 32, 8, 8
+N_CLUSTERS = 256
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    """Clustered corpus: doc tokens = cluster center + noise (the realistic
+    regime for pruned search; bench_1m.py uses the same construction)."""
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(N_CLUSTERS, DIM)).astype(np.float32)
+    assign = rng.integers(0, N_CLUSTERS, N_DOCS)
+    toks = centers[assign][:, None, :] + 0.3 * rng.normal(
+        size=(N_DOCS, LD, DIM)).astype(np.float32)
+    toks /= np.linalg.norm(toks, axis=-1, keepdims=True)
+    mask = np.ones((N_DOCS, LD), np.int8)
+    q = centers[rng.integers(0, N_CLUSTERS, B)][:, None, :] \
+        + 0.3 * rng.normal(size=(B, LQ, DIM)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    index = build_index_from_embeddings(toks, mask, pad_multiple=64,
+                                        dtype=jnp.float32)
+    index.build_summaries(n_summary=2)
+    return index, jnp.asarray(q.astype(np.float32))
+
+
+def _recall(rows_approx, rows_exact, k):
+    hits = sum(len(set(a[:k].tolist()) & set(e[:k].tolist()))
+               for a, e in zip(rows_approx, rows_exact))
+    return hits / (len(rows_exact) * k)
+
+
+@pytest.fixture(scope="module")
+def exact_rows(corpus):
+    index, q = corpus
+    s = LateInteractionSearcher(index, mode="exact", use_pallas=False)
+    _, rows = s.search_device(q, k=10)
+    return np.asarray(rows)
+
+
+def test_two_stage_recall_gate(corpus, exact_rows):
+    index, q = corpus
+    s = LateInteractionSearcher(index, mode="two_stage", use_pallas=False)
+    assert s.resolve_candidates(10) == 1024        # auto preset
+    _, rows = s.search_device(q, k=10)
+    r = _recall(np.asarray(rows), exact_rows, 10)
+    assert r >= 0.95, f"two-stage recall@10 vs exact = {r}"
+    # top-1 must match exactly on a clustered corpus
+    assert (np.asarray(rows)[:, 0] == exact_rows[:, 0]).mean() >= 0.99
+
+
+def test_hierarchical_recall_gate(corpus, exact_rows):
+    """Hierarchical search with the documented production recipe: docs
+    cluster-ordered (coarse.cluster_order) so blocks are coherent."""
+    from ravqa_tpu.retrieval.coarse import cluster_order
+    index, q = corpus
+    perm = np.asarray(cluster_order(index.summaries[:N_DOCS],
+                                    n_clusters=N_CLUSTERS))
+    toks = np.asarray(index.tokens)[:N_DOCS][perm]
+    mask = np.asarray(index.mask)[:N_DOCS][perm]
+    idx2 = build_index_from_embeddings(toks, mask, pad_multiple=64,
+                                       dtype=jnp.float32)
+    idx2.build_summaries(n_summary=2)
+    idx2.build_block_summaries(block_size=64)
+    s = LateInteractionSearcher(idx2, mode="hierarchical",
+                                use_pallas=False)
+    _, rows = s.search_device(q, k=10)
+    rows = perm[np.asarray(rows)]                  # map back to original ids
+    r = _recall(rows, exact_rows, 10)
+    assert r >= 0.9, f"hierarchical recall@10 vs exact = {r}"
+
+
+def test_auto_presets_scale_with_k(corpus):
+    index, q = corpus
+    s = LateInteractionSearcher(index, mode="two_stage", use_pallas=False)
+    assert s.resolve_candidates(5) == 1024
+    assert s.resolve_candidates(100) == 1024
+    assert s.resolve_candidates(500) == 4096       # max(4k, 4096)
+    assert s.resolve_candidates(2000) == 8000
+    s2 = LateInteractionSearcher(index, mode="two_stage", use_pallas=False,
+                                 n_candidates=64)
+    assert s2.resolve_candidates(2000) == 64       # explicit wins
+
+
+def test_pad_rows_never_win_coarse_slots():
+    """ADVICE r1: all-zero pad summaries used to score 0 and beat real docs
+    with negative coarse scores."""
+    rng = np.random.default_rng(1)
+    # adversarial: every real doc scores NEGATIVELY against the query
+    toks = -np.abs(rng.normal(size=(48, 4, DIM))).astype(np.float32)
+    toks /= np.linalg.norm(toks, axis=-1, keepdims=True)
+    mask = np.ones((48, 4), np.int8)
+    index = build_index_from_embeddings(toks, mask, pad_multiple=64)
+    assert index.n_pad == 64                       # 16 pad rows
+    index.build_summaries(n_summary=2)
+    q = np.abs(rng.normal(size=(2, 4, DIM))).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    s = LateInteractionSearcher(index, mode="two_stage", use_pallas=False,
+                                n_candidates=16)
+    _, rows = s.search_device(jnp.asarray(q), k=10)
+    assert (np.asarray(rows) < 48).all(), "pad row won a candidate slot"
+    index.build_block_summaries(block_size=8)
+    sh = LateInteractionSearcher(index, mode="hierarchical",
+                                 use_pallas=False, n_candidates=16,
+                                 n_blocks=4)
+    _, rows_h = sh.search_device(jnp.asarray(q), k=10)
+    assert (np.asarray(rows_h) < 48).all()
