@@ -32,7 +32,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 @dataclasses.dataclass
 class TokenIndex:
     """A (possibly sharded) late-interaction token index."""
-    tokens: jax.Array          # (N_pad, Ld, dim) bf16/f32/int8
+    tokens: Optional[jax.Array]  # (N_pad, Ld, dim) bf16/f32/int8; None when
+    #                              residual-compressed (codes/residuals hold
+    #                              the data)
     mask: jax.Array            # (N_pad, Ld) int8/float
     pids: np.ndarray           # (N_pad,) int64 global passage ids; -1 = pad
     num_docs: int              # real (unpadded) doc count
@@ -40,6 +42,12 @@ class TokenIndex:
     summaries: Optional[jax.Array] = None  # (N_pad, S, dim) coarse stage
     block_summaries: Optional[jax.Array] = None  # (N_pad/bs, Sb, dim)
     block_size: int = 64
+    # residual codec (ops.residual; the reference's nbits index format)
+    codes: Optional[jax.Array] = None       # (N_pad, Ld) int32
+    residuals: Optional[jax.Array] = None   # (N_pad, Ld, dim*nbits/8) uint8
+    codec_centroids: Optional[jax.Array] = None   # (K, dim) f32
+    codec_weights: Optional[jax.Array] = None     # (2^nbits,) f32
+    nbits: int = 0
     meta: dict = dataclasses.field(default_factory=dict)
 
     def build_summaries(self, n_summary: int = 8, iters: int = 4,
@@ -83,17 +91,65 @@ class TokenIndex:
         self.block_size = block_size
         return self
 
+    def quantize_residual(self, n_centroids: int = 256, nbits: int = 2,
+                          mesh=None, axis: str = "index",
+                          seed: int = 0) -> "TokenIndex":
+        """Compress the token store with the residual codec (ops.residual —
+        the reference's nbits index format, residual.py:169-278): ~7x vs
+        bf16 at nbits=2, ~4.6x at nbits=4. The full-precision `tokens` array
+        is DROPPED; only pruned search modes (two_stage / hierarchical,
+        which re-score decompressed candidates) remain available. Build
+        summaries first — the coarse stage needs them."""
+        from ..ops.residual import compress, train_codec
+        assert self.tokens is not None, "already compressed"
+        assert self.summaries is not None, \
+            "build_summaries() before quantize_residual()"
+        toks = np.asarray(self.tokens, np.float32)
+        msk = np.asarray(self.mask)
+        codec = train_codec(toks, msk, n_centroids=n_centroids,
+                            nbits=nbits, seed=seed)
+        codes, packed = compress(toks, msk, codec)
+        if mesh is not None:
+            sh = NamedSharding(mesh, P(axis))
+            codes = jax.device_put(codes, sh)
+            packed = jax.device_put(packed, sh)
+        rep = (NamedSharding(mesh, P()) if mesh is not None else None)
+        self.codes, self.residuals = codes, packed
+        self.codec_centroids = (jax.device_put(codec.centroids, rep)
+                                if rep else codec.centroids)
+        self.codec_weights = (jax.device_put(codec.bucket_weights, rep)
+                              if rep else codec.bucket_weights)
+        self.nbits = nbits
+        self.meta["dim"] = int(codec.centroids.shape[1])
+        self.tokens = None
+        return self
+
+    def gather_tokens(self, rows: jax.Array) -> jax.Array:
+        """Gather (decompressing if needed) doc token embeddings for the
+        given padded-index rows. rows (...,) int -> (..., Ld, dim) f32."""
+        if self.tokens is not None:
+            return jnp.take(self.tokens, rows, axis=0).astype(jnp.float32)
+        from ..ops.residual import decompress
+        cod = jnp.take(self.codes, rows, axis=0)
+        pck = jnp.take(self.residuals, rows, axis=0)
+        return decompress(cod, pck, self.codec_centroids,
+                          self.codec_weights, self.nbits)
+
     @property
     def n_pad(self) -> int:
-        return self.tokens.shape[0]
+        return (self.tokens if self.tokens is not None
+                else self.codes).shape[0]
 
     @property
     def doc_maxlen(self) -> int:
-        return self.tokens.shape[1]
+        return (self.tokens if self.tokens is not None
+                else self.codes).shape[1]
 
     @property
     def dim(self) -> int:
-        return self.tokens.shape[2]
+        if self.tokens is not None:
+            return self.tokens.shape[2]
+        return self.codec_centroids.shape[1]
 
 
 def pad_to(n: int, multiple: int) -> int:
@@ -192,18 +248,29 @@ def encode_corpus(
 
 def save_index(index: TokenIndex, path: str) -> None:
     os.makedirs(path, exist_ok=True)
-    np.savez(
-        os.path.join(path, "index.npz"),
-        tokens=np.asarray(index.tokens, np.float32
-                          if index.tokens.dtype != jnp.int8 else np.int8),
+    arrays = dict(
         mask=np.asarray(index.mask, np.int8),
         pids=index.pids,
         scales=(np.asarray(index.scales, np.float32)
                 if index.scales is not None else np.zeros((0,))),
     )
+    if index.tokens is not None:
+        arrays["tokens"] = np.asarray(
+            index.tokens,
+            np.float32 if index.tokens.dtype != jnp.int8 else np.int8)
+    else:                                   # residual-codec index
+        arrays["codes"] = np.asarray(index.codes, np.int32)
+        arrays["residuals"] = np.asarray(index.residuals, np.uint8)
+        arrays["codec_centroids"] = np.asarray(index.codec_centroids,
+                                               np.float32)
+        arrays["codec_weights"] = np.asarray(index.codec_weights,
+                                             np.float32)
+        arrays["summaries"] = np.asarray(index.summaries, np.float32)
+    np.savez(os.path.join(path, "index.npz"), **arrays)
     with open(os.path.join(path, "metadata.json"), "w") as f:
         json.dump({"num_docs": index.num_docs,
                    "quantized": index.scales is not None,
+                   "nbits": index.nbits,
                    **index.meta}, f)
 
 
@@ -213,11 +280,26 @@ def load_index(path: str, dtype=jnp.bfloat16, mesh: Optional[Mesh] = None,
         meta = json.load(f)
     z = np.load(os.path.join(path, "index.npz"))
     quantized = meta.pop("quantized", False)
-    tokens = jnp.asarray(z["tokens"], jnp.int8 if quantized else dtype)
+    nbits = meta.pop("nbits", 0)
     mask = jnp.asarray(z["mask"])
     scales = jnp.asarray(z["scales"], jnp.float32) if quantized else None
-    if mesh is not None:
-        sh = NamedSharding(mesh, P(axis))
+    sh = NamedSharding(mesh, P(axis)) if mesh is not None else None
+    if "codes" in z.files:                  # residual-codec index
+        idx = TokenIndex(
+            tokens=None, mask=mask, pids=z["pids"],
+            num_docs=meta.pop("num_docs"),
+            codes=jnp.asarray(z["codes"]),
+            residuals=jnp.asarray(z["residuals"]),
+            codec_centroids=jnp.asarray(z["codec_centroids"]),
+            codec_weights=jnp.asarray(z["codec_weights"]),
+            summaries=jnp.asarray(z["summaries"], dtype),
+            nbits=nbits, meta=meta)
+        if sh is not None:
+            for f_ in ("mask", "codes", "residuals", "summaries"):
+                setattr(idx, f_, jax.device_put(getattr(idx, f_), sh))
+        return idx
+    tokens = jnp.asarray(z["tokens"], jnp.int8 if quantized else dtype)
+    if sh is not None:
         tokens = jax.device_put(tokens, sh)
         mask = jax.device_put(mask, sh)
         if scales is not None:
