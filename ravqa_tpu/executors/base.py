@@ -13,7 +13,7 @@ import dataclasses
 import json
 import os
 import time
-from typing import Any, Callable, Iterable, Optional
+from typing import Any, Callable, Iterable, Optional, Sequence
 
 import flax
 import jax
@@ -110,17 +110,46 @@ def make_optimizer(cfg: TrainConfig, params) -> optax.GradientTransformation:
 
 
 class MetricsLogger:
-    """JSONL metrics history + stdout (replaces wandb/TB + MetricsHistoryLogger)."""
+    """Metrics history with selectable backends (replaces the reference's
+    wandb + TensorBoard Lightning loggers + MetricsHistoryLogger,
+    SURVEY.md §5 observability).
 
-    def __init__(self, log_dir: Optional[str] = None, quiet: bool = False):
+    backends: any of "jsonl" (metrics.jsonl under log_dir — always cheap),
+    "tensorboard" (tensorboardX SummaryWriter under log_dir/tb), "wandb"
+    (requires the wandb package; skipped with a warning when absent —
+    this image has no network). The in-memory `history` list is the
+    MetricsHistoryLogger equivalent and is always kept.
+    """
+
+    def __init__(self, log_dir: Optional[str] = None, quiet: bool = False,
+                 backends: Sequence[str] = ("jsonl",),
+                 wandb_kwargs: Optional[dict] = None):
         self.log_dir = log_dir
         self.quiet = quiet
         self.history: list[dict] = []
-        if log_dir:
+        self._f = None
+        self._tb = None
+        self._wandb_run = None
+        if log_dir and "jsonl" in backends:
             os.makedirs(log_dir, exist_ok=True)
             self._f = open(os.path.join(log_dir, "metrics.jsonl"), "a")
-        else:
-            self._f = None
+        if log_dir and "tensorboard" in backends:
+            try:
+                from tensorboardX import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(log_dir, "tb"))
+            except Exception as e:  # pragma: no cover
+                import logging
+                logging.getLogger(__name__).warning(
+                    "tensorboard backend unavailable: %s", e)
+        if "wandb" in backends:  # pragma: no cover - wandb not in image
+            try:
+                import wandb
+                self._wandb_run = wandb.init(
+                    dir=log_dir, **(wandb_kwargs or {}))
+            except Exception as e:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "wandb backend unavailable: %s", e)
 
     def log(self, metrics: dict, step: int, prefix: str = ""):
         rec = {("%s%s" % (prefix, k)): (float(v) if np.isscalar(v)
@@ -132,6 +161,15 @@ class MetricsLogger:
         if self._f:
             self._f.write(json.dumps(rec) + "\n")
             self._f.flush()
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k in ("step", "time") or not isinstance(v, float):
+                    continue
+                self._tb.add_scalar(k, v, int(step))
+            self._tb.flush()
+        if self._wandb_run is not None:  # pragma: no cover
+            self._wandb_run.log(
+                {k: v for k, v in rec.items() if k != "time"}, step=step)
         if not self.quiet:
             short = {k: (round(v, 5) if isinstance(v, float) else v)
                      for k, v in rec.items() if k not in ("time",)}
@@ -148,7 +186,8 @@ class BaseExecutor:
                  mesh: Optional[Mesh] = None, log_dir: Optional[str] = None,
                  seed: int = 0, quiet: bool = False,
                  param_sharding: str = "replicated",
-                 fsdp_min_size: int = 2 ** 18):
+                 fsdp_min_size: int = 2 ** 18,
+                 logger_backends: Sequence[str] = ("jsonl",)):
         """param_sharding: 'replicated' (DP) or 'fsdp' (shard each large
         param's biggest divisible dim over the data axis — ZeRO-3-style;
         XLA inserts the all-gathers)."""
@@ -159,7 +198,8 @@ class BaseExecutor:
         # otherwise invalidate the caller's param buffers
         params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
         self.tx = make_optimizer(train_cfg, params)
-        self.logger = MetricsLogger(log_dir, quiet=quiet)
+        self.logger = MetricsLogger(log_dir, quiet=quiet,
+                                    backends=logger_backends)
         rng = jax.random.PRNGKey(seed)
         self.state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                                 opt_state=self.tx.init(params), rng=rng)

@@ -48,10 +48,19 @@ def build_pipeline(cfg: Config, cache_dir: Optional[str]):
 
 def _flmr_config_from(mc):
     """model_config dict -> FLMRModelConfig (shared by FLMR and RAG paths)."""
-    from .models import BertConfig, FLMRModelConfig
+    from .models import BertConfig, FLMRModelConfig, ViTConfig
     bert = BertConfig(**mc.get("bert", {}))
+    vit = None
+    vit_spec = dict(mc.get("vit", {}))
+    if vit_spec:
+        vit = ViTConfig.tiny() if vit_spec.pop("tiny", False) \
+            else ViTConfig(**vit_spec)
+    in_graph = mc.get("in_graph_vision", False) \
+        or "in_graph_vision" in mc.get("modules", [])
     return FLMRModelConfig(
         bert=bert,
+        in_graph_vision=in_graph,
+        vit=vit,
         dim=mc.get("dim", 128),
         vision_dim=mc.get("vision_embedding_size", 768),
         prefix_len=mc.get("mapping_network_prefix_length", 32),
@@ -108,7 +117,8 @@ def build_executor(cfg: Config, data, mesh, log_dir: str, quiet=False):
         if cfg.executor.get("ExecutorClass") == \
         "FLMRVisionPretrainingExecutor" else FLMRExecutor
     return cls(model, params, train_cfg, mesh=mesh, log_dir=log_dir,
-               seed=cfg.get("seed", 0), quiet=quiet)
+               seed=cfg.get("seed", 0), quiet=quiet,
+               logger_backends=tuple(tc.get("logger_backends", ["jsonl"])))
 
 
 def build_rag_executor(cfg: Config, data, mesh, log_dir: str, quiet=False):
@@ -238,10 +248,7 @@ def rag_batches(dataset, batch_size: int, seed: int = 0):
                 "query_input_ids": qi, "query_attention_mask": qm,
             }
             from .data.datasets import _attach_vision
-            _attach_vision(batch, chunk, parsed)
-            if "image" in chunk[0]:   # raw pixels for BLIP-2 generators
-                batch["pixel_values"] = np.stack(
-                    [np.asarray(it["image"], np.float32) for it in chunk])
+            _attach_vision(batch, chunk, parsed)   # incl. raw pixels
             yield batch
 
 
@@ -269,10 +276,7 @@ def rag_eval_batches(dataset, batch_size: int):
             "query_input_ids": qi, "query_attention_mask": qm,
         }
         from .data.datasets import _attach_vision
-        _attach_vision(batch, chunk, parsed)
-        if "image" in chunk[0]:
-            batch["pixel_values"] = np.stack(
-                [np.asarray(it["image"], np.float32) for it in chunk])
+        _attach_vision(batch, chunk, parsed)       # incl. raw pixels
         yield batch
 
 
@@ -326,6 +330,15 @@ def run_eval(cfg, ex, data, log_dir: str, split: str = "valid"):
              for it, row in zip(ds.items, m["_retrieved_pids"])]
     with open(os.path.join(log_dir, f"{split}_predictions.json"), "w") as f:
         json.dump(preds, f)
+    # prediction table (reference wandb.Table schema, FLMR_executor:897-973)
+    from .utils.tables import (build_prediction_table, log_prediction_table,
+                               save_prediction_table)
+    contents = [[corpus.content_of(pid) for pid in row]
+                for row in m["_retrieved_pids"]]
+    cols, rows = build_prediction_table(ds.items, contents, max(ks))
+    save_prediction_table(
+        os.path.join(log_dir, f"{split}_prediction_table.jsonl"), cols, rows)
+    log_prediction_table(ex.logger, f"{split}/predictions", cols, rows)
     return metrics
 
 
