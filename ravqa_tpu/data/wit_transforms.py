@@ -12,8 +12,12 @@ SplitWITPassagesForLargeScaleTraining maps onto:
   corpus (title + section + description) and per-image items whose positive
   is their source row's passage; optional IGLUE id filter for the test
   split; vision-only queries (question=None) for FLMRForPretraining.
+- PrepareImagesForWITData: filter items to locally-available images
+  (injectable fetcher for the download step).
 - TruncateWITPassages: cap passage text length in words.
 - ReduceWITPassagesSize: subsample the corpus while keeping all positives.
+- SplitWITPassagesForLargeScaleTraining: train against the full corpus,
+  evaluate against the valid/test-positive subset.
 """
 
 from __future__ import annotations
@@ -74,6 +78,71 @@ class LoadWITData(BaseTransform):
         out["passages"] = {"train_passages": corpus,
                            "full_passages": corpus}
         return out
+
+
+@register_transform
+class PrepareImagesForWITData(BaseTransform):
+    """Fetch (optionally) and filter WIT items to those whose image exists
+    on disk (reference wit_data_ops.py:132-290 — its threaded downloader is
+    network-bound; here the fetch step is an injectable callable and the
+    meaningful semantics, 'keep only examples with a local image', are
+    in-repo).
+
+    setup: image_data_path (dir of downloaded images), image_name (callable
+    item -> filename; default: md5 of image_id + '.jpg', hash-stable like
+    the reference's url-derived names), fetcher (optional callable
+    (image_id, image_path) -> bool to download missing images),
+    fetch_images=False.
+    """
+
+    def __call__(self, data):
+        import hashlib
+        import os
+
+        root = getattr(self, "image_data_path", ".")
+        name_fn = getattr(self, "image_name", None) or (
+            lambda it: hashlib.md5(
+                str(it["image_id"]).encode()).hexdigest() + ".jpg")
+        fetcher = getattr(self, "fetcher", None)
+        do_fetch = getattr(self, "fetch_images", False)
+        for split, items in list(data.items()):
+            if not isinstance(items, list):
+                continue
+            kept = []
+            for it in items:
+                path = os.path.join(root, name_fn(it))
+                ok = os.path.exists(path)
+                if not ok and do_fetch and fetcher is not None:
+                    ok = bool(fetcher(it["image_id"], path))
+                if ok:
+                    it = dict(it)
+                    it["img_path"] = path
+                    kept.append(it)
+            data[split] = kept
+        return data
+
+
+@register_transform
+class SplitWITPassagesForLargeScaleTraining(BaseTransform):
+    """Large-scale split (reference wit_data_ops.py:1225-1271): training
+    retrieves against the FULL corpus; validation/test retrieve against the
+    subset of passages that are positives of any valid/test item (keeps
+    eval tractable when the corpus has millions of passages)."""
+
+    def __call__(self, data):
+        corpus = data["passages"]["full_passages"]
+        keep = set()
+        for split in ("valid", "test"):
+            for it in data.get(split) or []:
+                keep.update(it.get("pos_item_ids", []))
+        ids = [pid for pid in corpus.ids if pid in keep]
+        id2c = dict(zip(corpus.ids, corpus.contents))
+        eval_corpus = PassageCorpus(ids, [id2c[p] for p in ids])
+        data["passages"] = {"train_passages": corpus,
+                            "full_passages": eval_corpus,
+                            "valid_passages": eval_corpus,
+                            "test_passages": eval_corpus}
+        return data
 
 
 @register_transform

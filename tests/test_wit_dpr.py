@@ -87,3 +87,52 @@ def test_dpr_executor_trains_and_evaluates():
         passage_ids=[f"P{i}" for i in range(6)],
         pos_item_ids=[[f"P{i}"] for i in range(6)], ks=[1, 3])
     assert metrics["pos_item_ids_recall_at_3"] > 0.5
+
+
+def test_prepare_images_filters_to_local(tmp_path):
+    """PrepareImagesForWITData keeps only items whose image exists on disk
+    (reference wit_data_ops.py:132-290 minus the network downloader)."""
+    from ravqa_tpu.data.wit_transforms import PrepareImagesForWITData
+    t = PrepareImagesForWITData.__new__(PrepareImagesForWITData)
+    t.image_data_path = str(tmp_path)
+    t.image_name = lambda it: f"{it['image_id']}.jpg"
+    (tmp_path / "a.jpg").write_bytes(b"x")
+    data = {"train": [{"question_id": "0", "image_id": "a",
+                       "pos_item_ids": ["P_0"]},
+                      {"question_id": "1", "image_id": "missing",
+                       "pos_item_ids": ["P_1"]}]}
+    out = t(data)
+    assert [it["image_id"] for it in out["train"]] == ["a"]
+    assert out["train"][0]["img_path"].endswith("a.jpg")
+    # fetcher hook: downloads the missing one
+    t2 = PrepareImagesForWITData.__new__(PrepareImagesForWITData)
+    t2.image_data_path = str(tmp_path)
+    t2.image_name = lambda it: f"{it['image_id']}.jpg"
+    t2.fetch_images = True
+    t2.fetcher = lambda image_id, path: (open(path, "wb").write(b"y"), True)[1]
+    out2 = t2({"train": [{"question_id": "1", "image_id": "missing",
+                          "pos_item_ids": ["P_1"]}]})
+    assert len(out2["train"]) == 1
+
+
+def test_split_passages_for_large_scale_training():
+    """Train retrieves against the full corpus; valid/test against the
+    positives-only subset (reference wit_data_ops.py:1225-1271)."""
+    from ravqa_tpu.data.datasets import PassageCorpus
+    from ravqa_tpu.data.wit_transforms import \
+        SplitWITPassagesForLargeScaleTraining
+    corpus = PassageCorpus([f"P_{i}" for i in range(10)],
+                           [f"text {i}" for i in range(10)])
+    data = {
+        "train": [{"pos_item_ids": ["P_0"]}],
+        "valid": [{"pos_item_ids": ["P_3"]}],
+        "test": [{"pos_item_ids": ["P_7", "P_8"]}],
+        "passages": {"train_passages": corpus, "full_passages": corpus},
+    }
+    t = SplitWITPassagesForLargeScaleTraining.__new__(
+        SplitWITPassagesForLargeScaleTraining)
+    out = t(data)
+    assert len(out["passages"]["train_passages"]) == 10
+    assert sorted(out["passages"]["full_passages"].ids) == \
+        ["P_3", "P_7", "P_8"]
+    assert out["passages"]["full_passages"].content_of("P_7") == "text 7"
