@@ -38,6 +38,10 @@ def _attach_vision(batch: dict, items: Sequence[dict],
         batch["image_patch_features"] = np.stack(
             [np.asarray(it["image_patch_features"], np.float32)
              for it in items])
+    if "image" in items[0]:
+        # raw pixels for in-graph vision encoders (FLMRWithVisionModel)
+        batch["pixel_values"] = np.stack(
+            [np.asarray(it["image"], np.float32) for it in items])
 
 
 @dataclasses.dataclass

@@ -299,6 +299,7 @@ class SyntheticOKVQA(BaseTransform):
         n_q = getattr(self, "n_questions", 32)
         vdim = getattr(self, "vision_dim", 16)
         n_patches = getattr(self, "n_patches", 0)  # >0: emit patch features
+        pixels = getattr(self, "emit_pixels", 0)   # >0: raw (S,S,3) images
         rng = np.random.default_rng(getattr(self, "seed", 0))
         contents = [" ".join(rng.choice(self.WORDS, 5, replace=False))
                     for _ in range(n_docs)]
@@ -320,6 +321,10 @@ class SyntheticOKVQA(BaseTransform):
             if n_patches:
                 items[-1]["image_patch_features"] = rng.normal(
                     size=(n_patches, vdim)).astype(np.float32)
+            if pixels:
+                items[-1]["image"] = rng.integers(
+                    0, 255, (pixels, pixels, 3)).astype(np.uint8)
+                del items[-1]["image_features"]   # in-graph ViT consumes px
         n_train = max(1, int(0.8 * n_q))
         return {"train": items[:n_train], "test": items[n_train:],
                 "passages": {"train_passages": corpus,

@@ -50,10 +50,11 @@ class FLMRExecutor(BaseExecutor):
                                 method=FLMRRetriever.doc)
 
     def _encode_query_impl(self, params, input_ids, attention_mask,
-                           image_features, image_patch_features=None):
+                           image_features, pixel_values=None,
+                           image_patch_features=None):
         return self.model.apply({"params": params}, input_ids,
                                 attention_mask, image_features,
-                                None, image_patch_features,
+                                pixel_values, image_patch_features,
                                 method=FLMRRetriever.query)
 
     def encode_queries(self, batches: Iterable[dict]) -> np.ndarray:
@@ -63,6 +64,7 @@ class FLMRExecutor(BaseExecutor):
                                    b.get("query_input_ids"),
                                    b.get("query_attention_mask"),
                                    b.get("image_features"),
+                                   b.get("pixel_values"),
                                    b.get("image_patch_features"))
             out.append(np.asarray(q, np.float32))
         return np.concatenate(out, axis=0)
