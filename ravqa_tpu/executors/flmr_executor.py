@@ -71,26 +71,29 @@ class FLMRExecutor(BaseExecutor):
 
     def build_index(self, doc_batches: Iterable[dict],
                     pids: Optional[Sequence] = None,
-                    dtype=jnp.float32, pad_multiple: int = 8) -> TokenIndex:
+                    dtype=jnp.float32, pad_multiple: int = 8,
+                    resume_dir: Optional[str] = None) -> TokenIndex:
         """Encode a corpus and assemble the sharded TokenIndex (the
-        reference's prepare_item_embeddings + Indexer.index)."""
+        reference's prepare_item_embeddings + Indexer.index).
+
+        resume_dir: persist per-batch chunks there and skip already-encoded
+        chunks on restart (the reference indexing `resume` mode)."""
         from ..models.flmr import skiplist_mask
-        embs, masks = [], []
-        for b in doc_batches:
+        from ..retrieval.index import encode_corpus
+
+        def encode_fn(b):
             ids = b["doc_input_ids"]
             am = b["doc_attention_mask"]
             sm = b.get("doc_skip_mask")
             if sm is None:
                 sm = skiplist_mask(jnp.asarray(ids), self.skip_ids)
-            d, m = self._encode_doc(self.state.params, jnp.asarray(ids),
+            return self._encode_doc(self.state.params, jnp.asarray(ids),
                                     jnp.asarray(am), jnp.asarray(sm))
-            embs.append(np.asarray(d, np.float32))
-            masks.append(np.asarray(m, np.int8))
-        tok = np.concatenate(embs, axis=0)
-        msk = np.concatenate(masks, axis=0)
-        return build_index_from_embeddings(
-            tok, msk, pids=pids, pad_multiple=pad_multiple, dtype=dtype,
-            mesh=self.mesh, axis="data" if self.mesh is not None else "index")
+
+        return encode_corpus(
+            encode_fn, doc_batches, pad_multiple=pad_multiple, dtype=dtype,
+            mesh=self.mesh, axis="data" if self.mesh is not None else "index",
+            pids=pids, resume_dir=resume_dir)
 
     # -- evaluation ----------------------------------------------------------
     def evaluate_retrieval(

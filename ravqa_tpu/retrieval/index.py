@@ -222,6 +222,7 @@ def encode_corpus(
     mesh: Optional[Mesh] = None,
     axis: str = "index",
     pids: Optional[Sequence[int]] = None,
+    resume_dir: Optional[str] = None,
 ) -> TokenIndex:
     """Encode a corpus into a TokenIndex.
 
@@ -229,10 +230,31 @@ def encode_corpus(
     (and may itself be pjit-sharded over the data axis). Replaces the
     reference's Launcher-spawned multi-process CollectionIndexer
     (collection_indexer.py:321-339) with a single-program loop.
+
+    resume_dir: per-batch embedding chunks persist as chunk_{i}.npz there;
+    a restarted build skips chunks already on disk (the reference's
+    indexing `resume` mode, collection_indexer.py:62,325-327 — long
+    multi-hour corpus encodes survive preemption).
     """
     embs, msks = [], []
-    for batch in batches:
-        d, m = doc_encode_fn(batch)
+    if resume_dir:
+        os.makedirs(resume_dir, exist_ok=True)
+    for i, batch in enumerate(batches):
+        chunk_path = (os.path.join(resume_dir, f"chunk_{i}.npz")
+                      if resume_dir else None)
+        if chunk_path and os.path.exists(chunk_path):
+            z = np.load(chunk_path)
+            d, m = z["d"], z["m"]
+        else:
+            d, m = doc_encode_fn(batch)
+            d = np.asarray(d, np.float32)
+            m = np.asarray(m, np.int8)
+            if chunk_path:
+                # write-then-rename so a crash mid-write never leaves a
+                # truncated chunk that a resume would trust
+                tmp = chunk_path + ".tmp.npz"
+                np.savez(tmp, d=d, m=m)
+                os.replace(tmp, chunk_path)
         embs.append(np.asarray(d, np.float32))
         msks.append(np.asarray(m, np.int8))
     tok = np.concatenate(embs, axis=0)

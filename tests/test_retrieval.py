@@ -151,3 +151,41 @@ def test_int8_pallas_kernel_interpret(corpus, queries):
     want = np.asarray(maxsim_search_int8_xla(
         jnp.array(q), d8, dscales, jnp.array(msk)))
     np.testing.assert_allclose(got, want, rtol=0.02, atol=0.5)
+
+
+def test_encode_corpus_resume(tmp_path):
+    """Index-build resume (reference collection_indexer.py resume mode):
+    a crashed build restarts from persisted chunks; result identical."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ravqa_tpu.retrieval.index import encode_corpus
+
+    rng = np.random.default_rng(0)
+    batches = [{"i": i} for i in range(4)]
+
+    def make_fn(fail_at=None, calls=None):
+        def fn(b):
+            if calls is not None:
+                calls.append(b["i"])
+            if fail_at is not None and b["i"] == fail_at:
+                raise RuntimeError("preempted")
+            r = np.random.default_rng(b["i"])
+            return (r.normal(size=(3, 4, 8)).astype(np.float32),
+                    np.ones((3, 4), np.int8))
+        return fn
+
+    gold = encode_corpus(make_fn(), batches, pad_multiple=4,
+                         dtype=jnp.float32)
+    d = str(tmp_path / "chunks")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        encode_corpus(make_fn(fail_at=2), batches, pad_multiple=4,
+                      dtype=jnp.float32, resume_dir=d)
+    calls = []
+    idx = encode_corpus(make_fn(calls=calls), batches, pad_multiple=4,
+                        dtype=jnp.float32, resume_dir=d)
+    assert calls == [2, 3]            # chunks 0-1 came from disk
+    np.testing.assert_array_equal(np.asarray(idx.tokens),
+                                  np.asarray(gold.tokens))
+    np.testing.assert_array_equal(np.asarray(idx.mask),
+                                  np.asarray(gold.mask))
