@@ -177,3 +177,112 @@ def save_ranking_tsv(path: str, query_ids: Sequence,
         for qid, row, ss in zip(query_ids, retrieved_ids, scores):
             for rank, (pid, s) in enumerate(zip(row, ss), start=1):
                 f.write(f"{qid}\t{pid}\t{rank}\t{float(s)}\n")
+
+
+def load_ranking_tsv(path: str) -> dict:
+    """qid -> [(rank, pid, score|None)] sorted by rank."""
+    out: dict = {}
+    with open(path) as f:
+        for line in f:
+            qid, pid, rank, *score = line.strip().split("\t")
+            out.setdefault(qid, []).append(
+                (int(rank), pid, float(score[0]) if score else None))
+    for rows in out.values():
+        rows.sort()
+    return out
+
+
+def evaluate_msmarco_ranking(ranking_path: str, qrels_path: str,
+                             mrr_depth: int = 10,
+                             recall_depths: Sequence[int] = (50, 200, 1000),
+                             ) -> dict:
+    """MS-MARCO-style ranking evaluation (reference
+    utility/evaluate/msmarco_passages.py): MRR@depth + recall@depths from a
+    ColBERT ranking TSV against a qrels file (`qid 0 pid 1` rows)."""
+    qid2pos: dict = {}
+    with open(qrels_path) as f:
+        for line in f:
+            qid, _, pid, label = line.split()
+            assert int(label) == 1
+            qid2pos.setdefault(qid, set()).add(pid)
+    qid2ranking = load_ranking_tsv(ranking_path)
+    n = len(qid2pos)
+    mrr = 0.0
+    recall = {d: 0.0 for d in recall_depths}
+    for qid, pos in qid2pos.items():
+        ranking = qid2ranking.get(qid, [])
+        for rank, pid, _ in ranking[:mrr_depth]:
+            if pid in pos:
+                mrr += 1.0 / rank
+                break
+        for d in recall_depths:
+            found = {pid for rank, pid, _ in ranking[:d]} & pos
+            recall[d] += len(found) / max(len(pos), 1)
+    out = {f"mrr@{mrr_depth}": mrr / max(n, 1),
+           "num_judged_queries": n,
+           "num_ranked_queries": len(qid2ranking)}
+    out.update({f"recall@{d}": v / max(n, 1) for d, v in recall.items()})
+    return out
+
+
+def _tokens(text: str) -> list[str]:
+    return text.lower().split()
+
+
+def _has_answer(answer_token_lists, passage: str) -> bool:
+    """DPR-style containment: any answer's token sequence appears as a
+    contiguous sublist of the passage tokens (reference
+    utility/utils/dpr.py has_answer via annotate_EM_helpers)."""
+    ptoks = _tokens(passage)
+    for ans in answer_token_lists:
+        if not ans:
+            continue
+        n = len(ans)
+        for s in range(len(ptoks) - n + 1):
+            if ptoks[s:s + n] == ans:
+                return True
+    return False
+
+
+def annotate_ranking_with_answers(
+    ranking_path: str,
+    collection: Sequence[str],
+    qid2answers: dict,
+    output_path: str | None = None,
+    cutoffs: Sequence = (1, 5, 10, 20, 30, 50, 100, 1000, "all"),
+) -> dict:
+    """Annotate a ranking with exact-match answer presence and compute
+    Success@k / answer counts (reference utility/evaluate/annotate_EM.py).
+
+    collection: pid -> passage text (list indexed by int pid, or dict).
+    Writes `qid \\t pid \\t rank \\t label` when output_path is given.
+    Returns {"success": {cutoff: frac}, "counts": {cutoff: mean#hits}}.
+    """
+    qid2ranking = load_ranking_tsv(ranking_path)
+    tok_answers = {qid: [_tokens(a) for a in answers]
+                   for qid, answers in qid2answers.items()}
+
+    def passage_of(pid):
+        if isinstance(collection, dict):
+            return collection[pid]
+        return collection[int(pid)]
+
+    success = {c: 0.0 for c in cutoffs}
+    counts = {c: 0.0 for c in cutoffs}
+    n = len(qid2answers)
+    lines = []
+    for qid, answers in tok_answers.items():
+        ranking = qid2ranking.get(qid, [])
+        labels = [_has_answer(answers, passage_of(pid))
+                  for _, pid, _ in ranking]
+        for (rank, pid, _), lab in zip(ranking, labels):
+            lines.append(f"{qid}\t{pid}\t{rank}\t{int(lab)}")
+        for c in cutoffs:
+            top = labels if c == "all" else labels[:c]
+            success[c] += float(any(top))
+            counts[c] += float(sum(top))
+    if output_path is not None:
+        with open(output_path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return {"success": {c: v / max(n, 1) for c, v in success.items()},
+            "counts": {c: v / max(n, 1) for c, v in counts.items()}}

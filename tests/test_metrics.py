@@ -116,3 +116,48 @@ def test_text_cleaner():
     from ravqa_tpu.metrics import TextCleaner
     assert TextCleaner().clean_texts(["A cat!", "isnt two"]) == \
         ["cat", "isn't 2"]
+
+
+class TestRankingEvalUtilities:
+    """R22 leftovers: msmarco-style ranking eval + EM annotation
+    (reference utility/evaluate/{msmarco_passages,annotate_EM}.py)."""
+
+    def _ranking(self, tmp_path):
+        from ravqa_tpu.metrics.retrieval_metrics import save_ranking_tsv
+        p = tmp_path / "ranking.tsv"
+        save_ranking_tsv(str(p), ["1", "2"],
+                         [["10", "11", "12"], ["20", "21", "22"]],
+                         [[3.0, 2.0, 1.0], [3.0, 2.0, 1.0]])
+        return str(p)
+
+    def test_msmarco_eval(self, tmp_path):
+        from ravqa_tpu.metrics.retrieval_metrics import \
+            evaluate_msmarco_ranking
+        rp = self._ranking(tmp_path)
+        qrels = tmp_path / "qrels.tsv"
+        # q1's positive at rank 2; q2's positive at rank 1
+        qrels.write_text("1 0 11 1\n2 0 20 1\n")
+        m = evaluate_msmarco_ranking(rp, str(qrels), mrr_depth=10,
+                                     recall_depths=(1, 3))
+        assert m["mrr@10"] == (0.5 + 1.0) / 2
+        assert m["recall@1"] == 0.5 and m["recall@3"] == 1.0
+        assert m["num_judged_queries"] == 2
+
+    def test_annotate_em(self, tmp_path):
+        from ravqa_tpu.metrics.retrieval_metrics import \
+            annotate_ranking_with_answers
+        rp = self._ranking(tmp_path)
+        collection = {"10": "about the red cat", "11": "dogs here",
+                      "12": "nothing", "20": "a blue fish swims",
+                      "21": "red cat again", "22": "empty"}
+        answers = {"1": ["red cat"], "2": ["green bird"]}
+        out = tmp_path / "labeled.tsv"
+        m = annotate_ranking_with_answers(rp, collection, answers,
+                                          output_path=str(out),
+                                          cutoffs=(1, 3, "all"))
+        assert m["success"][1] == 0.5          # q1 hits at rank 1, q2 never
+        assert m["success"]["all"] == 0.5
+        assert m["counts"][3] == 0.5           # q1 has 1 hit, q2 zero
+        rows = [l.split("\t") for l in out.read_text().splitlines()]
+        assert rows[0] == ["1", "10", "1", "1"]
+        assert rows[1][3] == "0"
