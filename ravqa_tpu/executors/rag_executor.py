@@ -77,7 +77,9 @@ def _make_searcher(index: TokenIndex, mesh, rag_cfg: "RagConfig"):
     if mode in ("two_stage", "hierarchical") and index.summaries is None:
         index.build_summaries(mesh=mesh, axis=axis)
     if mode == "hierarchical" and index.block_summaries is None:
-        n_local = index.n_pad // (mesh.shape[axis] if mesh is not None else 1)
+        from ..retrieval.search import mesh_axis_size
+        n_local = index.n_pad // (mesh_axis_size(mesh, axis)
+                                  if mesh is not None else 1)
         bs = max(b for b in (64, 32, 16, 8, 4, 2, 1) if n_local % b == 0)
         index.build_block_summaries(block_size=bs, mesh=mesh, axis=axis)
     return LateInteractionSearcher(

@@ -77,7 +77,8 @@ class TokenIndex:
         assert self.summaries is not None, "build_summaries() first"
         assert self.n_pad % block_size == 0
         if mesh is not None:
-            n_local = self.n_pad // mesh.shape[axis]
+            from .search import mesh_axis_size
+            n_local = self.n_pad // mesh_axis_size(mesh, axis)
             assert n_local % block_size == 0, \
                 (f"block_size {block_size} must divide the per-shard doc "
                  f"count {n_local}")
@@ -196,7 +197,8 @@ def build_index_from_embeddings(
 
     n_pad = pad_to(max(n, 1), pad_multiple)
     if mesh is not None:
-        n_pad = pad_to(n_pad, pad_multiple * mesh.shape[axis])
+        from .search import mesh_axis_size
+        n_pad = pad_to(n_pad, pad_multiple * mesh_axis_size(mesh, axis))
     if n_pad != n:
         tok = np.concatenate(
             [tok, np.zeros((n_pad - n, ld, dim), np.float32)], axis=0)

@@ -28,6 +28,18 @@ from ..ops.maxsim import maxsim_search_pallas, maxsim_search_xla
 from ..ops.quant import maxsim_search_int8_xla
 from .index import TokenIndex
 
+def mesh_axis_size(mesh, axis) -> int:
+    """Total shard count over `axis`, which may be one mesh axis name or a
+    tuple of names (e.g. ("dcn", "ici") for a multi-pod sharded index —
+    collectives over the tuple ride ICI within a pod and DCN across)."""
+    if isinstance(axis, (tuple, list)):
+        n = 1
+        for a in axis:
+            n *= mesh.shape[a]
+        return n
+    return mesh.shape[axis]
+
+
 def shard_map(f, mesh, in_specs, out_specs):
     # check_vma=False: outputs are replicated by construction (every shard
     # computes the same merged top-k after all_gather) but the static
@@ -81,7 +93,7 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
     """
     from .coarse import hierarchical_search, two_stage_search
 
-    nshards = mesh.shape[axis]
+    nshards = mesh_axis_size(mesh, axis)
     n_local = n_pad // nshards
     k_local = min(k, n_local)
     c_local = min(max(n_candidates // nshards, k_local), n_local)

@@ -189,3 +189,53 @@ def test_encode_corpus_resume(tmp_path):
                                   np.asarray(gold.tokens))
     np.testing.assert_array_equal(np.asarray(idx.mask),
                                   np.asarray(gold.mask))
+
+
+def test_multipod_2d_mesh_sharded_search():
+    """Infoseek-scale rehearsal: the index shards over a COMPOSITE
+    ("dcn", "ici") axis of a 2D mesh (2 pods x 4 chips); the cross-shard
+    top-k merge collective spans both axes (rides ICI within a pod and DCN
+    across). Results must match single-device exact search."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import mesh_utils
+    from jax.sharding import Mesh
+    from ravqa_tpu.retrieval import (LateInteractionSearcher,
+                                     build_index_from_embeddings)
+    from ravqa_tpu.retrieval.search import mesh_axis_size
+
+    devs = mesh_utils.create_device_mesh((2, 4))
+    mesh = Mesh(devs, ("dcn", "ici"))
+    axis = ("dcn", "ici")
+    assert mesh_axis_size(mesh, axis) == 8
+
+    rng = np.random.default_rng(0)
+    toks = rng.normal(size=(128, 6, 16)).astype(np.float32)
+    toks /= np.linalg.norm(toks, axis=-1, keepdims=True)
+    mask = np.ones((128, 6), np.int8)
+    q = toks[:4, :4] + 0.05 * rng.normal(size=(4, 4, 16)).astype(np.float32)
+
+    idx = build_index_from_embeddings(toks, mask, pad_multiple=8,
+                                      dtype=jnp.float32, mesh=mesh,
+                                      axis=axis)
+    s = LateInteractionSearcher(idx, mesh=mesh, axis=axis, mode="exact",
+                                use_pallas=False)
+    scores, rows = s.search_device(jnp.asarray(q), k=5)
+
+    idx1 = build_index_from_embeddings(toks, mask, pad_multiple=8,
+                                       dtype=jnp.float32)
+    s1 = LateInteractionSearcher(idx1, mode="exact", use_pallas=False)
+    _, rows1 = s1.search_device(jnp.asarray(q), k=5)
+    np.testing.assert_array_equal(np.asarray(rows), np.asarray(rows1))
+
+    # pruned mode over the same 2D mesh
+    idx.build_summaries(n_summary=2, mesh=mesh, axis=axis)
+    st = LateInteractionSearcher(idx, mesh=mesh, axis=axis,
+                                 mode="two_stage", use_pallas=False,
+                                 n_candidates=32)
+    _, rows_t = st.search_device(jnp.asarray(q), k=5)
+    overlap = np.mean([len(set(a.tolist()) & set(b.tolist())) / 5
+                       for a, b in zip(np.asarray(rows_t),
+                                       np.asarray(rows1))])
+    assert overlap >= 0.8
