@@ -187,10 +187,12 @@ class TestTokenizerParity:
              ".", ",", "?", "!", "(", ")", "'", '"', "1", "2", "5", "0",
              "##0", "##5", "000", "10"] + \
         list("abcdefghijklmnopqrstuvwxyz") + \
-        ["##" + c for c in "abcdefghijklmnopqrstuvwxyz"]
+        ["##" + c for c in "abcdefghijklmnopqrstuvwxyz"] + \
+        ["\u732b", "\u662f"]          # CJK (the PreFLMR ENCN path)
 
     TEXTS = [
         "What is the man holding?",
+        "what is \u732b\u662f really",   # CJK isolation parity
         "who's on first? (really)",
         "the color of the cat's hat",
         "a",
