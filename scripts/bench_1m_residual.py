@@ -1,0 +1,211 @@
+"""1M-passage retrieval on ONE v5e chip with the RESIDUAL codec.
+
+VERDICT r1 item 6: the int8 index (8 GiB at 1M x 64 x 128) caps corpus size
+per chip; the residual codec (ops.residual — centroid code + nbits=2
+bucketized residuals) stores the same corpus in
+
+    codes      1M x 64 int32            0.24 GiB
+    residuals  1M x 64 x 32 uint8       1.91 GiB
+    summaries  1M x 4 x 128 bf16        0.95 GiB   (coarse stage)
+    ------------------------------------------------
+    ~3.1 GiB   (< 4 GiB target; 7.1x vs the 16 GiB bf16 token store,
+                2.6x vs int8+scales+summaries)
+
+Search quality is reported as self-retrieval top-1 (noisy query -> its own
+doc among 1M) for both pruned modes, matching scripts/bench_1m.py's metric.
+
+Run: python scripts/bench_1m_residual.py
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from ravqa_tpu.ops.residual import _kmeans
+from ravqa_tpu.retrieval.coarse import (block_summaries, hierarchical_search,
+                                        summarize_docs, two_stage_search)
+
+N, LD, DIM = 1_000_448, 64, 128
+B, LQ, K = 32, 32, 10
+N_TOPICS = 8192
+SLAB = 62_528
+NBITS = 2
+N_CENT = 8192
+dt = jnp.bfloat16
+
+
+@jax.jit
+def make_topics(key):
+    t = jax.random.normal(key, (N_TOPICS, DIM), dt)
+    return t * jax.lax.rsqrt(jnp.sum(t.astype(jnp.float32) ** 2, -1,
+                                     keepdims=True) + 1e-9).astype(dt)
+
+
+def slab_tokens(key, i, topics):
+    """Deterministic slab of cluster-ordered doc tokens (same construction
+    as scripts/bench_1m.py)."""
+    kn = jax.random.fold_in(key, i)
+    gidx = i * SLAB + jnp.arange(SLAB, dtype=jnp.int32)
+    assign = jnp.clip(jnp.floor(gidx.astype(jnp.float32)
+                                * (N_TOPICS / N)).astype(jnp.int32),
+                      0, N_TOPICS - 1)
+    t = topics[assign][:, None, :] + (0.3 * jax.random.normal(
+        kn, (SLAB, LD, DIM), dt)).astype(dt)
+    sq = jnp.sum(t.astype(jnp.float32) ** 2, -1, keepdims=True)
+    return (t * jax.lax.rsqrt(sq + 1e-9).astype(dt)).astype(dt)
+
+
+# ---- 1. train the codec on one slab's token sample (device k-means,
+#         host quantiles) ---------------------------------------------------
+t0 = time.time()
+key = jax.random.PRNGKey(7)
+topics = make_topics(key)
+
+
+@jax.jit
+def codec_sample(key, topics):
+    t = slab_tokens(key, 0, topics).astype(jnp.float32)
+    flat = t.reshape(-1, DIM)
+    pick = jax.random.choice(jax.random.fold_in(key, 99),
+                             flat.shape[0], (131072,), replace=False)
+    return flat[pick]
+
+
+sample = codec_sample(key, topics)
+centroids = _kmeans(sample[:114688], N_CENT, 8)
+held = sample[114688:]
+codes_h = jnp.argmax(held @ centroids.T, axis=-1)
+resid = np.asarray(held - centroids[codes_h]).reshape(-1)
+nb = 2 ** NBITS
+cutoffs = jnp.asarray(np.quantile(resid, np.arange(1, nb) / nb)
+                      .astype(np.float32))
+weights = jnp.asarray(np.quantile(resid, (np.arange(nb) + 0.5) / nb)
+                      .astype(np.float32))
+print(f"codec trained ({N_CENT} centroids, nbits={NBITS}) "
+      f"in {time.time() - t0:.0f}s", flush=True)
+
+
+# ---- 2. build + compress the index in ONE jitted program -------------------
+@jax.jit
+def build_index(key, topics, centroids, cutoffs):
+    per_byte = 8 // NBITS
+
+    def body(i, carry):
+        codes, packed, smm = carry
+        tn = slab_tokens(key, i, topics)
+        flat = tn.astype(jnp.float32).reshape(-1, DIM)
+        code = jnp.argmax(flat @ centroids.T, axis=-1)
+        residual = flat - centroids[code]
+        bucket = jnp.searchsorted(cutoffs, residual).astype(jnp.uint8)
+        bts = bucket.reshape(-1, DIM // per_byte, per_byte)
+        shifts = (jnp.arange(per_byte, dtype=jnp.uint8) * NBITS)
+        pk = jnp.sum(bts.astype(jnp.uint32)
+                     << shifts[None, None, :].astype(jnp.uint32),
+                     axis=-1).astype(jnp.uint8)
+        sm = summarize_docs(tn, jnp.ones((SLAB, LD), jnp.int8),
+                            n_summary=4, iters=2).astype(dt)
+        start = i * SLAB
+        codes = jax.lax.dynamic_update_slice(
+            codes, code.reshape(SLAB, LD).astype(jnp.int32), (start, 0))
+        packed = jax.lax.dynamic_update_slice(
+            packed, pk.reshape(SLAB, LD, DIM // per_byte), (start, 0, 0))
+        smm = jax.lax.dynamic_update_slice(smm, sm, (start, 0, 0))
+        return codes, packed, smm
+
+    init = (jnp.zeros((N, LD), jnp.int32),
+            jnp.zeros((N, LD, DIM * NBITS // 8), jnp.uint8),
+            jnp.zeros((N, 4, DIM), dt))
+    return jax.lax.fori_loop(0, N // SLAB, body, init)
+
+
+t0 = time.time()
+codes, residuals, summ = build_index(key, topics, centroids, cutoffs)
+codes = jax.block_until_ready(codes)
+mask = jnp.ones((N, LD), jnp.int8)
+gib = (codes.size * 4 + residuals.size + summ.size * 2) / 2 ** 30
+print(f"1M residual index built: {gib:.2f} GiB total "
+      f"(codes {codes.size * 4 / 2**30:.2f} + residuals "
+      f"{residuals.size / 2**30:.2f} + summaries {summ.size * 2 / 2**30:.2f})"
+      f" in {time.time() - t0:.0f}s", flush=True)
+
+
+# ---- 3. queries = noisy reconstructions of the first B docs ---------------
+@jax.jit
+def make_queries(qkey, key, topics):
+    base = slab_tokens(key, 0, topics)[:B, :LQ].astype(jnp.float32)
+    qt = base + 0.1 * jax.random.normal(qkey, (B, LQ, DIM))
+    qt = qt * jax.lax.rsqrt(jnp.sum(qt ** 2, -1, keepdims=True) + 1e-9)
+    return qt.astype(dt)
+
+
+q = make_queries(jax.random.PRNGKey(1), key, topics)
+qidx = np.arange(B)
+
+s, rows = two_stage_search(q, None, mask, summ, k=K, n_candidates=1024,
+                           use_pallas_coarse=True, codes=codes,
+                           residuals=residuals, centroids=centroids,
+                           bucket_weights=weights, nbits=NBITS)
+top1 = float(np.mean(np.asarray(rows)[:, 0] == qidx))
+print(f"two-stage self-retrieval top-1: {top1:.2f}", flush=True)
+
+
+def timeit(name, fn, args, iters=8):
+    """fn(q, *args) -> (scores, rows). The index arrays ride as jit
+    ARGUMENTS — closing over them would serialize GiBs into the HLO for
+    the remote compiler (axon pitfall)."""
+    @jax.jit
+    def run(qq0, *arrs):
+        def body(qq, _):
+            s, _ = fn(qq, *arrs)
+            return qq + (s[:, 0] * 1e-9).astype(qq.dtype)[:, None, None], ()
+        qq, _ = jax.lax.scan(body, qq0, None, length=iters)
+        return qq[:1, :1, :1]
+    _ = np.asarray(run(q, *args))
+    t0 = time.perf_counter()
+    _ = np.asarray(run(q, *args))
+    dt_s = time.perf_counter() - t0
+    print(f"{name}: {B * iters / dt_s:.0f} QPS/chip "
+          f"({dt_s / iters * 1e3:.2f} ms/batch)", flush=True)
+
+
+TS_ARGS = (mask, summ, codes, residuals, centroids, weights)
+timeit("two_stage_1M_residual_C1024",
+       lambda qq, m, sm, cod, res, cent, bw: two_stage_search(
+           qq, None, m, sm, k=K, n_candidates=1024, use_pallas_coarse=True,
+           codes=cod, residuals=res, centroids=cent, bucket_weights=bw,
+           nbits=NBITS), TS_ARGS)
+timeit("two_stage_1M_residual_C256",
+       lambda qq, m, sm, cod, res, cent, bw: two_stage_search(
+           qq, None, m, sm, k=K, n_candidates=256, use_pallas_coarse=True,
+           codes=cod, residuals=res, centroids=cent, bucket_weights=bw,
+           nbits=NBITS), TS_ARGS)
+
+BLOCK = 64
+bsum = block_summaries(summ, block_size=BLOCK, n_block_summary=4).astype(dt)
+bsum = jax.block_until_ready(bsum)
+
+_, hrows = hierarchical_search(q, None, mask, summ, bsum, k=K,
+                               n_blocks=128, n_candidates=1024,
+                               block_size=BLOCK, codes=codes,
+                               residuals=residuals, centroids=centroids,
+                               bucket_weights=weights, nbits=NBITS)
+htop1 = float(np.mean(np.asarray(hrows)[:, 0] == qidx))
+print(f"hierarchical self-retrieval top-1: {htop1:.2f}", flush=True)
+
+H_ARGS = (mask, summ, bsum, codes, residuals, centroids, weights)
+timeit("hier_1M_residual_B128_C1024",
+       lambda qq, m, sm, bm, cod, res, cent, bw: hierarchical_search(
+           qq, None, m, sm, bm, k=K, n_blocks=128, n_candidates=1024,
+           block_size=BLOCK, codes=cod, residuals=res, centroids=cent,
+           bucket_weights=bw, nbits=NBITS), H_ARGS)
+timeit("hier_1M_residual_B64_C256",
+       lambda qq, m, sm, bm, cod, res, cent, bw: hierarchical_search(
+           qq, None, m, sm, bm, k=K, n_blocks=64, n_candidates=256,
+           block_size=BLOCK, codes=cod, residuals=res, centroids=cent,
+           bucket_weights=bw, nbits=NBITS), H_ARGS)
