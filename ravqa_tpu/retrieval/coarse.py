@@ -139,14 +139,19 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
         qi, cand_i = args
         if codes is not None:                                # residual codec
             from ..ops.residual import decompress
+            # decompress to bf16 and feed the MXU bf16 x bf16 (f32 accum):
+            # halves the HBM round-trip of the (C, Ld, dim) intermediate;
+            # bucket-quantization error >> bf16 rounding
             tok = decompress(jnp.take(codes, cand_i, axis=0),
                              jnp.take(residuals, cand_i, axis=0),
                              centroids, bucket_weights, nbits)
+            s = jnp.einsum("cld,qd->clq", tok, qi.astype(tok.dtype),
+                           preferred_element_type=jnp.float32)
         else:
             tok = jnp.take(tokens, cand_i, axis=0)           # (C, Ld, dim)
+            s = jnp.einsum("cld,qd->clq", tok.astype(jnp.float32), qi,
+                           preferred_element_type=jnp.float32)
         msk = jnp.take(mask, cand_i, axis=0)
-        s = jnp.einsum("cld,qd->clq", tok.astype(jnp.float32), qi,
-                       preferred_element_type=jnp.float32)
         if scales is not None:                               # int8 index
             scl = jnp.take(scales, cand_i, axis=0)           # (C, Ld)
             s = s * scl[:, :, None]
@@ -235,11 +240,13 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
             tok = decompress(jnp.take(codes, doc_ids, axis=0),
                              jnp.take(residuals, doc_ids, axis=0),
                              centroids, bucket_weights, nbits)
+            s2 = jnp.einsum("cld,qd->clq", tok, qi.astype(tok.dtype),
+                            preferred_element_type=jnp.float32)
         else:
             tok = jnp.take(tokens, doc_ids, axis=0)   # (C, Ld, dim)
+            s2 = jnp.einsum("cld,qd->clq", tok.astype(jnp.float32), qi,
+                            preferred_element_type=jnp.float32)
         msk = jnp.take(mask, doc_ids, axis=0)
-        s2 = jnp.einsum("cld,qd->clq", tok.astype(jnp.float32), qi,
-                        preferred_element_type=jnp.float32)
         if scales is not None:
             scl = jnp.take(scales, doc_ids, axis=0)
             s2 = s2 * scl[:, :, None]

@@ -41,9 +41,10 @@ def test_pack_unpack_roundtrip(nbits):
     vals = rng.integers(0, 2 ** nbits, (5, 7, DIM)).astype(np.uint8)
     per_byte = 8 // nbits
     shifts = np.arange(per_byte, dtype=np.uint32) * nbits
+    # planar layout: plane p of byte j holds dim p*(DIM/per_byte)+j
     packed = np.sum(
-        vals.reshape(5, 7, DIM // per_byte, per_byte).astype(np.uint32)
-        << shifts, axis=-1).astype(np.uint8)
+        vals.reshape(5, 7, per_byte, DIM // per_byte).astype(np.uint32)
+        << shifts[:, None], axis=-2).astype(np.uint8)
     got = np.asarray(unpack_bits(jnp.asarray(packed), nbits))
     np.testing.assert_array_equal(got, vals)
 
