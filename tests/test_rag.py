@@ -111,12 +111,17 @@ def test_get_retrieval_labels_and_selected_answers():
 
 
 def test_generator_input_builder_strips_markers():
+    # exact reference replacement table (rag_model_blip.py:607-614):
+    # <BOC> -> "Caption: ", <BOV> -> "Objects: ", <EOV> -> ". ",
+    # <SOV> -> ", "; <BOQ>/<EOQ>/<EOC> vanish
     gb = GeneratorInputBuilder()
     out = gb.build(["<BOQ> what color <EOQ> <BOC> a cat <EOC>"],
                    [["doc one", "doc two"]])
     assert out == [
-        "Question: what color a cat Knowledge: doc one Answer:",
-        "Question: what color a cat Knowledge: doc two Answer:"]
+        "Question: what color Caption: a cat Knowledge: doc one Answer:",
+        "Question: what color Caption: a cat Knowledge: doc two Answer:"]
+    out = gb.build(["<BOQ> q <EOQ> <BOV> cat <SOV> dog <EOV>"], [["d"]])
+    assert out == ["Question: q Objects: cat , dog . Knowledge: d Answer:"]
 
 
 def test_select_answers_by_joint_score():
