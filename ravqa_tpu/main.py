@@ -307,6 +307,13 @@ def run_eval(cfg, ex, data, log_dir: str, split: str = "valid"):
     ds = data.get(split) or data["test"]
     corpus = data["passages"]["full_passages"]
     ks = cfg.get("metrics", Config()).get("Ks", [5, 10])
+    # pruned-search mode from config; the reference's
+    # exhaustive_search_in_testing module flag (FLMR_executor.py:561,
+    # FLMR_vision_pretraining_executor.py:168) forces brute-force exact
+    # MaxSim instead of the pruned index search
+    search_mode = cfg.model_config.get("search_mode", "exact")
+    if "exhaustive_search_in_testing" in cfg.model_config.get("modules", []):
+        search_mode = "exact"
     m = ex.evaluate_retrieval(
         query_eval_batches(ds),
         corpus_doc_batches(corpus, ds.dt),
@@ -315,6 +322,7 @@ def run_eval(cfg, ex, data, log_dir: str, split: str = "valid"):
         answers=[it.get("answers", []) for it in ds.items],
         pos_item_ids=[it.get("pos_item_ids", []) for it in ds.items],
         ks=ks,
+        search_mode=search_mode,
         add_null_document="add_null_document"
         in cfg.model_config.get("modules", []))
     metrics = {k: v for k, v in m.items() if not k.startswith("_")}

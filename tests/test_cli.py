@@ -107,3 +107,28 @@ def test_cli_in_graph_vision_pixels(log_dir):
     metrics = json.load(open(os.path.join(log_dir, "px",
                                           "test_metrics.json")))
     assert "pos_item_ids_recall_at_5" in metrics
+
+
+def test_cli_search_mode_and_exhaustive_flag(log_dir):
+    """model_config.search_mode selects the pruned searcher in CLI eval;
+    the reference's exhaustive_search_in_testing module flag
+    (FLMR_executor.py:561) forces brute-force exact MaxSim over it."""
+    assert main(["--config", os.path.join(CFG_DIR, "synthetic_flmr.json"),
+                 "--mode", "eval", "--experiment_name", "sm",
+                 "--log_dir", log_dir,
+                 "--opts", "train.batch_size=4",
+                 "model_config.search_mode='two_stage'"]) == 0
+    pruned = json.load(open(os.path.join(log_dir, "sm",
+                                         "valid_metrics.json")))
+    assert "pos_item_ids_recall_at_5" in pruned
+    assert main(["--config", os.path.join(CFG_DIR, "synthetic_flmr.json"),
+                 "--mode", "eval", "--experiment_name", "sm2",
+                 "--log_dir", log_dir,
+                 "--modules", "exhaustive_search_in_testing",
+                 "--opts", "train.batch_size=4",
+                 "model_config.search_mode='two_stage'"]) == 0
+    exact = json.load(open(os.path.join(log_dir, "sm2",
+                                        "valid_metrics.json")))
+    # exhaustive search can only match or beat the pruned recall
+    assert exact["pos_item_ids_recall_at_5"] >= \
+        pruned["pos_item_ids_recall_at_5"]
