@@ -165,3 +165,150 @@ def decompress(codes: jax.Array, packed: jax.Array,
     bits = unpack_bits(packed, nbits)                        # (..., dim)
     out = centroids[codes] + bucket_weights[bits.astype(jnp.int32)]
     return out.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused decompress + MaxSim Pallas kernel (the serving fine stage)
+# ---------------------------------------------------------------------------
+#
+# The XLA fine stage decompresses candidates to an HBM-resident (C, Ld, dim)
+# intermediate per query before the scoring matmul — at C=1024, Ld=64 that is
+# 16 MiB (bf16) of write+read traffic per query, the residual path's
+# bandwidth tax vs an int8 index. The fused path splits the score by
+# distributivity ((c[code] + r) @ q^T = cq[code] + r @ q^T):
+#
+#   - the CENTROID part cq[code] is a batched XLA row-gather of the small
+#     precomputed cq = centroids @ q^T table — (B, C, Ld, Lq) bf16, 4x
+#     smaller than the (.., dim) reconstruction and K-independent
+#     (Mosaic's tpu.dynamic_gather only handles 8-row tables, so the
+#     gather stays outside; a one-hot MXU matmul was measured 2x slower
+#     at K=8192: the (T, K) one-hot FLOPs scale with K),
+#   - the RESIDUAL part never touches HBM: the kernel unpacks the planar
+#     residual bytes with shift+mask lane ops, maps bucket ids -> weights
+#     with a select chain (2^nbits SMEM scalars), scores per-plane on the
+#     MXU against query slices, adds the gathered centroid scores, applies
+#     the -9999 mask, and reduces max-over-doc-tokens / sum-over-query-
+#     tokens entirely in VMEM (same block-reshape trick as
+#     ops.maxsim._maxsim_kernel).
+#
+# Replaces the reference's decompress_residuals.cpp/.cu +
+# segmented_maxsim.cpp pair (SURVEY.md §2.4 N2b/N5 + N1) in one fused TPU
+# kernel + one XLA gather.
+
+def _residual_maxsim_kernel(w_ref, q_ref, cs_ref, packed_ref,
+                            m_ref, out_ref, *, tc: int, ld: int, lq: int,
+                            nbits: int, plane_w: int, n_cent: int):
+    """Grid (B, C//tc). Score tile: tc candidate docs of one query.
+
+    w_ref: (1, 2^nbits) SMEM — bucket weights.
+    q_ref: (Lq, dim) VMEM — this query (bf16).
+    cs_ref: (n_cent, Lq) bf16 VMEM — this query's full cq = centroids @ q^T
+      table; the centroid scores become one-hot(code) @ cq on the MXU.
+    packed_ref: (tc*Ld, plane_w) uint8 VMEM — planar residual bytes.
+    m_ref: (tc*Ld, 2) f32 VMEM — lane 0: token validity; lane 1: centroid
+      code (as f32; exact for K < 2^24).
+    out_ref: (tc, 1) f32 VMEM — per-doc MaxSim scores.
+    """
+    t = tc * ld
+    packed = packed_ref[:].astype(jnp.int32)                # (T, P)
+    lane_mask = (1 << nbits) - 1
+
+    # in-VMEM one-hot(code) @ cq — no HBM centroid-score intermediate; the
+    # one-hot FLOPs scale with n_cent, so the caller gates this kernel to
+    # small codebooks (the XLA row-gather alternative was measured slower
+    # than the plain decompress path at K=8192)
+    codes = m_ref[:, 1:2].astype(jnp.int32)                 # (T, 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (t, n_cent), 1)
+    onehot = (iota == codes).astype(jnp.bfloat16)           # (T, K)
+    acc = jax.lax.dot_general(
+        onehot, cs_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # (T, Lq)
+
+    per_byte = 8 // nbits
+    for p in range(per_byte):
+        ids = jax.lax.shift_right_logical(packed, p * nbits) & lane_mask
+        w = jnp.full((t, plane_w), w_ref[0, 0], jnp.float32)
+        for v in range(1, 2 ** nbits):
+            w = jnp.where(ids == v, w_ref[0, v], w)
+        q_slice = q_ref[:, p * plane_w:(p + 1) * plane_w]   # (Lq, P)
+        acc += jax.lax.dot_general(
+            w.astype(jnp.bfloat16), q_slice,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (T, Lq)
+
+    s = jnp.where(m_ref[:, 0:1] > 0, acc, -9999.0)
+    per_q = jnp.max(s.reshape(tc, ld, lq), axis=1)          # (tc, Lq)
+    out_ref[:] = jnp.sum(per_q, axis=-1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("nbits", "tile_c", "interpret"))
+def maxsim_residual_pallas(q: jax.Array, codes_g: jax.Array,
+                           packed_g: jax.Array, mask_g: jax.Array,
+                           centroids: jax.Array, bucket_weights: jax.Array,
+                           *, nbits: int, tile_c: int = 32,
+                           interpret: bool = False) -> jax.Array:
+    """Fused residual-decompress + MaxSim over per-query candidate sets.
+
+    q: (B, Lq, dim) queries; codes_g: (B, C, Ld) int32 GATHERED candidate
+    codes; packed_g: (B, C, Ld, dim*nbits/8) uint8; mask_g: (B, C, Ld).
+    Returns (B, C) f32 MaxSim scores. C must be a multiple of tile_c.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, lq, dim = q.shape
+    _, c, ld = codes_g.shape
+    plane_w = packed_g.shape[-1]
+    n_cent = centroids.shape[0]
+    assert c % tile_c == 0, f"pad candidates to a multiple of {tile_c}"
+    assert n_cent <= 1024, \
+        ("the fused kernel's one-hot centroid matmul scales with n_cent; "
+         "use the XLA fine stage for larger codebooks")
+
+    qb = q.astype(jnp.bfloat16)
+    cq = jnp.einsum("kd,bqd->bkq", centroids.astype(jnp.bfloat16), qb,
+                    preferred_element_type=jnp.float32)     # (B, K, Lq)
+    cs_flat = cq.astype(jnp.bfloat16).reshape(b * n_cent, lq)
+    mask2 = jnp.stack([mask_g.astype(jnp.float32),
+                       codes_g.astype(jnp.float32)], axis=-1)
+    cs_spec_rows, cs_index = n_cent, (lambda i, j: (i, 0))
+    q_flat = qb.reshape(b * lq, dim)
+    packed_flat = packed_g.reshape(b * c * ld, plane_w)
+    mask_flat = mask2.reshape(b * c * ld, 2)
+    w = bucket_weights.astype(jnp.float32).reshape(1, -1)
+
+    n_ctiles = c // tile_c
+    kernel = functools.partial(
+        _residual_maxsim_kernel, tc=tile_c, ld=ld, lq=lq, nbits=nbits,
+        plane_w=plane_w, n_cent=n_cent)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_ctiles),
+        in_specs=[
+            pl.BlockSpec((1, 2 ** nbits), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((lq, dim), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cs_spec_rows, lq), cs_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c * ld, plane_w),
+                         lambda i, j: (i * n_ctiles + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c * ld, 2),
+                         lambda i, j: (i * n_ctiles + j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_c, 1),
+                               lambda i, j: (i * n_ctiles + j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * c, 1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * c * ld * lq * dim,
+            bytes_accessed=(packed_flat.size + cs_flat.size * 2
+                            + mask_flat.size * 4 + b * c * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(w, q_flat, cs_flat, packed_flat, mask_flat)
+    return out.reshape(b, c)

@@ -78,10 +78,96 @@ def coarse_scores(q: jax.Array, summaries: jax.Array,
     return jnp.sum(per_q, axis=-1).T                # (B, N)
 
 
+def _fine_stage(q, cand, tokens, mask, *, k: int,
+                scales=None, codes=None, residuals=None, centroids=None,
+                bucket_weights=None, nbits: int = 0,
+                use_pallas_fine: bool = False,
+                use_pallas_residual: bool = False):
+    """Exact re-score of per-query candidate sets -> (scores (B,k), rows).
+
+    Shared by two_stage_search (fine stage) and hierarchical_search
+    (stage 2). q: (B, Lq, dim); cand: (B, C) candidate rows.
+    """
+    if use_pallas_residual and codes is not None \
+            and centroids.shape[0] <= 1024:
+        # the fused kernel's in-VMEM one-hot centroid matmul scales with
+        # the codebook size; for larger codebooks the batched-gather XLA
+        # path below wins (measured at K=8192 on a 1M-doc index)
+        # fused decompress+MaxSim kernel: candidates stay packed all the way
+        # into VMEM (see ops.residual.maxsim_residual_pallas)
+        from ..ops.residual import maxsim_residual_pallas
+        tc = 32
+        while cand.shape[1] % tc:
+            tc //= 2
+        sc = maxsim_residual_pallas(
+            q.astype(jnp.float32), jnp.take(codes, cand, axis=0),
+            jnp.take(residuals, cand, axis=0), jnp.take(mask, cand, axis=0),
+            centroids, bucket_weights, nbits=nbits, tile_c=tc)
+        top_s, sel = jax.lax.top_k(sc, k)
+        return top_s, jnp.take_along_axis(cand, sel, axis=1)
+
+    if use_pallas_fine:
+        from ..ops.maxsim import maxsim_gather_pallas
+        sc = maxsim_gather_pallas(q, tokens, mask, cand)     # (B, C)
+        top_s, sel = jax.lax.top_k(sc, k)
+        return top_s, jnp.take_along_axis(cand, sel, axis=1)
+
+    if codes is not None:
+        # residual codec: gather the (small) compressed rows BATCHED — one
+        # XLA gather per array instead of B sequential per-query gathers
+        # (measured 3.8 vs 5.5 ms/batch at C=256 on a 1M index; the gather
+        # is overhead-bound, not bandwidth-bound) — then decompress+score
+        # per query so the (C, Ld, dim) reconstruction stays per-query.
+        from ..ops.residual import decompress
+        cg = jnp.take(codes, cand, axis=0)                   # (B, C, Ld)
+        pg = jnp.take(residuals, cand, axis=0)
+        mg = jnp.take(mask, cand, axis=0)
+
+        def fine_res(args):
+            qi, cand_i, cgi, pgi, mgi = args
+            # decompress to bf16, MXU bf16 x bf16 (f32 accum): halves the
+            # HBM round-trip; bucket-quantization error >> bf16 rounding
+            tok = decompress(cgi, pgi, centroids, bucket_weights, nbits)
+            s = jnp.einsum("cld,qd->clq", tok, qi.astype(tok.dtype),
+                           preferred_element_type=jnp.float32)
+            s = jnp.where(mgi.astype(bool)[:, :, None], s, NEG_INF)
+            sc = jnp.sum(jnp.max(s, axis=1), axis=-1)        # (C,)
+            top_s, top_i = jax.lax.top_k(sc, k)
+            return top_s, jnp.take(cand_i, top_i)
+
+        return jax.lax.map(fine_res,
+                           (q.astype(jnp.float32), cand, cg, pg, mg))
+
+    # Per-query fine stage via lax.map: XLA fuses the gather + einsum + max
+    # per query without materializing the (B, C, Ld, Lq) tensor. Measured
+    # faster than the fully-vectorized batched einsum (whose HBM-resident
+    # f32 intermediate costs more bandwidth than the serialization saves):
+    # C=256: 3486 vs 3215 QPS; C=1024: 2664 vs 2001 QPS on v5e. The big
+    # bf16/int8 token rows stay per-query too: batching THEIR gather would
+    # materialize (B, C, Ld, dim) — hundreds of MB — for an overhead saving
+    # that only matters for small compressed rows.
+    def fine_one(args):
+        qi, cand_i = args
+        tok = jnp.take(tokens, cand_i, axis=0)               # (C, Ld, dim)
+        s = jnp.einsum("cld,qd->clq", tok.astype(jnp.float32), qi,
+                       preferred_element_type=jnp.float32)
+        msk = jnp.take(mask, cand_i, axis=0)
+        if scales is not None:                               # int8 index
+            scl = jnp.take(scales, cand_i, axis=0)           # (C, Ld)
+            s = s * scl[:, :, None]
+        s = jnp.where(msk.astype(bool)[:, :, None], s, NEG_INF)
+        sc = jnp.sum(jnp.max(s, axis=1), axis=-1)            # (C,)
+        top_s, top_i = jax.lax.top_k(sc, k)
+        return top_s, jnp.take(cand_i, top_i)
+
+    return jax.lax.map(fine_one, (q.astype(jnp.float32), cand))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "n_candidates",
                                              "coarse_query_len",
                                              "use_pallas_fine",
-                                             "use_pallas_coarse", "nbits"))
+                                             "use_pallas_coarse",
+                                             "use_pallas_residual", "nbits"))
 def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
                      mask: jax.Array,
                      summaries: jax.Array, *, k: int,
@@ -89,6 +175,7 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
                      coarse_query_len: Optional[int] = None,
                      use_pallas_fine: bool = False,
                      use_pallas_coarse: bool = False,
+                     use_pallas_residual: bool = False,
                      scales: Optional[jax.Array] = None,
                      codes: Optional[jax.Array] = None,
                      residuals: Optional[jax.Array] = None,
@@ -102,6 +189,8 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
     Pallas MaxSim kernel (TPU) instead of the XLA einsum.
     use_pallas_fine: re-score candidates with the scalar-prefetch
     gather+MaxSim Pallas kernel (experimental, see ops.maxsim).
+    use_pallas_residual: re-score residual-codec candidates with the fused
+    decompress+MaxSim Pallas kernel (TPU; ops.residual).
     scales: per-token f32 scales when `tokens` is an int8-quantized index
     (ops.quant.quantize_index_int8) — dequantization happens inside the
     fine stage, so a 1M-passage index fits one chip's HBM.
@@ -109,7 +198,6 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
     (ops.residual; tokens=None) — candidates decompress inside the fine
     stage, nothing ever materializes at full precision.
     """
-    b = q.shape[0]
     if use_pallas_coarse:
         from ..ops.maxsim import maxsim_search_pallas
         qc = q if coarse_query_len is None else q[:, :coarse_query_len]
@@ -124,44 +212,11 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
     approx = jnp.where(doc_valid[None, :], approx, NEG_INF)
     _, cand = jax.lax.top_k(approx, n_candidates)            # (B, C)
 
-    if use_pallas_fine:
-        from ..ops.maxsim import maxsim_gather_pallas
-        sc = maxsim_gather_pallas(q, tokens, mask, cand)     # (B, C)
-        top_s, sel = jax.lax.top_k(sc, k)
-        return top_s, jnp.take_along_axis(cand, sel, axis=1)
-
-    # Per-query fine stage via lax.map: XLA fuses the gather + einsum + max
-    # per query without materializing the (B, C, Ld, Lq) tensor. Measured
-    # faster than the fully-vectorized batched einsum (whose HBM-resident
-    # f32 intermediate costs more bandwidth than the serialization saves):
-    # C=256: 3486 vs 3215 QPS; C=1024: 2664 vs 2001 QPS on v5e.
-    def fine_one(args):
-        qi, cand_i = args
-        if codes is not None:                                # residual codec
-            from ..ops.residual import decompress
-            # decompress to bf16 and feed the MXU bf16 x bf16 (f32 accum):
-            # halves the HBM round-trip of the (C, Ld, dim) intermediate;
-            # bucket-quantization error >> bf16 rounding
-            tok = decompress(jnp.take(codes, cand_i, axis=0),
-                             jnp.take(residuals, cand_i, axis=0),
-                             centroids, bucket_weights, nbits)
-            s = jnp.einsum("cld,qd->clq", tok, qi.astype(tok.dtype),
-                           preferred_element_type=jnp.float32)
-        else:
-            tok = jnp.take(tokens, cand_i, axis=0)           # (C, Ld, dim)
-            s = jnp.einsum("cld,qd->clq", tok.astype(jnp.float32), qi,
-                           preferred_element_type=jnp.float32)
-        msk = jnp.take(mask, cand_i, axis=0)
-        if scales is not None:                               # int8 index
-            scl = jnp.take(scales, cand_i, axis=0)           # (C, Ld)
-            s = s * scl[:, :, None]
-        s = jnp.where(msk.astype(bool)[:, :, None], s, NEG_INF)
-        sc = jnp.sum(jnp.max(s, axis=1), axis=-1)            # (C,)
-        top_s, top_i = jax.lax.top_k(sc, k)
-        return top_s, jnp.take(cand_i, top_i)
-
-    scores, rows = jax.lax.map(fine_one, (q.astype(jnp.float32), cand))
-    return scores, rows
+    return _fine_stage(q, cand, tokens, mask, k=k, scales=scales,
+                       codes=codes, residuals=residuals, centroids=centroids,
+                       bucket_weights=bucket_weights, nbits=nbits,
+                       use_pallas_fine=use_pallas_fine,
+                       use_pallas_residual=use_pallas_residual)
 
 
 # ---------------------------------------------------------------------------
@@ -184,7 +239,8 @@ def block_summaries(summaries: jax.Array, block_size: int = 64,
 
 @functools.partial(jax.jit, static_argnames=("k", "n_blocks", "n_candidates",
                                              "block_size",
-                                             "coarse_query_len", "nbits"))
+                                             "coarse_query_len",
+                                             "use_pallas_residual", "nbits"))
 def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
                         mask: jax.Array,
                         summaries: jax.Array, block_summ: jax.Array, *,
@@ -192,6 +248,7 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
                         n_candidates: int = 1024, block_size: int = 64,
                         scales: Optional[jax.Array] = None,
                         coarse_query_len: Optional[int] = None,
+                        use_pallas_residual: bool = False,
                         codes: Optional[jax.Array] = None,
                         residuals: Optional[jax.Array] = None,
                         centroids: Optional[jax.Array] = None,
@@ -203,9 +260,10 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
     two_stage_search at very large N: stage-0 scores N/block_size block
     summaries densely; stage-1 scores only the top-n_blocks blocks' doc
     summaries (gathered); stage-2 re-scores top n_candidates docs exactly
-    (int8 scales supported). coarse_query_len: only the first L query tokens
-    drive stages 0-1, full Q scores stage 2 (the reference's candidate-
-    generation truncation, index_storage.py:68-77).
+    (int8 scales / residual codec / fused Pallas residual kernel supported).
+    coarse_query_len: only the first L query tokens drive stages 0-1, full Q
+    scores stage 2 (the reference's candidate-generation truncation,
+    index_storage.py:68-77).
     Returns (scores (B, k), rows (B, k)).
     """
     n, s, d = summaries.shape
@@ -232,31 +290,15 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
         valid = jnp.take(doc_valid_blocks, blk_i, axis=0).reshape(-1)
         approx = jnp.where(valid, approx, NEG_INF)
         _, loc = jax.lax.top_k(approx, n_candidates)
-        doc_ids = blk_i[loc // block_size] * block_size \
+        return blk_i[loc // block_size] * block_size \
             + (loc % block_size)                      # (n_candidates,)
-        # stage 2: exact on gathered tokens (full query)
-        if codes is not None:                         # residual codec
-            from ..ops.residual import decompress
-            tok = decompress(jnp.take(codes, doc_ids, axis=0),
-                             jnp.take(residuals, doc_ids, axis=0),
-                             centroids, bucket_weights, nbits)
-            s2 = jnp.einsum("cld,qd->clq", tok, qi.astype(tok.dtype),
-                            preferred_element_type=jnp.float32)
-        else:
-            tok = jnp.take(tokens, doc_ids, axis=0)   # (C, Ld, dim)
-            s2 = jnp.einsum("cld,qd->clq", tok.astype(jnp.float32), qi,
-                            preferred_element_type=jnp.float32)
-        msk = jnp.take(mask, doc_ids, axis=0)
-        if scales is not None:
-            scl = jnp.take(scales, doc_ids, axis=0)
-            s2 = s2 * scl[:, :, None]
-        s2 = jnp.where(msk.astype(bool)[:, :, None], s2, NEG_INF)
-        sc = jnp.sum(jnp.max(s2, axis=1), axis=-1)
-        top_s, top_i = jax.lax.top_k(sc, k)
-        return top_s, jnp.take(doc_ids, top_i)
 
-    scores, rows = jax.lax.map(per_q, (q.astype(jnp.float32), blk))
-    return scores, rows
+    cand = jax.lax.map(per_q, (q.astype(jnp.float32), blk))  # (B, C)
+    # stage 2: exact on gathered candidates (full query)
+    return _fine_stage(q, cand, tokens, mask, k=k, scales=scales,
+                       codes=codes, residuals=residuals, centroids=centroids,
+                       bucket_weights=bucket_weights, nbits=nbits,
+                       use_pallas_residual=use_pallas_residual)
 
 
 @functools.partial(jax.jit, static_argnames=("n_clusters", "iters",

@@ -151,6 +151,7 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                 n_candidates=c_local,
                                 coarse_query_len=coarse_query_len,
                                 use_pallas_coarse=use_pallas,
+                                use_pallas_residual=use_pallas,
                                 codes=cod, residuals=res, centroids=cent,
                                 bucket_weights=bw, nbits=residual_nbits)
         return _merge(q, s, i)
@@ -160,6 +161,7 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                    n_blocks=b_local, n_candidates=c_local,
                                    block_size=block_size,
                                    coarse_query_len=coarse_query_len,
+                                   use_pallas_residual=use_pallas,
                                    codes=cod, residuals=res, centroids=cent,
                                    bucket_weights=bw, nbits=residual_nbits)
         return _merge(q, s, i)
@@ -319,6 +321,7 @@ class LateInteractionSearcher:
                 n_candidates=min(self.resolve_candidates(k), idx.n_pad),
                 block_size=idx.block_size, scales=idx.scales,
                 coarse_query_len=self.coarse_query_len,
+                use_pallas_residual=self.use_pallas,
                 codes=idx.codes, residuals=idx.residuals,
                 centroids=idx.codec_centroids,
                 bucket_weights=idx.codec_weights, nbits=idx.nbits)
@@ -329,6 +332,7 @@ class LateInteractionSearcher:
                 n_candidates=min(self.resolve_candidates(k), idx.n_pad),
                 scales=idx.scales,
                 coarse_query_len=self.coarse_query_len,
+                use_pallas_residual=self.use_pallas,
                 codes=idx.codes, residuals=idx.residuals,
                 centroids=idx.codec_centroids,
                 bucket_weights=idx.codec_weights, nbits=idx.nbits)

@@ -103,11 +103,13 @@ def build_index(key, topics, centroids, cutoffs):
         code = jnp.argmax(flat @ centroids.T, axis=-1)
         residual = flat - centroids[code]
         bucket = jnp.searchsorted(cutoffs, residual).astype(jnp.uint8)
-        bts = bucket.reshape(-1, DIM // per_byte, per_byte)
+        # planar layout (ops.residual._compress_block): plane p = dims
+        # [p*DIM/pb, (p+1)*DIM/pb)
+        bts = bucket.reshape(-1, per_byte, DIM // per_byte)
         shifts = (jnp.arange(per_byte, dtype=jnp.uint8) * NBITS)
         pk = jnp.sum(bts.astype(jnp.uint32)
-                     << shifts[None, None, :].astype(jnp.uint32),
-                     axis=-1).astype(jnp.uint8)
+                     << shifts[None, :, None].astype(jnp.uint32),
+                     axis=1).astype(jnp.uint8)
         sm = summarize_docs(tn, jnp.ones((SLAB, LD), jnp.int8),
                             n_summary=4, iters=2).astype(dt)
         start = i * SLAB
@@ -148,7 +150,8 @@ q = make_queries(jax.random.PRNGKey(1), key, topics)
 qidx = np.arange(B)
 
 s, rows = two_stage_search(q, None, mask, summ, k=K, n_candidates=1024,
-                           use_pallas_coarse=True, codes=codes,
+                           use_pallas_coarse=True, use_pallas_residual=True,
+                           codes=codes,
                            residuals=residuals, centroids=centroids,
                            bucket_weights=weights, nbits=NBITS)
 top1 = float(np.mean(np.asarray(rows)[:, 0] == qidx))
@@ -175,16 +178,16 @@ def timeit(name, fn, args, iters=8):
 
 
 TS_ARGS = (mask, summ, codes, residuals, centroids, weights)
-timeit("two_stage_1M_residual_C1024",
-       lambda qq, m, sm, cod, res, cent, bw: two_stage_search(
-           qq, None, m, sm, k=K, n_candidates=1024, use_pallas_coarse=True,
-           codes=cod, residuals=res, centroids=cent, bucket_weights=bw,
-           nbits=NBITS), TS_ARGS)
-timeit("two_stage_1M_residual_C256",
-       lambda qq, m, sm, cod, res, cent, bw: two_stage_search(
-           qq, None, m, sm, k=K, n_candidates=256, use_pallas_coarse=True,
-           codes=cod, residuals=res, centroids=cent, bucket_weights=bw,
-           nbits=NBITS), TS_ARGS)
+for fused in (True, False):
+    tag = "fused" if fused else "xla"
+    for nc in (1024, 256):
+        timeit(f"two_stage_1M_residual_C{nc}_{tag}",
+               lambda qq, m, sm, cod, res, cent, bw, nc=nc, fused=fused:
+               two_stage_search(
+                   qq, None, m, sm, k=K, n_candidates=nc,
+                   use_pallas_coarse=True, use_pallas_residual=fused,
+                   codes=cod, residuals=res, centroids=cent,
+                   bucket_weights=bw, nbits=NBITS), TS_ARGS)
 
 BLOCK = 64
 bsum = block_summaries(summ, block_size=BLOCK, n_block_summary=4).astype(dt)
@@ -192,20 +195,21 @@ bsum = jax.block_until_ready(bsum)
 
 _, hrows = hierarchical_search(q, None, mask, summ, bsum, k=K,
                                n_blocks=128, n_candidates=1024,
-                               block_size=BLOCK, codes=codes,
+                               block_size=BLOCK, use_pallas_residual=True,
+                               codes=codes,
                                residuals=residuals, centroids=centroids,
                                bucket_weights=weights, nbits=NBITS)
 htop1 = float(np.mean(np.asarray(hrows)[:, 0] == qidx))
 print(f"hierarchical self-retrieval top-1: {htop1:.2f}", flush=True)
 
 H_ARGS = (mask, summ, bsum, codes, residuals, centroids, weights)
-timeit("hier_1M_residual_B128_C1024",
-       lambda qq, m, sm, bm, cod, res, cent, bw: hierarchical_search(
-           qq, None, m, sm, bm, k=K, n_blocks=128, n_candidates=1024,
-           block_size=BLOCK, codes=cod, residuals=res, centroids=cent,
-           bucket_weights=bw, nbits=NBITS), H_ARGS)
-timeit("hier_1M_residual_B64_C256",
-       lambda qq, m, sm, bm, cod, res, cent, bw: hierarchical_search(
-           qq, None, m, sm, bm, k=K, n_blocks=64, n_candidates=256,
-           block_size=BLOCK, codes=cod, residuals=res, centroids=cent,
-           bucket_weights=bw, nbits=NBITS), H_ARGS)
+for fused in (True, False):
+    tag = "fused" if fused else "xla"
+    for nb_, nc in ((128, 1024), (64, 256)):
+        timeit(f"hier_1M_residual_B{nb_}_C{nc}_{tag}",
+               lambda qq, m, sm, bm, cod, res, cent, bw, nb_=nb_, nc=nc,
+               fused=fused: hierarchical_search(
+                   qq, None, m, sm, bm, k=K, n_blocks=nb_, n_candidates=nc,
+                   block_size=BLOCK, use_pallas_residual=fused,
+                   codes=cod, residuals=res, centroids=cent,
+                   bucket_weights=bw, nbits=NBITS), H_ARGS)

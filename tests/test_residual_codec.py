@@ -75,6 +75,31 @@ def test_reconstruction_and_masked_tokens(clustered):
     assert (np.asarray(packed)[~valid] == 0).all()
 
 
+@pytest.mark.parametrize("nbits,n_cent", [(2, 64), (4, 32)])
+def test_fused_residual_maxsim_kernel(clustered, nbits, n_cent):
+    """maxsim_residual_pallas (interpret mode) == decompress + MaxSim."""
+    from ravqa_tpu.ops.residual import maxsim_residual_pallas
+    toks, mask, q, _, _ = clustered
+    codec = train_codec(toks, mask, n_centroids=n_cent, nbits=nbits,
+                        sample=8192, heldout=2048)
+    codes, packed = compress(toks, mask, codec)
+    rng = np.random.default_rng(7)
+    cand = jnp.asarray(rng.integers(0, toks.shape[0], (6, 64)))
+    cg = jnp.take(codes, cand, axis=0)
+    pg = jnp.take(packed, cand, axis=0)
+    mg = jnp.take(jnp.asarray(mask), cand, axis=0)
+    rec = decompress(cg, pg, codec.centroids, codec.bucket_weights, nbits,
+                     dtype=jnp.float32)
+    s = jnp.einsum("bcld,bqd->bclq", rec, jnp.asarray(q))
+    s = jnp.where(np.asarray(mg)[..., None] > 0, s, -9999.0)
+    ref = np.asarray(jnp.sum(jnp.max(s, axis=2), axis=-1))
+    got = np.asarray(maxsim_residual_pallas(
+        jnp.asarray(q), cg, pg, mg, codec.centroids, codec.bucket_weights,
+        nbits=nbits, tile_c=16, interpret=True))
+    # bf16 matmuls inside the kernel vs f32 reference
+    np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.02)
+
+
 @pytest.mark.parametrize("mode", ["two_stage", "hierarchical"])
 def test_residual_index_relevance_success(clustered, mode):
     """The codec must not lose the RELEVANT docs (the reference's own gate
