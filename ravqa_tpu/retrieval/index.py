@@ -110,6 +110,10 @@ class TokenIndex:
         codec = train_codec(toks, msk, n_centroids=n_centroids,
                             nbits=nbits, seed=seed)
         codes, packed = compress(toks, msk, codec)
+        if n_centroids <= 32768:
+            # int16 code table halves the code bytes (the reference stores
+            # int32 codes, residual_embeddings.py:23-24); searches upcast
+            codes = codes.astype(jnp.int16)
         if mesh is not None:
             sh = NamedSharding(mesh, P(axis))
             codes = jax.device_put(codes, sh)
@@ -283,7 +287,7 @@ def save_index(index: TokenIndex, path: str) -> None:
             index.tokens,
             np.float32 if index.tokens.dtype != jnp.int8 else np.int8)
     else:                                   # residual-codec index
-        arrays["codes"] = np.asarray(index.codes, np.int32)
+        arrays["codes"] = np.asarray(index.codes)   # int16 or int32
         arrays["residuals"] = np.asarray(index.residuals, np.uint8)
         arrays["codec_centroids"] = np.asarray(index.codec_centroids,
                                                np.float32)

@@ -4,12 +4,12 @@ VERDICT r1 item 6: the int8 index (8 GiB at 1M x 64 x 128) caps corpus size
 per chip; the residual codec (ops.residual — centroid code + nbits=2
 bucketized residuals) stores the same corpus in
 
-    codes      1M x 64 int32            0.24 GiB
+    codes      1M x 64 int16            0.12 GiB
     residuals  1M x 64 x 32 uint8       1.91 GiB
     summaries  1M x 4 x 128 bf16        0.95 GiB   (coarse stage)
     ------------------------------------------------
-    ~3.1 GiB   (< 4 GiB target; 7.1x vs the 16 GiB bf16 token store,
-                2.6x vs int8+scales+summaries)
+    ~3.0 GiB   (< 4 GiB target; 7.4x vs the 16 GiB bf16 token store,
+                2.7x vs int8+scales+summaries)
 
 Search quality is reported as self-retrieval top-1 (noisy query -> its own
 doc among 1M) for both pruned modes, matching scripts/bench_1m.py's metric.
@@ -114,13 +114,13 @@ def build_index(key, topics, centroids, cutoffs):
                             n_summary=4, iters=2).astype(dt)
         start = i * SLAB
         codes = jax.lax.dynamic_update_slice(
-            codes, code.reshape(SLAB, LD).astype(jnp.int32), (start, 0))
+            codes, code.reshape(SLAB, LD).astype(jnp.int16), (start, 0))
         packed = jax.lax.dynamic_update_slice(
             packed, pk.reshape(SLAB, LD, DIM // per_byte), (start, 0, 0))
         smm = jax.lax.dynamic_update_slice(smm, sm, (start, 0, 0))
         return codes, packed, smm
 
-    init = (jnp.zeros((N, LD), jnp.int32),
+    init = (jnp.zeros((N, LD), jnp.int16),
             jnp.zeros((N, LD, DIM * NBITS // 8), jnp.uint8),
             jnp.zeros((N, 4, DIM), dt))
     return jax.lax.fori_loop(0, N // SLAB, body, init)
@@ -130,9 +130,9 @@ t0 = time.time()
 codes, residuals, summ = build_index(key, topics, centroids, cutoffs)
 codes = jax.block_until_ready(codes)
 mask = jnp.ones((N, LD), jnp.int8)
-gib = (codes.size * 4 + residuals.size + summ.size * 2) / 2 ** 30
+gib = (codes.size * 2 + residuals.size + summ.size * 2) / 2 ** 30
 print(f"1M residual index built: {gib:.2f} GiB total "
-      f"(codes {codes.size * 4 / 2**30:.2f} + residuals "
+      f"(codes {codes.size * 2 / 2**30:.2f} (int16) + residuals "
       f"{residuals.size / 2**30:.2f} + summaries {summ.size * 2 / 2**30:.2f})"
       f" in {time.time() - t0:.0f}s", flush=True)
 
