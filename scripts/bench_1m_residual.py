@@ -150,7 +150,7 @@ q = make_queries(jax.random.PRNGKey(1), key, topics)
 qidx = np.arange(B)
 
 s, rows = two_stage_search(q, None, mask, summ, k=K, n_candidates=1024,
-                           use_pallas_coarse=True, use_pallas_residual=True,
+                           use_pallas_coarse=False, use_pallas_residual=True,
                            codes=codes,
                            residuals=residuals, centroids=centroids,
                            bucket_weights=weights, nbits=NBITS)
@@ -185,7 +185,12 @@ for fused in (True, False):
                lambda qq, m, sm, cod, res, cent, bw, nc=nc, fused=fused:
                two_stage_search(
                    qq, None, m, sm, k=K, n_candidates=nc,
-                   use_pallas_coarse=True, use_pallas_residual=fused,
+                   # XLA coarse measured faster than the Pallas sweep at
+                   # this (1M x 4 summaries, B=32, Lq=32) shape: 41-59 ms
+                   # vs 58-149 ms/batch (and the Pallas path shows a C=256
+                   # scheduling anomaly); hierarchical stage-0 already
+                   # uses the XLA path
+                   use_pallas_coarse=False, use_pallas_residual=fused,
                    codes=cod, residuals=res, centroids=cent,
                    bucket_weights=bw, nbits=NBITS), TS_ARGS)
 
