@@ -18,8 +18,10 @@ dim, which both XLA and the fused Pallas kernel lower to pure vector ops;
 no reversed_bit_map lookup — we own both sides). Compression/decompression
 are jitted jnp, and there is no CPU/GPU split.
 
-Compression ratio vs bf16 tokens at dim=128: nbits=2 -> 7.1x (36 B/token),
-nbits=4 -> 4.6x (68 B/token, higher fidelity).
+Compression ratio vs bf16 tokens at dim=128 (int16 codes + 2-byte
+reconstruction-norm scale): nbits=2 -> 7.1x (36 B/token), nbits=4 -> 4.6x
+(70 B/token, higher fidelity). The stored scale carries the reference's
+post-decompress L2 normalization (residual.py:273-276) into scoring.
 """
 
 from __future__ import annotations
@@ -99,16 +101,28 @@ def _assign(x: jax.Array, centroids: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("nbits",))
-def _compress_block(tokens, mask, centroids, cutoffs, *, nbits: int):
+def _compress_block(tokens, mask, centroids, cutoffs, weights, *,
+                    nbits: int):
     """(N, Ld, dim) f32 -> codes (N, Ld) int32, packed (N, Ld, dim*nbits/8)
-    uint8. Masked tokens compress to code 0 / zero residual bits (the mask
-    is kept separately; search fills them with NEG_INF)."""
+    uint8, scales (N, Ld) f32. Masked tokens compress to code 0 / zero
+    residual bits (the mask is kept separately; search fills them with
+    NEG_INF).
+
+    scales = 1/||centroid[code] + weights[bucket]||: the reference
+    L2-NORMALIZES the reconstruction before scoring (residual.py:273-276
+    `normalize(centroids_ + residuals_)`), so search multiplies per-token
+    scores by this factor — stored at compress time because the fused
+    kernel's distributive split (cq[code] + r @ q^T) cannot normalize the
+    sum in-flight.
+    """
     n, ld, dim = tokens.shape
     t = tokens.astype(jnp.float32) * mask[..., None].astype(jnp.float32)
     flat = t.reshape(-1, dim)
     codes = jnp.argmax(flat @ centroids.T, axis=-1)          # (N*Ld,)
     resid = flat - centroids[codes]
     bucket = jnp.searchsorted(cutoffs, resid)                # 0..2^nbits-1
+    rec = centroids[codes] + weights[bucket]
+    scales = jax.lax.rsqrt(jnp.sum(rec * rec, axis=-1) + 1e-12)
     bucket = bucket.astype(jnp.uint8)
     per_byte = 8 // nbits
     # planar layout: bucket (T, dim) -> (T, per_byte, dim/per_byte) where
@@ -121,24 +135,28 @@ def _compress_block(tokens, mask, centroids, cutoffs, *, nbits: int):
     codes = codes * mask.reshape(-1).astype(codes.dtype)
     packed = packed * mask.reshape(-1, 1).astype(jnp.uint8)
     return (codes.reshape(n, ld).astype(jnp.int32),
-            packed.reshape(n, ld, dim // per_byte))
+            packed.reshape(n, ld, dim // per_byte),
+            scales.reshape(n, ld))
 
 
 def compress(tokens, mask, codec: ResidualCodec, block: int = 65536):
     """Host-driver: compress in blocks so the f32 upcast never exceeds
-    `block` docs at a time."""
+    `block` docs at a time. Returns (codes, packed, scales)."""
     toks = np.asarray(tokens)
     msk = np.asarray(mask)
-    codes_out, packed_out = [], []
+    codes_out, packed_out, scales_out = [], [], []
     for s in range(0, toks.shape[0], block):
-        c, p = _compress_block(jnp.asarray(toks[s:s + block], jnp.float32),
-                               jnp.asarray(msk[s:s + block]),
-                               codec.centroids, codec.bucket_cutoffs,
-                               nbits=codec.nbits)
+        c, p, sc = _compress_block(jnp.asarray(toks[s:s + block],
+                                               jnp.float32),
+                                   jnp.asarray(msk[s:s + block]),
+                                   codec.centroids, codec.bucket_cutoffs,
+                                   codec.bucket_weights, nbits=codec.nbits)
         codes_out.append(np.asarray(c))
         packed_out.append(np.asarray(p))
+        scales_out.append(np.asarray(sc))
     return (jnp.asarray(np.concatenate(codes_out)),
-            jnp.asarray(np.concatenate(packed_out)))
+            jnp.asarray(np.concatenate(packed_out)),
+            jnp.asarray(np.concatenate(scales_out)))
 
 
 def unpack_bits(packed: jax.Array, nbits: int) -> jax.Array:
@@ -205,8 +223,9 @@ def _residual_maxsim_kernel(w_ref, q_ref, cs_ref, packed_ref,
     cs_ref: (n_cent, Lq) bf16 VMEM — this query's full cq = centroids @ q^T
       table; the centroid scores become one-hot(code) @ cq on the MXU.
     packed_ref: (tc*Ld, plane_w) uint8 VMEM — planar residual bytes.
-    m_ref: (tc*Ld, 2) f32 VMEM — lane 0: token validity; lane 1: centroid
-      code (as f32; exact for K < 2^24).
+    m_ref: (tc*Ld, 3) f32 VMEM — lane 0: token validity; lane 1: centroid
+      code (as f32; exact for K < 2^24); lane 2: reconstruction-norm scale
+      (the reference's post-decompress L2 normalization, residual.py:273).
     out_ref: (tc, 1) f32 VMEM — per-doc MaxSim scores.
     """
     t = tc * ld
@@ -237,7 +256,7 @@ def _residual_maxsim_kernel(w_ref, q_ref, cs_ref, packed_ref,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)             # (T, Lq)
 
-    s = jnp.where(m_ref[:, 0:1] > 0, acc, -9999.0)
+    s = jnp.where(m_ref[:, 0:1] > 0, acc * m_ref[:, 2:3], -9999.0)
     per_q = jnp.max(s.reshape(tc, ld, lq), axis=1)          # (tc, Lq)
     out_ref[:] = jnp.sum(per_q, axis=-1, keepdims=True)
 
@@ -246,12 +265,14 @@ def _residual_maxsim_kernel(w_ref, q_ref, cs_ref, packed_ref,
 def maxsim_residual_pallas(q: jax.Array, codes_g: jax.Array,
                            packed_g: jax.Array, mask_g: jax.Array,
                            centroids: jax.Array, bucket_weights: jax.Array,
+                           scales_g: Optional[jax.Array] = None,
                            *, nbits: int, tile_c: int = 32,
                            interpret: bool = False) -> jax.Array:
     """Fused residual-decompress + MaxSim over per-query candidate sets.
 
     q: (B, Lq, dim) queries; codes_g: (B, C, Ld) int32 GATHERED candidate
-    codes; packed_g: (B, C, Ld, dim*nbits/8) uint8; mask_g: (B, C, Ld).
+    codes; packed_g: (B, C, Ld, dim*nbits/8) uint8; mask_g: (B, C, Ld);
+    scales_g: optional (B, C, Ld) reconstruction-norm scales (compress()).
     Returns (B, C) f32 MaxSim scores. C must be a multiple of tile_c.
     """
     from jax.experimental import pallas as pl
@@ -270,12 +291,15 @@ def maxsim_residual_pallas(q: jax.Array, codes_g: jax.Array,
     cq = jnp.einsum("kd,bqd->bkq", centroids.astype(jnp.bfloat16), qb,
                     preferred_element_type=jnp.float32)     # (B, K, Lq)
     cs_flat = cq.astype(jnp.bfloat16).reshape(b * n_cent, lq)
+    if scales_g is None:
+        scales_g = jnp.ones_like(mask_g, jnp.float32)
     mask2 = jnp.stack([mask_g.astype(jnp.float32),
-                       codes_g.astype(jnp.float32)], axis=-1)
+                       codes_g.astype(jnp.float32),
+                       scales_g.astype(jnp.float32)], axis=-1)
     cs_spec_rows, cs_index = n_cent, (lambda i, j: (i, 0))
     q_flat = qb.reshape(b * lq, dim)
     packed_flat = packed_g.reshape(b * c * ld, plane_w)
-    mask_flat = mask2.reshape(b * c * ld, 2)
+    mask_flat = mask2.reshape(b * c * ld, 3)
     w = bucket_weights.astype(jnp.float32).reshape(1, -1)
 
     n_ctiles = c // tile_c
@@ -295,7 +319,7 @@ def maxsim_residual_pallas(q: jax.Array, codes_g: jax.Array,
             pl.BlockSpec((tile_c * ld, plane_w),
                          lambda i, j: (i * n_ctiles + j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_c * ld, 2),
+            pl.BlockSpec((tile_c * ld, 3),
                          lambda i, j: (i * n_ctiles + j, 0),
                          memory_space=pltpu.VMEM),
         ],

@@ -102,7 +102,9 @@ def _fine_stage(q, cand, tokens, mask, *, k: int,
         sc = maxsim_residual_pallas(
             q.astype(jnp.float32), jnp.take(codes, cand, axis=0),
             jnp.take(residuals, cand, axis=0), jnp.take(mask, cand, axis=0),
-            centroids, bucket_weights, nbits=nbits, tile_c=tc)
+            centroids, bucket_weights,
+            jnp.take(scales, cand, axis=0) if scales is not None else None,
+            nbits=nbits, tile_c=tc)
         top_s, sel = jax.lax.top_k(sc, k)
         return top_s, jnp.take_along_axis(cand, sel, axis=1)
 
@@ -122,21 +124,26 @@ def _fine_stage(q, cand, tokens, mask, *, k: int,
         cg = jnp.take(codes, cand, axis=0)                   # (B, C, Ld)
         pg = jnp.take(residuals, cand, axis=0)
         mg = jnp.take(mask, cand, axis=0)
+        sg = (jnp.take(scales, cand, axis=0) if scales is not None
+              else jnp.ones_like(mg, jnp.float32))
 
         def fine_res(args):
-            qi, cand_i, cgi, pgi, mgi = args
+            qi, cand_i, cgi, pgi, mgi, sgi = args
             # decompress to bf16, MXU bf16 x bf16 (f32 accum): halves the
             # HBM round-trip; bucket-quantization error >> bf16 rounding
             tok = decompress(cgi, pgi, centroids, bucket_weights, nbits)
             s = jnp.einsum("cld,qd->clq", tok, qi.astype(tok.dtype),
                            preferred_element_type=jnp.float32)
+            # reconstruction-norm scales: the reference L2-normalizes the
+            # decompressed tokens before MaxSim (residual.py:273-276)
+            s = s * sgi[:, :, None]
             s = jnp.where(mgi.astype(bool)[:, :, None], s, NEG_INF)
             sc = jnp.sum(jnp.max(s, axis=1), axis=-1)        # (C,)
             top_s, top_i = jax.lax.top_k(sc, k)
             return top_s, jnp.take(cand_i, top_i)
 
         return jax.lax.map(fine_res,
-                           (q.astype(jnp.float32), cand, cg, pg, mg))
+                           (q.astype(jnp.float32), cand, cg, pg, mg, sg))
 
     # Per-query fine stage via lax.map: XLA fuses the gather + einsum + max
     # per query without materializing the (B, C, Ld, Lq) tensor. Measured

@@ -109,17 +109,22 @@ class TokenIndex:
         msk = np.asarray(self.mask)
         codec = train_codec(toks, msk, n_centroids=n_centroids,
                             nbits=nbits, seed=seed)
-        codes, packed = compress(toks, msk, codec)
+        codes, packed, scales = compress(toks, msk, codec)
         if n_centroids <= 32768:
             # int16 code table halves the code bytes (the reference stores
             # int32 codes, residual_embeddings.py:23-24); searches upcast
             codes = codes.astype(jnp.int16)
+        # reconstruction-norm scales (reference normalizes decompressed
+        # tokens before scoring, residual.py:273-276); bf16 is plenty
+        scales = scales.astype(jnp.bfloat16).astype(jnp.float32)
         if mesh is not None:
             sh = NamedSharding(mesh, P(axis))
             codes = jax.device_put(codes, sh)
             packed = jax.device_put(packed, sh)
+            scales = jax.device_put(scales, sh)
         rep = (NamedSharding(mesh, P()) if mesh is not None else None)
         self.codes, self.residuals = codes, packed
+        self.scales = scales
         self.codec_centroids = (jax.device_put(codec.centroids, rep)
                                 if rep else codec.centroids)
         self.codec_weights = (jax.device_put(codec.bucket_weights, rep)
@@ -137,8 +142,11 @@ class TokenIndex:
         from ..ops.residual import decompress
         cod = jnp.take(self.codes, rows, axis=0)
         pck = jnp.take(self.residuals, rows, axis=0)
-        return decompress(cod, pck, self.codec_centroids,
-                          self.codec_weights, self.nbits)
+        rec = decompress(cod, pck, self.codec_centroids,
+                         self.codec_weights, self.nbits)
+        if self.scales is not None:   # reference-parity L2 normalization
+            rec = rec * jnp.take(self.scales, rows, axis=0)[..., None]
+        return rec
 
     @property
     def n_pad(self) -> int:
@@ -321,10 +329,12 @@ def load_index(path: str, dtype=jnp.bfloat16, mesh: Optional[Mesh] = None,
             codec_centroids=jnp.asarray(z["codec_centroids"]),
             codec_weights=jnp.asarray(z["codec_weights"]),
             summaries=jnp.asarray(z["summaries"], dtype),
+            scales=scales,                  # reconstruction-norm scales
             nbits=nbits, meta=meta)
         if sh is not None:
-            for f_ in ("mask", "codes", "residuals", "summaries"):
-                setattr(idx, f_, jax.device_put(getattr(idx, f_), sh))
+            for f_ in ("mask", "codes", "residuals", "summaries", "scales"):
+                if getattr(idx, f_) is not None:
+                    setattr(idx, f_, jax.device_put(getattr(idx, f_), sh))
         return idx
     tokens = jnp.asarray(z["tokens"], jnp.int8 if quantized else dtype)
     if sh is not None:

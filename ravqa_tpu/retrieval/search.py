@@ -146,22 +146,24 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
 
     # residual-codec variants: per-doc arrays shard over `axis`; the small
     # codec tables (centroids / bucket weights) replicate
-    def _local_two_stage_res(q, msk, summ, cod, res, cent, bw):
+    def _local_two_stage_res(q, msk, summ, cod, res, cent, bw, scl):
         s, i = two_stage_search(q, None, msk, summ, k=k_local,
                                 n_candidates=c_local,
                                 coarse_query_len=coarse_query_len,
                                 use_pallas_coarse=use_pallas,
                                 use_pallas_residual=use_pallas,
+                                scales=scl,
                                 codes=cod, residuals=res, centroids=cent,
                                 bucket_weights=bw, nbits=residual_nbits)
         return _merge(q, s, i)
 
-    def _local_hier_res(q, msk, summ, bsum, cod, res, cent, bw):
+    def _local_hier_res(q, msk, summ, bsum, cod, res, cent, bw, scl):
         s, i = hierarchical_search(q, None, msk, summ, bsum, k=k_local,
                                    n_blocks=b_local, n_candidates=c_local,
                                    block_size=block_size,
                                    coarse_query_len=coarse_query_len,
                                    use_pallas_residual=use_pallas,
+                                   scales=scl,
                                    codes=cod, residuals=res, centroids=cent,
                                    bucket_weights=bw, nbits=residual_nbits)
         return _merge(q, s, i)
@@ -169,13 +171,13 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
     if residual_nbits and hierarchical:
         f = shard_map(_local_hier_res, mesh,
                       in_specs=(P(), P(axis), P(axis), P(axis), P(axis),
-                                P(axis), P(), P()),
+                                P(axis), P(), P(), P(axis)),
                       out_specs=(P(), P()))
         return jax.jit(f)
     if residual_nbits and two_stage:
         f = shard_map(_local_two_stage_res, mesh,
                       in_specs=(P(), P(axis), P(axis), P(axis), P(axis),
-                                P(), P()),
+                                P(), P(), P(axis)),
                       out_specs=(P(), P()))
         return jax.jit(f)
     if hierarchical and quantized:
@@ -300,8 +302,10 @@ class LateInteractionSearcher:
                 args = (q, idx.mask, idx.summaries)
                 if self.mode == "hierarchical":
                     args += (idx.block_summaries,)
+                scl = (idx.scales if idx.scales is not None
+                       else jnp.ones_like(idx.mask, jnp.float32))
                 args += (idx.codes, idx.residuals, idx.codec_centroids,
-                         idx.codec_weights)
+                         idx.codec_weights, scl)
                 return fn(*args)
             args = (q, idx.tokens, idx.mask)
             if self.mode in ("two_stage", "hierarchical"):

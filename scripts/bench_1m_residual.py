@@ -5,6 +5,7 @@ per chip; the residual codec (ops.residual — centroid code + nbits=2
 bucketized residuals) stores the same corpus in
 
     codes      1M x 64 int16            0.12 GiB
+    scales     1M x 64 bf16             0.12 GiB   (reconstruction norms)
     residuals  1M x 64 x 32 uint8       1.91 GiB
     summaries  1M x 4 x 128 bf16        0.95 GiB   (coarse stage)
     ------------------------------------------------
@@ -93,16 +94,19 @@ print(f"codec trained ({N_CENT} centroids, nbits={NBITS}) "
 
 # ---- 2. build + compress the index in ONE jitted program -------------------
 @jax.jit
-def build_index(key, topics, centroids, cutoffs):
+def build_index(key, topics, centroids, cutoffs, weights_d):
     per_byte = 8 // NBITS
 
     def body(i, carry):
-        codes, packed, smm = carry
+        codes, packed, smm, scl = carry
         tn = slab_tokens(key, i, topics)
         flat = tn.astype(jnp.float32).reshape(-1, DIM)
         code = jnp.argmax(flat @ centroids.T, axis=-1)
         residual = flat - centroids[code]
-        bucket = jnp.searchsorted(cutoffs, residual).astype(jnp.uint8)
+        bucket = jnp.searchsorted(cutoffs, residual)
+        rec = centroids[code] + weights_d[bucket]
+        scale = jax.lax.rsqrt(jnp.sum(rec * rec, -1) + 1e-12)
+        bucket = bucket.astype(jnp.uint8)
         # planar layout (ops.residual._compress_block): plane p = dims
         # [p*DIM/pb, (p+1)*DIM/pb)
         bts = bucket.reshape(-1, per_byte, DIM // per_byte)
@@ -118,19 +122,24 @@ def build_index(key, topics, centroids, cutoffs):
         packed = jax.lax.dynamic_update_slice(
             packed, pk.reshape(SLAB, LD, DIM // per_byte), (start, 0, 0))
         smm = jax.lax.dynamic_update_slice(smm, sm, (start, 0, 0))
-        return codes, packed, smm
+        scl = jax.lax.dynamic_update_slice(
+            scl, scale.reshape(SLAB, LD).astype(jnp.bfloat16), (start, 0))
+        return codes, packed, smm, scl
 
     init = (jnp.zeros((N, LD), jnp.int16),
             jnp.zeros((N, LD, DIM * NBITS // 8), jnp.uint8),
-            jnp.zeros((N, 4, DIM), dt))
+            jnp.zeros((N, 4, DIM), dt),
+            jnp.zeros((N, LD), jnp.bfloat16))
     return jax.lax.fori_loop(0, N // SLAB, body, init)
 
 
 t0 = time.time()
-codes, residuals, summ = build_index(key, topics, centroids, cutoffs)
+codes, residuals, summ, scl = build_index(key, topics, centroids,
+                                           cutoffs, weights)
 codes = jax.block_until_ready(codes)
 mask = jnp.ones((N, LD), jnp.int8)
-gib = (codes.size * 2 + residuals.size + summ.size * 2) / 2 ** 30
+gib = (codes.size * 2 + residuals.size + summ.size * 2
+       + scl.size * 2) / 2 ** 30
 print(f"1M residual index built: {gib:.2f} GiB total "
       f"(codes {codes.size * 2 / 2**30:.2f} (int16) + residuals "
       f"{residuals.size / 2**30:.2f} + summaries {summ.size * 2 / 2**30:.2f})"
@@ -151,7 +160,7 @@ qidx = np.arange(B)
 
 s, rows = two_stage_search(q, None, mask, summ, k=K, n_candidates=1024,
                            use_pallas_coarse=False, use_pallas_residual=True,
-                           codes=codes,
+                           scales=scl.astype(jnp.float32), codes=codes,
                            residuals=residuals, centroids=centroids,
                            bucket_weights=weights, nbits=NBITS)
 top1 = float(np.mean(np.asarray(rows)[:, 0] == qidx))
@@ -177,13 +186,14 @@ def timeit(name, fn, args, iters=8):
           f"({dt_s / iters * 1e3:.2f} ms/batch)", flush=True)
 
 
-TS_ARGS = (mask, summ, codes, residuals, centroids, weights)
+scl32 = scl.astype(jnp.float32)
+TS_ARGS = (mask, summ, codes, residuals, centroids, weights, scl32)
 for fused in (True, False):
     tag = "fused" if fused else "xla"
     for nc in (1024, 256):
         timeit(f"two_stage_1M_residual_C{nc}_{tag}",
-               lambda qq, m, sm, cod, res, cent, bw, nc=nc, fused=fused:
-               two_stage_search(
+               lambda qq, m, sm, cod, res, cent, bw, scl_, nc=nc,
+               fused=fused: two_stage_search(
                    qq, None, m, sm, k=K, n_candidates=nc,
                    # XLA coarse measured faster than the Pallas sweep at
                    # this (1M x 4 summaries, B=32, Lq=32) shape: 41-59 ms
@@ -191,7 +201,7 @@ for fused in (True, False):
                    # scheduling anomaly); hierarchical stage-0 already
                    # uses the XLA path
                    use_pallas_coarse=False, use_pallas_residual=fused,
-                   codes=cod, residuals=res, centroids=cent,
+                   scales=scl_, codes=cod, residuals=res, centroids=cent,
                    bucket_weights=bw, nbits=NBITS), TS_ARGS)
 
 BLOCK = 64
@@ -201,20 +211,21 @@ bsum = jax.block_until_ready(bsum)
 _, hrows = hierarchical_search(q, None, mask, summ, bsum, k=K,
                                n_blocks=128, n_candidates=1024,
                                block_size=BLOCK, use_pallas_residual=True,
-                               codes=codes,
+                               scales=scl32, codes=codes,
                                residuals=residuals, centroids=centroids,
                                bucket_weights=weights, nbits=NBITS)
 htop1 = float(np.mean(np.asarray(hrows)[:, 0] == qidx))
 print(f"hierarchical self-retrieval top-1: {htop1:.2f}", flush=True)
 
-H_ARGS = (mask, summ, bsum, codes, residuals, centroids, weights)
+H_ARGS = (mask, summ, bsum, codes, residuals, centroids, weights,
+          scl32)
 for fused in (True, False):
     tag = "fused" if fused else "xla"
     for nb_, nc in ((128, 1024), (64, 256)):
         timeit(f"hier_1M_residual_B{nb_}_C{nc}_{tag}",
-               lambda qq, m, sm, bm, cod, res, cent, bw, nb_=nb_, nc=nc,
-               fused=fused: hierarchical_search(
+               lambda qq, m, sm, bm, cod, res, cent, bw, scl_, nb_=nb_,
+               nc=nc, fused=fused: hierarchical_search(
                    qq, None, m, sm, bm, k=K, n_blocks=nb_, n_candidates=nc,
                    block_size=BLOCK, use_pallas_residual=fused,
-                   codes=cod, residuals=res, centroids=cent,
+                   scales=scl_, codes=cod, residuals=res, centroids=cent,
                    bucket_weights=bw, nbits=NBITS), H_ARGS)

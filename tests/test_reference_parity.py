@@ -303,3 +303,104 @@ class TestVQAEvalParity:
         overall = 100 * vqa_accuracy([c[0] for c in self.CASES],
                                      [c[1] for c in self.CASES])
         assert round(overall, 2) == ev.accuracy["overall"]
+
+
+class TestResidualCodecParity:
+    """ravqa_tpu.ops.residual vs the reference ResidualCodec
+    (colbert/indexing/codecs/residual.py:169-278, CPU path) with IDENTICAL
+    centroids / bucket cutoffs / bucket weights: codes agree and the
+    (normalized) reconstructions match. Packing layouts differ by design
+    (planar vs reversed-bit), so parity is asserted on the decompressed
+    values, which is what scoring consumes. This gate also pins the
+    reference's post-decompress L2 normalization (residual.py:273-276),
+    which ravqa_tpu carries as per-token `scales`."""
+
+    @pytest.fixture(scope="class", params=[2, 4])
+    def both(self, ref, request):
+        nbits = request.param
+        from colbert.indexing.codecs.residual import ResidualCodec
+        from colbert.infra.config.config import ColBERTConfig
+
+        rng = np.random.default_rng(3)
+        dim, n_cent, t = 128, 128, 4096
+        embs = rng.standard_normal((t, dim)).astype(np.float32)
+        embs /= np.linalg.norm(embs, axis=-1, keepdims=True)
+        cent = rng.standard_normal((n_cent, dim)).astype(np.float32)
+        cent /= np.linalg.norm(cent, axis=-1, keepdims=True)
+        assign = np.argmax(embs @ cent.T, axis=-1)
+        resid = (embs - cent[assign]).reshape(-1)
+        nb = 2 ** nbits
+        cutoffs = np.quantile(resid, np.arange(1, nb) / nb).astype(np.float32)
+        weights = np.quantile(resid,
+                              (np.arange(nb) + 0.5) / nb).astype(np.float32)
+
+        cfg = ColBERTConfig(dim=dim, nbits=nbits, total_visible_gpus=0)
+        ref_codec = ResidualCodec(
+            config=cfg, centroids=torch.tensor(cent),
+            bucket_cutoffs=torch.tensor(cutoffs),
+            bucket_weights=torch.tensor(weights))
+        return nbits, embs, cent, cutoffs, weights, ref_codec
+
+    def test_codes_and_reconstruction_parity(self, both):
+        nbits, embs, cent, cutoffs, weights, ref_codec = both
+        from ravqa_tpu.ops.residual import _compress_block, decompress
+
+        ref_comp = ref_codec.compress(torch.tensor(embs))
+        ref_rec = ref_codec.decompress(ref_comp).numpy()   # L2-normalized
+
+        t, dim = embs.shape
+        mask = jnp.ones((t, 1), jnp.int8)
+        codes, packed, scales = _compress_block(
+            jnp.asarray(embs).reshape(t, 1, dim), mask,
+            jnp.asarray(cent), jnp.asarray(cutoffs), jnp.asarray(weights),
+            nbits=nbits)
+        our_codes = np.asarray(codes).reshape(-1)
+        ref_codes = ref_comp.codes.numpy()
+        same = our_codes == ref_codes
+        # ties in the nearest-centroid argmax may break differently
+        assert same.mean() > 0.999, same.mean()
+
+        rec = decompress(codes, packed, jnp.asarray(cent),
+                         jnp.asarray(weights), nbits, dtype=jnp.float32)
+        our_rec = (np.asarray(rec) * np.asarray(scales)[..., None]) \
+            .reshape(t, dim)
+        np.testing.assert_allclose(our_rec[same], ref_rec[same],
+                                   atol=2e-4, rtol=1e-3)
+
+    def test_search_scores_match_reference_decompressed_maxsim(self, both):
+        """End-to-end: our residual fine-stage scores equal MaxSim over the
+        reference's own decompressed (normalized) embeddings."""
+        nbits, embs, cent, cutoffs, weights, ref_codec = both
+        from ravqa_tpu.ops.residual import _compress_block
+        from ravqa_tpu.retrieval.coarse import _fine_stage
+
+        t, dim = embs.shape
+        ld = 8
+        n = t // ld
+        rng = np.random.default_rng(5)
+        q = rng.standard_normal((3, 6, dim)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        cand = jnp.asarray(rng.integers(0, n, (3, 16)))
+
+        mask = jnp.ones((n, ld), jnp.int8)
+        codes, packed, scales = _compress_block(
+            jnp.asarray(embs).reshape(n, ld, dim), mask,
+            jnp.asarray(cent), jnp.asarray(cutoffs), jnp.asarray(weights),
+            nbits=nbits)
+        scores, rows = _fine_stage(
+            jnp.asarray(q), cand, None, mask, k=5, scales=scales,
+            codes=codes, residuals=packed, centroids=jnp.asarray(cent),
+            bucket_weights=jnp.asarray(weights), nbits=nbits)
+
+        ref_comp = ref_codec.compress(torch.tensor(embs))
+        ref_rec = ref_codec.decompress(ref_comp).numpy().reshape(n, ld, dim)
+        # per-query check against the reference reconstruction
+        for b in range(3):
+            rr = ref_rec[np.asarray(cand)[b]]                # (16, ld, dim)
+            sb = np.einsum("cld,qd->clq", rr, q[b])
+            sc = sb.max(axis=1).sum(axis=-1)                 # (16,)
+            order = np.argsort(-sc)[:5]
+            expect = np.asarray(cand)[b][order]
+            got_scores = np.asarray(scores)[b]
+            np.testing.assert_allclose(got_scores, np.sort(sc)[::-1][:5],
+                                       atol=5e-2, rtol=1e-2)

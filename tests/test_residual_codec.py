@@ -54,7 +54,7 @@ def test_compression_ratio(clustered, nbits, min_ratio):
     toks, mask, _, _, _ = clustered
     codec = train_codec(toks, mask, n_centroids=64, nbits=nbits,
                         sample=8192, heldout=2048)
-    codes, packed = compress(toks, mask, codec)
+    codes, packed, scales = compress(toks, mask, codec)
     bf16_bytes = toks.size * 2
     codec_bytes = codes.size * 4 + packed.size
     assert bf16_bytes / codec_bytes >= min_ratio
@@ -64,7 +64,7 @@ def test_reconstruction_and_masked_tokens(clustered):
     toks, mask, _, _, _ = clustered
     codec = train_codec(toks, mask, n_centroids=64, nbits=4,
                         sample=8192, heldout=2048)
-    codes, packed = compress(toks, mask, codec)
+    codes, packed, scales = compress(toks, mask, codec)
     rec = np.asarray(decompress(codes, packed, codec.centroids,
                                 codec.bucket_weights, 4))
     valid = mask > 0
@@ -82,7 +82,7 @@ def test_fused_residual_maxsim_kernel(clustered, nbits, n_cent):
     toks, mask, q, _, _ = clustered
     codec = train_codec(toks, mask, n_centroids=n_cent, nbits=nbits,
                         sample=8192, heldout=2048)
-    codes, packed = compress(toks, mask, codec)
+    codes, packed, scales = compress(toks, mask, codec)
     rng = np.random.default_rng(7)
     cand = jnp.asarray(rng.integers(0, toks.shape[0], (6, 64)))
     cg = jnp.take(codes, cand, axis=0)
