@@ -39,7 +39,10 @@ def main():
     b, lq, k = 32, 32, 10
     n_candidates = 256
     n_topics = 2048 if on_tpu else 64
-    iters = 8
+    # enough in-jit chained iterations to amortize the fixed per-call
+    # host/tunnel round-trip (~10-20 ms): at 8 iters the 3 ms/batch
+    # hierarchical mode read ~40% slow
+    iters = 64 if on_tpu else 4
     dt = jnp.bfloat16 if on_tpu else jnp.float32
 
     # Structured synthetic index (doc tokens cluster around topics, as real
