@@ -29,6 +29,9 @@ from ..parallel import trainable_mask
 class TrainConfig:
     lr: float = 1e-5
     mapping_lr: Optional[float] = None     # separate LR for mapping network
+    retriever_lr: Optional[float] = None   # separate LR for the retriever
+    #   subtree in joint RAG training (reference RAG_BLIP2_with_FLMR
+    #   optimizer_config: lr=6e-4 generator, retriever_lr=1e-4)
     weight_decay: float = 0.0
     warmup_steps: int = 0
     total_steps: int = 10000
@@ -81,14 +84,23 @@ def make_optimizer(cfg: TrainConfig, params) -> optax.GradientTransformation:
                            b2=cfg.adam_b2, eps=cfg.adam_eps,
                            weight_decay=cfg.weight_decay)
 
-    if cfg.mapping_lr is not None:
-        def is_mapping(path):
-            top = path[0].key if hasattr(path[0], "key") else str(path[0])
-            return top == "vision_projection"
+    if cfg.mapping_lr is not None or cfg.retriever_lr is not None:
+        def group(path):
+            keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+            if cfg.mapping_lr is not None \
+                    and "vision_projection" in keys[:2]:
+                return "mapping"
+            if cfg.retriever_lr is not None and keys[0] == "retriever":
+                return "retriever"
+            return "base"
         labels = jax.tree_util.tree_map_with_path(
-            lambda path, _: "mapping" if is_mapping(path) else "base", params)
-        tx = optax.multi_transform(
-            {"base": adamw(cfg.lr), "mapping": adamw(cfg.mapping_lr)}, labels)
+            lambda path, _: group(path), params)
+        groups = {"base": adamw(cfg.lr)}
+        if cfg.mapping_lr is not None:
+            groups["mapping"] = adamw(cfg.mapping_lr)
+        if cfg.retriever_lr is not None:
+            groups["retriever"] = adamw(cfg.retriever_lr)
+        tx = optax.multi_transform(groups, labels)
     else:
         tx = adamw(cfg.lr)
 

@@ -189,6 +189,10 @@ def build_rag_executor(cfg: Config, data, mesh, log_dir: str, quiet=False):
     rag_cfg = RagConfig(**rag_kwargs)
     tc = cfg.get("train", Config())
     train_cfg = TrainConfig(lr=tc.get("lr", 1e-5),
+                            retriever_lr=tc.get("retriever_lr"),
+                            weight_decay=tc.get("weight_decay", 0.0),
+                            schedule=tc.get("schedule", "constant"),
+                            warmup_steps=tc.get("warmup_steps", 0),
                             total_steps=tc.get("total_steps", 1000),
                             modules=tuple(mc.get("modules", [])),
                             accumulate_grad_batches=tc.get(

@@ -112,7 +112,7 @@ print(f"self-retrieval top-1 (noisy query -> its own doc among 1M): "
       f"{top1:.2f}", flush=True)
 
 
-def timeit(name, n_candidates, iters=8):
+def timeit(name, n_candidates, iters=32):
     @jax.jit
     def run(q, idx, m, sm, sc):
         def body(qq, _):
@@ -149,7 +149,7 @@ htop1 = float(np.mean(np.asarray(hrows)[:, 0] == np.asarray(qidx)))
 print(f"hierarchical self-retrieval top-1: {htop1:.2f}", flush=True)
 
 
-def timeit_hier(name, n_blocks, n_candidates, iters=8):
+def timeit_hier(name, n_blocks, n_candidates, iters=32):
     @jax.jit
     def run(q, idx, m, sm, bm, sc):
         def body(qq, _):

@@ -167,7 +167,7 @@ top1 = float(np.mean(np.asarray(rows)[:, 0] == qidx))
 print(f"two-stage self-retrieval top-1: {top1:.2f}", flush=True)
 
 
-def timeit(name, fn, args, iters=8):
+def timeit(name, fn, args, iters=32):
     """fn(q, *args) -> (scores, rows). The index arrays ride as jit
     ARGUMENTS — closing over them would serialize GiBs into the HLO for
     the remote compiler (axon pitfall)."""

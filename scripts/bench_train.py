@@ -45,11 +45,13 @@ _ = float(m["loss"])
 print(f"compile+first step: {time.time()-t0:.1f}s loss={float(m['loss']):.3f}",
       flush=True)
 
-steps = 10
+steps = 30
 t0 = time.perf_counter()
 for _ in range(steps):
-    m = ex.train_step(batch)
-    _ = float(m["loss"])          # sync each step
+    m = ex.train_step(batch)      # steps chain on the donated params
+_ = float(m["loss"])              # one sync at the end — syncing per
+                                  # step pays the full host/tunnel
+                                  # round-trip every step
 dt = (time.perf_counter() - t0) / steps
 # BERT fwd+bwd flops ~ 6 * params * tokens (rough)
 tokens = B * LQ + B * NWAY * LD

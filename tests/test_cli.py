@@ -132,3 +132,66 @@ def test_cli_search_mode_and_exhaustive_flag(log_dir):
     # exhaustive search can only match or beat the pruned recall
     assert exact["pos_item_ids_recall_at_5"] >= \
         pruned["pos_item_ids_recall_at_5"]
+
+
+def _write_wit_fixture(tmp_path):
+    """Synthetic WIT TSV + npz CLIP-feature store keyed by image_url."""
+    import csv
+
+    import numpy as np
+    rng = np.random.default_rng(0)
+    rows, feats = [], {}
+    for i in range(24):
+        url = f"http://img/{i}"
+        rows.append({"image_url": url,
+                     "page_title": f"Page {i}",
+                     "section_title": "Intro",
+                     "context_page_description":
+                         f"description words for page {i} " * 8,
+                     "caption_reference_description": f"caption {i}"})
+        feats[url] = rng.normal(size=(16,)).astype(np.float32)
+    tsv = tmp_path / "wit.tsv"
+    with open(tsv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]), delimiter="\t")
+        w.writeheader()
+        for r in rows:
+            w.writerow(r)
+    npz = tmp_path / "feats.npz"
+    import numpy as _np
+    _np.savez(npz, **feats)
+    return str(tsv), str(npz)
+
+
+def test_cli_wit_vision_pretraining(log_dir, tmp_path):
+    """The WIT mapping-network pretraining recipe (SURVEY §3.4 /
+    configs/wit/flmr_wit_pretraining.json) runs end-to-end through the
+    CLI on a synthetic WIT TSV + feature store: vision-only queries,
+    pos_item_ids Recall@K eval."""
+    import json as _json
+    tsv, npz = _write_wit_fixture(tmp_path)
+    cfg = _json.load(open(os.path.join(CFG_DIR, "wit",
+                                       "flmr_wit_pretraining.json")))
+    dp = cfg["data_pipeline"]
+    dp["wit"]["setup_kwargs"]["tsv_path"] = {"train": tsv, "test": tsv}
+    dp["features"]["setup_kwargs"]["features_path"] = npz
+    dp["loaders"]["setup_kwargs"]["vocab_path"] = None
+    dp["loaders"]["setup_kwargs"]["query_maxlen"] = 8
+    dp["loaders"]["setup_kwargs"]["doc_maxlen"] = 16
+    cfg["model_config"].update(
+        dim=16, mapping_network_prefix_length=2, vision_embedding_size=16,
+        bert={"vocab_size": 512, "hidden_size": 32, "num_layers": 2,
+              "num_heads": 2, "intermediate_size": 64,
+              "max_position_embeddings": 64})
+    cfg["metrics"] = {"Ks": [1, 5]}
+    path = tmp_path / "wit_pretrain.json"
+    with open(path, "w") as f:
+        _json.dump(cfg, f)
+    assert main(["--config", str(path), "--mode", "train",
+                 "--experiment_name", "wit", "--log_dir", log_dir,
+                 "--opts", "train.total_steps=4", "train.log_every=2",
+                 "train.batch_size=4"]) == 0
+    assert main(["--config", str(path), "--mode", "test",
+                 "--experiment_name", "wit", "--log_dir", log_dir]) == 0
+    metrics = json.load(open(os.path.join(log_dir, "wit",
+                                          "test_metrics.json")))
+    assert "pos_item_ids_recall_at_5" in metrics

@@ -231,3 +231,26 @@ def test_add_null_document_metric_drop():
     # with the null doc dropped, 'the cat sat' moves to rank 1
     assert with_null["recall_at_1"] == 1.0
     assert without["recall_at_1"] == 0.0
+
+
+def test_retriever_lr_param_group():
+    """TrainConfig.retriever_lr gives the 'retriever/' subtree its own LR
+    in joint RAG training (reference RAG_BLIP2_with_FLMR optimizer_config:
+    lr=6e-4 generator, retriever_lr=1e-4). retriever_lr=0 must leave
+    retriever params untouched while the generator updates."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ravqa_tpu.executors.base import TrainConfig, make_optimizer
+
+    params = {"retriever": {"w": jnp.ones((4,))},
+              "generator": {"w": jnp.ones((4,))}}
+    cfg = TrainConfig(lr=0.1, retriever_lr=0.0)
+    tx = make_optimizer(cfg, params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    assert np.allclose(np.asarray(new["retriever"]["w"]), 1.0)
+    assert not np.allclose(np.asarray(new["generator"]["w"]), 1.0)
