@@ -19,8 +19,8 @@ no reversed_bit_map lookup — we own both sides). Compression/decompression
 are jitted jnp, and there is no CPU/GPU split.
 
 Compression ratio vs bf16 tokens at dim=128 (int16 codes + 2-byte
-reconstruction-norm scale): nbits=2 -> 7.1x (36 B/token), nbits=4 -> 4.6x
-(70 B/token, higher fidelity). The stored scale carries the reference's
+reconstruction-norm scale): nbits=2 -> 7.1x (36 B/token), nbits=4 -> 3.8x
+(68 B/token, higher fidelity). The stored scale carries the reference's
 post-decompress L2 normalization (residual.py:273-276) into scoring.
 """
 
@@ -60,8 +60,11 @@ def train_codec(tokens: np.ndarray, mask: np.ndarray, n_centroids: int = 256,
     flat = np.asarray(tokens, np.float32).reshape(-1, tokens.shape[-1])[valid]
     rng = np.random.default_rng(seed)
     take = min(sample + heldout, len(flat))
+    # small corpora: keep at least half the picks for k-means so neither
+    # split is ever empty (heldout default 2^14 >> tiny test corpora)
+    heldout = max(1, min(heldout, take // 2))
     pick = rng.choice(len(flat), take, replace=False)
-    train, held = flat[pick[:-heldout or None]], flat[pick[-heldout:]]
+    train, held = flat[pick[:take - heldout]], flat[pick[take - heldout:]]
 
     cent = _kmeans(jnp.asarray(train), n_centroids, iters)
 
@@ -100,6 +103,32 @@ def _assign(x: jax.Array, centroids: jax.Array) -> jax.Array:
     return jnp.argmax(x @ centroids.T, axis=-1)
 
 
+def compress_flat(flat, centroids, cutoffs, weights, nbits: int):
+    """Codec core on flat (T, dim) f32 tokens -> (codes (T,) int32,
+    packed (T, dim*nbits/8) uint8 planar bytes, scales (T,) f32).
+
+    The single source of truth for the bit-pack layout + scale math —
+    _compress_block (masked/batched driver) and the in-graph index builder
+    in scripts/bench_1m_residual.py both call it; keep them bit-identical.
+    """
+    dim = flat.shape[-1]
+    codes = jnp.argmax(flat @ centroids.T, axis=-1)          # (T,)
+    resid = flat - centroids[codes]
+    bucket = jnp.searchsorted(cutoffs, resid)                # 0..2^nbits-1
+    rec = centroids[codes] + weights[bucket]
+    scales = jax.lax.rsqrt(jnp.sum(rec * rec, axis=-1) + 1e-12)
+    bucket = bucket.astype(jnp.uint8)
+    per_byte = 8 // nbits
+    # planar layout: bucket (T, dim) -> (T, per_byte, dim/per_byte) where
+    # plane p (byte bits p*nbits..) holds dims [p*dim/per_byte, ...)
+    b = bucket.reshape(-1, per_byte, dim // per_byte)
+    shifts = (jnp.arange(per_byte, dtype=jnp.uint8) * nbits)
+    packed = jnp.sum(
+        b.astype(jnp.uint32) << shifts[None, :, None].astype(jnp.uint32),
+        axis=1).astype(jnp.uint8)
+    return codes, packed, scales
+
+
 @functools.partial(jax.jit, static_argnames=("nbits",))
 def _compress_block(tokens, mask, centroids, cutoffs, weights, *,
                     nbits: int):
@@ -118,20 +147,9 @@ def _compress_block(tokens, mask, centroids, cutoffs, weights, *,
     n, ld, dim = tokens.shape
     t = tokens.astype(jnp.float32) * mask[..., None].astype(jnp.float32)
     flat = t.reshape(-1, dim)
-    codes = jnp.argmax(flat @ centroids.T, axis=-1)          # (N*Ld,)
-    resid = flat - centroids[codes]
-    bucket = jnp.searchsorted(cutoffs, resid)                # 0..2^nbits-1
-    rec = centroids[codes] + weights[bucket]
-    scales = jax.lax.rsqrt(jnp.sum(rec * rec, axis=-1) + 1e-12)
-    bucket = bucket.astype(jnp.uint8)
+    codes, packed, scales = compress_flat(flat, centroids, cutoffs,
+                                          weights, nbits)
     per_byte = 8 // nbits
-    # planar layout: bucket (T, dim) -> (T, per_byte, dim/per_byte) where
-    # plane p (byte bits p*nbits..) holds dims [p*dim/per_byte, ...)
-    b = bucket.reshape(-1, per_byte, dim // per_byte)
-    shifts = (jnp.arange(per_byte, dtype=jnp.uint8) * nbits)
-    packed = jnp.sum(
-        b.astype(jnp.uint32) << shifts[None, :, None].astype(jnp.uint32),
-        axis=1).astype(jnp.uint8)
     codes = codes * mask.reshape(-1).astype(codes.dtype)
     packed = packed * mask.reshape(-1, 1).astype(jnp.uint8)
     return (codes.reshape(n, ld).astype(jnp.int32),

@@ -94,10 +94,11 @@ class TokenIndex:
 
     def quantize_residual(self, n_centroids: int = 256, nbits: int = 2,
                           mesh=None, axis: str = "index",
-                          seed: int = 0) -> "TokenIndex":
+                          seed: int = 0, sample: int = 2 ** 16,
+                          heldout: int = 2 ** 14) -> "TokenIndex":
         """Compress the token store with the residual codec (ops.residual —
         the reference's nbits index format, residual.py:169-278): ~7x vs
-        bf16 at nbits=2, ~4.6x at nbits=4. The full-precision `tokens` array
+        bf16 at nbits=2, ~3.8x at nbits=4. The full-precision `tokens` array
         is DROPPED; only pruned search modes (two_stage / hierarchical,
         which re-score decompressed candidates) remain available. Build
         summaries first — the coarse stage needs them."""
@@ -108,7 +109,8 @@ class TokenIndex:
         toks = np.asarray(self.tokens, np.float32)
         msk = np.asarray(self.mask)
         codec = train_codec(toks, msk, n_centroids=n_centroids,
-                            nbits=nbits, seed=seed)
+                            nbits=nbits, seed=seed, sample=sample,
+                            heldout=heldout)
         codes, packed, scales = compress(toks, msk, codec)
         if n_centroids <= 32768:
             # int16 code table halves the code bytes (the reference stores
@@ -304,9 +306,17 @@ def save_index(index: TokenIndex, path: str) -> None:
         arrays["summaries"] = np.asarray(index.summaries, np.float32)
     np.savez(os.path.join(path, "index.npz"), **arrays)
     with open(os.path.join(path, "metadata.json"), "w") as f:
+        extra = {}
+        if index.tokens is None:
+            # residual bit-pack layout version: "planar" = byte j holds
+            # dims {j, j+D/p, ...} (ops/residual.py module docstring).
+            # Older saves used interleaved packing and decode scrambled
+            # under the planar unpack — load_index refuses them.
+            extra["residual_layout"] = "planar"
         json.dump({"num_docs": index.num_docs,
                    "quantized": index.scales is not None,
                    "nbits": index.nbits,
+                   **extra,
                    **index.meta}, f)
 
 
@@ -321,6 +331,13 @@ def load_index(path: str, dtype=jnp.bfloat16, mesh: Optional[Mesh] = None,
     scales = jnp.asarray(z["scales"], jnp.float32) if quantized else None
     sh = NamedSharding(mesh, P(axis)) if mesh is not None else None
     if "codes" in z.files:                  # residual-codec index
+        layout = meta.pop("residual_layout", "interleaved")
+        if layout != "planar":
+            raise ValueError(
+                f"residual index at {path} uses the '{layout}' bit-pack "
+                "layout; this build decodes only 'planar' (residual bytes "
+                "would unpack onto the wrong dims). Re-build the index "
+                "with quantize_residual().")
         idx = TokenIndex(
             tokens=None, mask=mask, pids=z["pids"],
             num_docs=meta.pop("num_docs"),

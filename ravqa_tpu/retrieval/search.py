@@ -249,6 +249,7 @@ class LateInteractionSearcher:
         self.n_candidates = n_candidates
         self.n_blocks = n_blocks
         self.coarse_query_len = coarse_query_len
+        self._unit_scales = None
         if mode == "two_stage":
             assert index.summaries is not None, \
                 "call index.build_summaries() first"
@@ -302,8 +303,16 @@ class LateInteractionSearcher:
                 args = (q, idx.mask, idx.summaries)
                 if self.mode == "hierarchical":
                     args += (idx.block_summaries,)
-                scl = (idx.scales if idx.scales is not None
-                       else jnp.ones_like(idx.mask, jnp.float32))
+                if idx.scales is not None:
+                    scl = idx.scales
+                else:
+                    # legacy residual index without stored scales: build the
+                    # unit-scale array ONCE, not per search call (it is
+                    # full-index-sized — ~250 MB at 1M docs)
+                    if self._unit_scales is None:
+                        self._unit_scales = jnp.ones_like(
+                            idx.mask, jnp.float32)
+                    scl = self._unit_scales
                 args += (idx.codes, idx.residuals, idx.codec_centroids,
                          idx.codec_weights, scl)
                 return fn(*args)

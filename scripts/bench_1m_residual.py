@@ -28,7 +28,7 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
-from ravqa_tpu.ops.residual import _kmeans
+from ravqa_tpu.ops.residual import _kmeans, compress_flat
 from ravqa_tpu.retrieval.coarse import (block_summaries, hierarchical_search,
                                         summarize_docs, two_stage_search)
 
@@ -101,19 +101,9 @@ def build_index(key, topics, centroids, cutoffs, weights_d):
         codes, packed, smm, scl = carry
         tn = slab_tokens(key, i, topics)
         flat = tn.astype(jnp.float32).reshape(-1, DIM)
-        code = jnp.argmax(flat @ centroids.T, axis=-1)
-        residual = flat - centroids[code]
-        bucket = jnp.searchsorted(cutoffs, residual)
-        rec = centroids[code] + weights_d[bucket]
-        scale = jax.lax.rsqrt(jnp.sum(rec * rec, -1) + 1e-12)
-        bucket = bucket.astype(jnp.uint8)
-        # planar layout (ops.residual._compress_block): plane p = dims
-        # [p*DIM/pb, (p+1)*DIM/pb)
-        bts = bucket.reshape(-1, per_byte, DIM // per_byte)
-        shifts = (jnp.arange(per_byte, dtype=jnp.uint8) * NBITS)
-        pk = jnp.sum(bts.astype(jnp.uint32)
-                     << shifts[None, :, None].astype(jnp.uint32),
-                     axis=1).astype(jnp.uint8)
+        # codec core shared with production compress (ops.residual)
+        code, pk, scale = compress_flat(flat, centroids, cutoffs,
+                                        weights_d, NBITS)
         sm = summarize_docs(tn, jnp.ones((SLAB, LD), jnp.int8),
                             n_summary=4, iters=2).astype(dt)
         start = i * SLAB
@@ -159,7 +149,8 @@ q = make_queries(jax.random.PRNGKey(1), key, topics)
 qidx = np.arange(B)
 
 s, rows = two_stage_search(q, None, mask, summ, k=K, n_candidates=1024,
-                           use_pallas_coarse=False, use_pallas_residual=True,
+                           use_pallas_coarse=False,
+                           use_pallas_residual=N_CENT <= 1024,
                            scales=scl.astype(jnp.float32), codes=codes,
                            residuals=residuals, centroids=centroids,
                            bucket_weights=weights, nbits=NBITS)
@@ -188,7 +179,15 @@ def timeit(name, fn, args, iters=32):
 
 scl32 = scl.astype(jnp.float32)
 TS_ARGS = (mask, summ, codes, residuals, centroids, weights, scl32)
-for fused in (True, False):
+# the fused Pallas residual kernel is auto-gated to codebooks <= 1024
+# centroids (_fine_stage; its in-VMEM one-hot centroid matmul scales with
+# N_CENT) — at this bench's N_CENT the fused flag would silently time the
+# identical XLA path, so only run the honest variant
+FUSED_MODES = (True, False) if N_CENT <= 1024 else (False,)
+if N_CENT > 1024:
+    print(f"fused residual kernel gated off (N_CENT={N_CENT} > 1024); "
+          "timing the XLA fine stage only", flush=True)
+for fused in FUSED_MODES:
     tag = "fused" if fused else "xla"
     for nc in (1024, 256):
         timeit(f"two_stage_1M_residual_C{nc}_{tag}",
@@ -210,7 +209,8 @@ bsum = jax.block_until_ready(bsum)
 
 _, hrows = hierarchical_search(q, None, mask, summ, bsum, k=K,
                                n_blocks=128, n_candidates=1024,
-                               block_size=BLOCK, use_pallas_residual=True,
+                               block_size=BLOCK,
+                               use_pallas_residual=N_CENT <= 1024,
                                scales=scl32, codes=codes,
                                residuals=residuals, centroids=centroids,
                                bucket_weights=weights, nbits=NBITS)
@@ -219,7 +219,7 @@ print(f"hierarchical self-retrieval top-1: {htop1:.2f}", flush=True)
 
 H_ARGS = (mask, summ, bsum, codes, residuals, centroids, weights,
           scl32)
-for fused in (True, False):
+for fused in FUSED_MODES:
     tag = "fused" if fused else "xla"
     for nb_, nc in ((128, 1024), (64, 256)):
         timeit(f"hier_1M_residual_B{nb_}_C{nc}_{tag}",

@@ -380,7 +380,10 @@ class TestResidualCodecParity:
         rng = np.random.default_rng(5)
         q = rng.standard_normal((3, 6, dim)).astype(np.float32)
         q /= np.linalg.norm(q, axis=-1, keepdims=True)
-        cand = jnp.asarray(rng.integers(0, n, (3, 16)))
+        # unique candidates per query so the row-level assertion below is
+        # well-defined (duplicates would make top-5 membership ambiguous)
+        cand = jnp.asarray(
+            np.stack([rng.choice(n, 16, replace=False) for _ in range(3)]))
 
         mask = jnp.ones((n, ld), jnp.int8)
         codes, packed, scales = _compress_block(
@@ -404,3 +407,9 @@ class TestResidualCodecParity:
             got_scores = np.asarray(scores)[b]
             np.testing.assert_allclose(got_scores, np.sort(sc)[::-1][:5],
                                        atol=5e-2, rtol=1e-2)
+            # row-level parity: the fine stage must RETURN the same top-5
+            # candidates the reference reconstruction ranks first (multiset
+            # compare — equal-score rows may legally permute)
+            got_rows = np.asarray(rows)[b]
+            np.testing.assert_array_equal(np.sort(got_rows),
+                                          np.sort(expect))

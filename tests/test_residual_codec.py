@@ -56,7 +56,9 @@ def test_compression_ratio(clustered, nbits, min_ratio):
                         sample=8192, heldout=2048)
     codes, packed, scales = compress(toks, mask, codec)
     bf16_bytes = toks.size * 2
-    codec_bytes = codes.size * 4 + packed.size
+    # stored footprint: int16 code + packed residual bytes + bf16
+    # reconstruction-norm scale per token (quantize_residual's layout)
+    codec_bytes = codes.size * 2 + packed.size + scales.size * 2
     assert bf16_bytes / codec_bytes >= min_ratio
 
 
@@ -202,3 +204,40 @@ def test_rag_executor_with_residual_index(clustered):
     valid = mask[np.asarray(rows)] > 0
     err = np.linalg.norm((g - toks[np.asarray(rows)])[valid], axis=-1)
     assert err.mean() < 0.35
+
+
+def test_quantize_residual_tiny_corpus():
+    """train_codec must not crash when the corpus has fewer valid tokens
+    than the default heldout split (2^14) — small CLI/test corpora."""
+    rng = np.random.default_rng(3)
+    toks = rng.standard_normal((64, 8, DIM)).astype(np.float32)
+    toks /= np.linalg.norm(toks, axis=-1, keepdims=True)
+    mask = np.ones((64, 8), np.int8)
+    idx = build_index_from_embeddings(toks, mask, pad_multiple=64,
+                                      dtype=jnp.float32)
+    idx.build_summaries(n_summary=2)
+    idx.quantize_residual(n_centroids=16, nbits=2)   # crashed before fix
+    assert idx.tokens is None and idx.codes is not None
+
+
+def test_load_rejects_legacy_residual_layout(clustered, tmp_path):
+    """Residual indexes saved with the pre-planar bit-pack layout (no
+    residual_layout marker) must be refused, not silently mis-decoded."""
+    import json
+    import os
+    toks, mask, _, _, _ = clustered
+    idx = build_index_from_embeddings(toks, mask, pad_multiple=64,
+                                      dtype=jnp.float32)
+    idx.build_summaries(n_summary=2)
+    idx.quantize_residual(n_centroids=64, nbits=2)
+    path = str(tmp_path / "legacy")
+    save_index(idx, path)
+    meta_path = os.path.join(path, "metadata.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta["residual_layout"] == "planar"
+    del meta["residual_layout"]                      # simulate an old save
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="bit-pack layout"):
+        load_index(path, dtype=jnp.float32)
