@@ -231,6 +231,17 @@ def _callbacks_from(cfg, log_dir: str):
     return ckpt_manager, early
 
 
+def _maybe_prefetch(batches, tc, mesh):
+    """Wrap a batch iterator with background-thread prefetch + early
+    device dispatch (train.prefetch_batches, default 2; 0 disables) —
+    the reference DataLoader num_workers equivalent (data/prefetch.py)."""
+    depth = tc.get("prefetch_batches", 2)
+    if not depth:
+        return batches
+    from .data import prefetch_to_device
+    return prefetch_to_device(batches, size=depth, mesh=mesh)
+
+
 def rag_batches(dataset, batch_size: int, seed: int = 0):
     """RAG train batches from a RetrievalDataset (questions + answers +
     image features + query tokens)."""
@@ -390,6 +401,7 @@ def main(argv=None):
             raw = rag_batches(data["train"], tc.get("batch_size", 8),
                               seed=cfg.get("seed", 0))
             batches = (ex.make_train_batch(b) for b in raw)
+            batches = _maybe_prefetch(batches, tc, mesh)
             ckpt_manager, early_stopping = _callbacks_from(cfg, log_dir)
             ex.fit(batches, steps=tc.get("total_steps", 100),
                    log_every=tc.get("log_every", 20),
@@ -412,9 +424,10 @@ def main(argv=None):
         ckpt = tc.get("load_model_path")
         if ckpt:
             ex.load_checkpoint(ckpt)
-        batches = data["train"].loader(
-            batch_size=tc.get("batch_size", 8), shuffle=True,
-            seed=cfg.get("seed", 0))
+        batches = _maybe_prefetch(
+            data["train"].loader(batch_size=tc.get("batch_size", 8),
+                                 shuffle=True, seed=cfg.get("seed", 0)),
+            tc, mesh)
         ckpt_manager, early_stopping = _callbacks_from(cfg, log_dir)
         ex.fit(batches, steps=tc.get("total_steps", 100),
                log_every=tc.get("log_every", 20),
