@@ -279,6 +279,18 @@ def _residual_maxsim_kernel(w_ref, q_ref, cs_ref, packed_ref,
     out_ref[:] = jnp.sum(per_q, axis=-1, keepdims=True)
 
 
+# Negative result (measured on v5e-1, K=8192, B=32, C=1024, Ld=64, nbits=2):
+# a "hybrid" kernel that pre-gathers the centroid term cq[code] with one
+# batched XLA gather and scores only the residual planes in Pallas LOSES
+# 2-4x to the plain XLA fine stage (12.5 vs 6.9 ms/batch at C=1024).
+# The per-token centroid-score rows are tiny (Lq bf16 = 64 B), so the
+# gather is overhead-bound: take_along_axis with a batch dim costs
+# 18.7 ms alone; flattening to a single-table jnp.take cuts it to 5.0 ms
+# (a 3.7x trick worth remembering) but the total still trails XLA, whose
+# per-query fused decompress gathers 256-B centroid VECTORS from a table
+# that stays cache/VMEM-resident inside lax.map. Keep the XLA fine stage
+# for big codebooks; the one-hot kernel below for small ones.
+
 @functools.partial(jax.jit, static_argnames=("nbits", "tile_c", "interpret"))
 def maxsim_residual_pallas(q: jax.Array, codes_g: jax.Array,
                            packed_g: jax.Array, mask_g: jax.Array,
