@@ -187,6 +187,21 @@ def build_rag_executor(cfg: Config, data, mesh, log_dir: str, quiet=False):
     if mc.get("num_knowledge_passages"):
         rag_kwargs.setdefault("n_docs", mc["num_knowledge_passages"])
     rag_cfg = RagConfig(**rag_kwargs)
+    # the reference's static-retrieval recipe (--modules static_retrieval +
+    # index_files.static_results JSONs, RAG_BLIP2_with_FLMR.jsonnet:
+    # rag_model_blip.py:161-184): precomputed FLMR prediction dumps become
+    # the retrieval map; no live search during RAG training
+    static_map = None
+    if "static_retrieval" in modules:
+        from .executors.rag_executor import \
+            load_static_retrieval_from_predictions
+        paths = mc.get("index_files", {}).get("static_results", [])
+        assert paths, ("--modules static_retrieval requires "
+                       "model_config.index_files.static_results JSON paths")
+        static_map = {}
+        for p in paths:
+            static_map.update(
+                load_static_retrieval_from_predictions(p, corpus.ids))
     tc = cfg.get("train", Config())
     train_cfg = TrainConfig(lr=tc.get("lr", 1e-5),
                             retriever_lr=tc.get("retriever_lr"),
@@ -201,6 +216,7 @@ def build_rag_executor(cfg: Config, data, mesh, log_dir: str, quiet=False):
                        rag_cfg=rag_cfg, train_cfg=train_cfg, index=index,
                        passage_contents=corpus.contents,
                        passage_ids=corpus.ids, mesh=mesh,
+                       static_retrieval=static_map,
                        log_dir=log_dir, quiet=quiet)
 
 

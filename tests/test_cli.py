@@ -195,3 +195,39 @@ def test_cli_wit_vision_pretraining(log_dir, tmp_path):
     metrics = json.load(open(os.path.join(log_dir, "wit",
                                           "test_metrics.json")))
     assert "pos_item_ids_recall_at_5" in metrics
+
+
+def test_cli_rag_static_retrieval_handoff(log_dir):
+    """The reference's canonical RAVQA-v2 recipe: FLMR test mode dumps
+    predictions, RAG trains with --modules static_retrieval over them
+    (RAG_BLIP2_with_FLMR.jsonnet index_files.static_results +
+    rag_model_blip.py:161-184); questions absent from the dump get dummy
+    passages (:541-548)."""
+    assert main(["--config", os.path.join(CFG_DIR, "synthetic_flmr.json"),
+                 "--mode", "test", "--experiment_name", "handoff",
+                 "--log_dir", log_dir]) == 0
+    preds = os.path.join(log_dir, "handoff", "test_predictions.json")
+    assert os.path.exists(preds)
+    assert main(["--config", os.path.join(CFG_DIR, "synthetic_rag.json"),
+                 "--mode", "train", "--experiment_name", "rs",
+                 "--log_dir", log_dir,
+                 "--modules", "static_retrieval",
+                 "--opts",
+                 f"model_config.index_files.static_results=['{preds}']",
+                 "train.total_steps=2", "train.log_every=2",
+                 "train.batch_size=4"]) == 0
+    assert os.path.exists(os.path.join(log_dir, "rs", "ckpt",
+                                       "params.msgpack"))
+    # test mode evaluates the SAME split the dump covers, so the static
+    # lookups actually resolve (train-split qids above mostly exercise the
+    # missing-qid dummy-passage fallback)
+    assert main(["--config", os.path.join(CFG_DIR, "synthetic_rag.json"),
+                 "--mode", "test", "--experiment_name", "rs",
+                 "--log_dir", log_dir,
+                 "--modules", "static_retrieval",
+                 "--opts",
+                 f"model_config.index_files.static_results=['{preds}']",
+                 "train.batch_size=4"]) == 0
+    metrics = json.load(open(os.path.join(log_dir, "rs",
+                                          "test_rag_metrics.json")))
+    assert "vqa_accuracy" in metrics
