@@ -28,7 +28,7 @@ def _build_lib() -> Optional[str]:
     for cc in ("g++", "c++", "clang++"):
         try:
             subprocess.run([cc, "-O2", "-shared", "-fPIC", "-std=c++17",
-                            src, "-o", out], check=True,
+                            "-pthread", src, "-o", out], check=True,
                            capture_output=True)
             return out
         except (OSError, subprocess.CalledProcessError):

@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 #include <fstream>
@@ -138,13 +139,35 @@ int32_t wp_encode(int32_t handle, const char* text, int32_t* out,
 
 // Batch encode: texts are NUL-separated in one buffer; offsets[i] is the
 // start of text i. out is (n, maxlen) int32 (caller-zeroed); lens out (n,).
+// Parallel over contiguous row ranges with disjoint output slices (the
+// same safety-by-construction pattern as the reference's pthread kernels,
+// segmented_maxsim.cpp:22-47); corpus-scale tokenization (1M passages for
+// an index build) scales with host cores, small batches stay serial.
 void wp_encode_batch(int32_t handle, const char* buf, const int64_t* offsets,
                      int32_t n, int32_t maxlen, int32_t* out,
                      int32_t* lens) {
-    for (int32_t i = 0; i < n; ++i) {
-        lens[i] = wp_encode(handle, buf + offsets[i], out + (int64_t)i * maxlen,
-                            maxlen);
+    auto run = [=](int32_t lo, int32_t hi) {
+        for (int32_t i = lo; i < hi; ++i) {
+            lens[i] = wp_encode(handle, buf + offsets[i],
+                                out + (int64_t)i * maxlen, maxlen);
+        }
+    };
+    int32_t nthreads = (int32_t)std::thread::hardware_concurrency();
+    int32_t max_useful = n / 256 + 1;   // >=256 rows per worker
+    if (nthreads > max_useful) nthreads = max_useful;
+    if (nthreads <= 1) {
+        run(0, n);
+        return;
     }
+    std::vector<std::thread> workers;
+    int32_t chunk = (n + nthreads - 1) / nthreads;
+    for (int32_t t = 0; t < nthreads; ++t) {
+        int32_t lo = t * chunk;
+        int32_t hi = lo + chunk < n ? lo + chunk : n;
+        if (lo >= hi) break;
+        workers.emplace_back(run, lo, hi);
+    }
+    for (auto& w : workers) w.join();
 }
 
 }  // extern "C"

@@ -1,0 +1,170 @@
+"""Production retrieval serving: dynamic micro-batching over the jitted
+search path.
+
+The reference has no serving layer (its searcher is a single-process
+Python loop, searcher.py:120-132); this is the deployment counterpart the
+TPU design makes natural: ONE compiled program (encode -> search) at a
+fixed batch shape, fed by a micro-batcher that coalesces concurrent
+requests.
+
+Design (TPU-first):
+- **Static shapes**: requests are padded to `max_batch` so the jitted
+  encode+search executable never recompiles. Padding rows reuse request 0's
+  tokens (their results are discarded) — cheaper than a separate mask path
+  through the kernels.
+- **Batching window**: the dispatcher thread collects up to `max_batch`
+  requests or waits at most `max_wait_ms` (classic dynamic batching —
+  bounded added latency, amortized MXU occupancy). Under full load the
+  window never triggers; at low load single requests pay <= max_wait_ms.
+- **Host work off the hot path**: tokenization (C++ WordPiece fast path
+  when built) happens on the caller's thread at submit(); the dispatcher
+  only stacks arrays and runs device code.
+- **Thread-safe**: submit() from any number of threads; results delivered
+  through per-request futures.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ServeConfig:
+    max_batch: int = 32        # compiled batch shape (pad target)
+    max_wait_ms: float = 2.0   # batching window at low load
+    k: int = 10                # top-k passages per query
+
+
+@dataclasses.dataclass
+class RetrievalResult:
+    pids: np.ndarray           # (k,) passage ids
+    scores: np.ndarray         # (k,) MaxSim scores
+    contents: Optional[list] = None
+
+
+class RetrievalServer:
+    """Micro-batching server over (query tokenizer, FLMR executor,
+    LateInteractionSearcher).
+
+    serve = RetrievalServer(executor, searcher, query_tokenizer,
+                            image_feature_dim=768)
+    fut = serve.submit("what is the capital of france?", image_features=feat)
+    result = fut.result()      # RetrievalResult
+    """
+
+    def __init__(self, executor, searcher, query_tokenizer,
+                 image_feature_dim: int = 0,
+                 id2content: Optional[dict] = None,
+                 config: ServeConfig = ServeConfig()):
+        """id2content: optional {passage_id: text} map (pids may be strings
+        like the GoogleSearch 'GS_...' ids) — results carry contents when
+        given."""
+        self.ex = executor
+        self.searcher = searcher
+        self.qt = query_tokenizer
+        self.image_feature_dim = image_feature_dim
+        self.id2content = id2content
+        self.cfg = config
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- client side --------------------------------------------------------
+    def submit(self, text: str,
+               image_features: Optional[np.ndarray] = None) -> Future:
+        """Tokenize on the caller's thread, enqueue, return a Future."""
+        ids, mask = self.qt.tensorize([text])
+        if image_features is None and self.image_feature_dim:
+            image_features = np.zeros((self.image_feature_dim,), np.float32)
+        fut: Future = Future()
+        self._q.put((np.asarray(ids)[0], np.asarray(mask)[0],
+                     (None if image_features is None
+                      else np.asarray(image_features, np.float32)), fut))
+        return fut
+
+    def search_batch(self, texts: Sequence[str],
+                     image_features: Optional[np.ndarray] = None
+                     ) -> list[RetrievalResult]:
+        """Blocking convenience wrapper."""
+        feats = ([None] * len(texts) if image_features is None
+                 else list(image_features))
+        futs = [self.submit(t, f) for t, f in zip(texts, feats)]
+        return [f.result() for f in futs]
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+    # -- dispatcher ---------------------------------------------------------
+    def _collect(self):
+        """Block for the first request, then fill up to max_batch within
+        the max_wait_ms window."""
+        try:
+            first = self._q.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.cfg.max_wait_ms / 1e3
+        while len(batch) < self.cfg.max_batch:
+            left = deadline - time.perf_counter()
+            if left <= 0:
+                break
+            try:
+                batch.append(self._q.get(timeout=left))
+            except queue.Empty:
+                break
+        return batch
+
+    def _loop(self):
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                self._dispatch(batch)
+            except BaseException as e:          # deliver, don't kill loop
+                for *_, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def _dispatch(self, batch):
+        n = len(batch)
+        pad = self.cfg.max_batch - n
+        ids = np.stack([b[0] for b in batch] + [batch[0][0]] * pad)
+        mask = np.stack([b[1] for b in batch] + [batch[0][1]] * pad)
+        enc = {"query_input_ids": ids, "query_attention_mask": mask}
+        if self.image_feature_dim:
+            zero = np.zeros((self.image_feature_dim,), np.float32)
+            feats = np.stack(
+                [b[2] if b[2] is not None else zero for b in batch]
+                + [zero] * pad)
+            enc["image_features"] = feats
+        # keep the encoded queries ON DEVICE between the two jitted
+        # programs (encode_queries would np.asarray the (B, Lq, dim)
+        # embeddings — a full host round-trip per dispatch); only the tiny
+        # (B, k) result is fetched
+        import jax.numpy as jnp
+        q = self.ex._encode_query(
+            self.ex.state.params,
+            jnp.asarray(enc["query_input_ids"]),
+            jnp.asarray(enc["query_attention_mask"]),
+            (jnp.asarray(enc["image_features"])
+             if "image_features" in enc else None), None, None)
+        scores, rows = self.searcher.search_device(q, self.cfg.k)
+        scores = np.asarray(scores)
+        pids = self.searcher.index.pids[np.asarray(rows)]
+        for i, (*_, fut) in enumerate(batch):
+            res = RetrievalResult(
+                pids=pids[i], scores=scores[i],
+                contents=([self.id2content.get(p, "")
+                           for p in pids[i].tolist()]
+                          if self.id2content is not None else None))
+            fut.set_result(res)

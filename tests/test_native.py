@@ -54,3 +54,19 @@ def test_throughput_beats_python(vocab_file, fast):
         py.encode(t)
     t_py = (time.perf_counter() - t0) * 10  # scaled to 2000
     assert t_fast < t_py, (t_fast, t_py)
+
+
+def test_large_batch_parity(vocab_file, fast):
+    """>256-rows batches take the multi-worker path on multi-core hosts
+    (wp_encode_batch row-range threading; on a 1-core box it stays serial
+    — either way results must match the Python reference row-for-row)."""
+    py = WordPieceTokenizer(vocab_file)
+    rng = np.random.default_rng(3)
+    words = ["the", "quick", "brown", "fox", "dog", "play", "##ing", "over"]
+    base = [w for w in words if not w.startswith("##")]
+    texts = [" ".join(rng.choice(base, size=rng.integers(1, 10)))
+             for _ in range(1500)]
+    ids, lens = fast.encode_batch(texts, maxlen=24)
+    for i in rng.choice(1500, 100, replace=False):
+        want = py.encode(texts[i])[:24]
+        assert list(ids[i, :lens[i]]) == want
