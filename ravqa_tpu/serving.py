@@ -1,16 +1,20 @@
-"""Production retrieval serving: dynamic micro-batching over the jitted
-search path.
+"""Production serving: dynamic micro-batching over the jitted paths.
 
 The reference has no serving layer (its searcher is a single-process
 Python loop, searcher.py:120-132); this is the deployment counterpart the
-TPU design makes natural: ONE compiled program (encode -> search) at a
-fixed batch shape, fed by a micro-batcher that coalesces concurrent
-requests.
+TPU design makes natural: ONE compiled program per stage at a fixed batch
+shape, fed by a micro-batcher that coalesces concurrent requests.
+
+Two servers share the dispatcher:
+- **RetrievalServer** — encode query -> late-interaction search -> top-k
+  passages.
+- **VQAServer** — the full RAVQA product: retrieve -> generate -> answer
+  selected by joint doc/generation score (RagExecutor.generate).
 
 Design (TPU-first):
 - **Static shapes**: requests are padded to `max_batch` so the jitted
-  encode+search executable never recompiles. Padding rows reuse request 0's
-  tokens (their results are discarded) — cheaper than a separate mask path
+  executables never recompile. Padding rows reuse request 0's tokens
+  (their results are discarded) — cheaper than a separate mask path
   through the kernels.
 - **Batching window**: the dispatcher thread collects up to `max_batch`
   requests or waits at most `max_wait_ms` (classic dynamic batching —
@@ -18,7 +22,8 @@ Design (TPU-first):
   window never triggers; at low load single requests pay <= max_wait_ms.
 - **Host work off the hot path**: tokenization (C++ WordPiece fast path
   when built) happens on the caller's thread at submit(); the dispatcher
-  only stacks arrays and runs device code.
+  only stacks arrays and runs device code. Device intermediates stay on
+  device between stages — only the final small arrays are fetched.
 - **Thread-safe**: submit() from any number of threads; results delivered
   through per-request futures.
 """
@@ -39,7 +44,7 @@ import numpy as np
 class ServeConfig:
     max_batch: int = 32        # compiled batch shape (pad target)
     max_wait_ms: float = 2.0   # batching window at low load
-    k: int = 10                # top-k passages per query
+    k: int = 10                # top-k passages per query (retrieval)
 
 
 @dataclasses.dataclass
@@ -49,61 +54,33 @@ class RetrievalResult:
     contents: Optional[list] = None
 
 
-class RetrievalServer:
-    """Micro-batching server over (query tokenizer, FLMR executor,
-    LateInteractionSearcher).
+@dataclasses.dataclass
+class VQAResult:
+    answer: str
+    doc_scores: np.ndarray     # (n_docs,) retrieval scores
+    passages: Optional[list] = None   # retrieved contents
 
-    serve = RetrievalServer(executor, searcher, query_tokenizer,
-                            image_feature_dim=768)
-    fut = serve.submit("what is the capital of france?", image_features=feat)
-    result = fut.result()      # RetrievalResult
-    """
 
-    def __init__(self, executor, searcher, query_tokenizer,
-                 image_feature_dim: int = 0,
-                 id2content: Optional[dict] = None,
-                 config: ServeConfig = ServeConfig()):
-        """id2content: optional {passage_id: text} map (pids may be strings
-        like the GoogleSearch 'GS_...' ids) — results carry contents when
-        given."""
-        self.ex = executor
-        self.searcher = searcher
-        self.qt = query_tokenizer
-        self.image_feature_dim = image_feature_dim
-        self.id2content = id2content
+class _MicroBatchServer:
+    """Bounded-window micro-batching dispatcher; subclasses implement
+    `_dispatch(batch)` where batch is a list of (payload..., future)."""
+
+    def __init__(self, config: ServeConfig):
         self.cfg = config
         self._q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    # -- client side --------------------------------------------------------
-    def submit(self, text: str,
-               image_features: Optional[np.ndarray] = None) -> Future:
-        """Tokenize on the caller's thread, enqueue, return a Future."""
-        ids, mask = self.qt.tensorize([text])
-        if image_features is None and self.image_feature_dim:
-            image_features = np.zeros((self.image_feature_dim,), np.float32)
+    def _enqueue(self, item) -> Future:
         fut: Future = Future()
-        self._q.put((np.asarray(ids)[0], np.asarray(mask)[0],
-                     (None if image_features is None
-                      else np.asarray(image_features, np.float32)), fut))
+        self._q.put(item + (fut,))
         return fut
-
-    def search_batch(self, texts: Sequence[str],
-                     image_features: Optional[np.ndarray] = None
-                     ) -> list[RetrievalResult]:
-        """Blocking convenience wrapper."""
-        feats = ([None] * len(texts) if image_features is None
-                 else list(image_features))
-        futs = [self.submit(t, f) for t, f in zip(texts, feats)]
-        return [f.result() for f in futs]
 
     def stop(self):
         self._stop.set()
         self._thread.join(timeout=5.0)
 
-    # -- dispatcher ---------------------------------------------------------
     def _collect(self):
         """Block for the first request, then fill up to max_batch within
         the max_wait_ms window."""
@@ -135,6 +112,56 @@ class RetrievalServer:
                     if not fut.done():
                         fut.set_exception(e)
 
+    def _dispatch(self, batch):                 # pragma: no cover
+        raise NotImplementedError
+
+
+class RetrievalServer(_MicroBatchServer):
+    """Micro-batching server over (query tokenizer, FLMR executor,
+    LateInteractionSearcher).
+
+    serve = RetrievalServer(executor, searcher, query_tokenizer,
+                            image_feature_dim=768)
+    fut = serve.submit("what is the capital of france?", image_features=feat)
+    result = fut.result()      # RetrievalResult
+    """
+
+    def __init__(self, executor, searcher, query_tokenizer,
+                 image_feature_dim: int = 0,
+                 id2content: Optional[dict] = None,
+                 config: ServeConfig = ServeConfig()):
+        """id2content: optional {passage_id: text} map (pids may be strings
+        like the GoogleSearch 'GS_...' ids) — results carry contents when
+        given."""
+        self.ex = executor
+        self.searcher = searcher
+        self.qt = query_tokenizer
+        self.image_feature_dim = image_feature_dim
+        self.id2content = id2content
+        super().__init__(config)
+
+    # -- client side --------------------------------------------------------
+    def submit(self, text: str,
+               image_features: Optional[np.ndarray] = None) -> Future:
+        """Tokenize on the caller's thread, enqueue, return a Future."""
+        ids, mask = self.qt.tensorize([text])
+        if image_features is None and self.image_feature_dim:
+            image_features = np.zeros((self.image_feature_dim,), np.float32)
+        return self._enqueue(
+            (np.asarray(ids)[0], np.asarray(mask)[0],
+             (None if image_features is None
+              else np.asarray(image_features, np.float32))))
+
+    def search_batch(self, texts: Sequence[str],
+                     image_features: Optional[np.ndarray] = None
+                     ) -> list[RetrievalResult]:
+        """Blocking convenience wrapper."""
+        feats = ([None] * len(texts) if image_features is None
+                 else list(image_features))
+        futs = [self.submit(t, f) for t, f in zip(texts, feats)]
+        return [f.result() for f in futs]
+
+    # -- dispatcher ---------------------------------------------------------
     def _dispatch(self, batch):
         n = len(batch)
         pad = self.cfg.max_batch - n
@@ -168,3 +195,76 @@ class RetrievalServer:
                            for p in pids[i].tolist()]
                           if self.id2content is not None else None))
             fut.set_result(res)
+
+
+class VQAServer(_MicroBatchServer):
+    """End-to-end VQA serving: retrieve-then-generate through a
+    RagExecutor (live retrieval + greedy/beam decode + joint answer pick
+    — the deployment form of the reference's RagModelForBlip.generate,
+    rag_model_blip.py:735-824).
+
+    serve = VQAServer(rag_executor, query_tokenizer, image_feature_dim=768)
+    ans = serve.submit("what animal is this?", image_features=f).result()
+    ans.answer, ans.passages, ans.doc_scores
+    """
+
+    def __init__(self, rag_executor, query_tokenizer,
+                 image_feature_dim: int = 0,
+                 pixel_shape: Optional[tuple] = None,
+                 config: ServeConfig = ServeConfig(max_batch=8)):
+        """pixel_shape: (H, W, 3) when the generator is BLIP-2 (raw image
+        pixels ride with each request); None for text-only generators."""
+        self.ex = rag_executor
+        self.qt = query_tokenizer
+        self.image_feature_dim = image_feature_dim
+        self.pixel_shape = pixel_shape
+        super().__init__(config)
+
+    def submit(self, question: str,
+               image_features: Optional[np.ndarray] = None,
+               pixel_values: Optional[np.ndarray] = None) -> Future:
+        ids, mask = self.qt.tensorize([question])
+        if image_features is None and self.image_feature_dim:
+            image_features = np.zeros((self.image_feature_dim,), np.float32)
+        if pixel_values is None and self.pixel_shape is not None:
+            pixel_values = np.zeros(self.pixel_shape, np.float32)
+        return self._enqueue(
+            (question, np.asarray(ids)[0], np.asarray(mask)[0],
+             (None if image_features is None
+              else np.asarray(image_features, np.float32)),
+             (None if pixel_values is None
+              else np.asarray(pixel_values, np.float32))))
+
+    def answer_batch(self, questions: Sequence[str],
+                     image_features: Optional[np.ndarray] = None
+                     ) -> list[VQAResult]:
+        feats = ([None] * len(questions) if image_features is None
+                 else list(image_features))
+        futs = [self.submit(t, f) for t, f in zip(questions, feats)]
+        return [f.result() for f in futs]
+
+    def _dispatch(self, batch):
+        n = len(batch)
+        pad = self.cfg.max_batch - n
+        rows = batch + [batch[0]] * pad
+        gen_batch = {
+            "questions": [r[0] for r in rows],
+            "query_input_ids": np.stack([r[1] for r in rows]),
+            "query_attention_mask": np.stack([r[2] for r in rows]),
+        }
+        if self.image_feature_dim:
+            zero = np.zeros((self.image_feature_dim,), np.float32)
+            gen_batch["image_features"] = np.stack(
+                [r[3] if r[3] is not None else zero for r in rows])
+        if self.pixel_shape is not None:
+            zero = np.zeros(self.pixel_shape, np.float32)
+            gen_batch["pixel_values"] = np.stack(
+                [r[4] if r[4] is not None else zero for r in rows])
+        out = self.ex.generate(gen_batch)
+        for i, (*_, fut) in enumerate(batch):
+            fut.set_result(VQAResult(
+                answer=out["predictions"][i],
+                doc_scores=np.asarray(out["doc_scores"])[i],
+                passages=(out["retrieved_contents"][i]
+                          if out.get("retrieved_contents") is not None
+                          else None)))

@@ -132,3 +132,77 @@ def test_dispatch_exception_delivered(served):
     # server still alive after the failure
     res = server.submit("cat dog").result(timeout=30)
     assert len(res.pids) == 3
+
+
+def test_vqa_server_end_to_end():
+    """VQAServer answers concurrently-submitted questions through the live
+    retrieve-then-generate path; results match direct RagExecutor.generate
+    row-for-row."""
+    from ravqa_tpu.data import DataPipeline
+    from ravqa_tpu.data.datasets import corpus_doc_batches
+    from ravqa_tpu.executors import RagConfig, RagExecutor
+    from ravqa_tpu.models import T5Config, T5Model
+    from ravqa_tpu.serving import VQAServer
+
+    dp = DataPipeline({
+        "raw": {"transform_name": "SyntheticOKVQA",
+                "setup_kwargs": {"n_docs": 24, "n_questions": 12,
+                                 "vision_dim": 8}},
+        "loaders": {"transform_name": "PrepareDataloaders",
+                    "input_node": "raw",
+                    "setup_kwargs": {"query_maxlen": 12, "doc_maxlen": 12,
+                                     "nway": 2}},
+    })
+    world = dp.get_data("loaders", explode=True)
+    tok = world["tokenizer"]
+    corpus = world["passages"]["full_passages"]
+    rcfg = FLMRModelConfig.tiny(
+        bert=BertConfig.tiny(vocab_size=tok.vocab_size + 8),
+        vision_dim=8, prefix_len=2, dim=16, nway=2)
+    retriever = FLMRRetriever(rcfg)
+    rp = retriever.init(
+        jax.random.PRNGKey(0),
+        query_input_ids=jnp.ones((2, 12), jnp.int32),
+        query_attention_mask=jnp.ones((2, 12), jnp.int32),
+        image_features=jnp.ones((2, 8), jnp.float32),
+        doc_input_ids=jnp.ones((4, 12), jnp.int32),
+        doc_attention_mask=jnp.ones((4, 12), jnp.int32))["params"]
+    gcfg = T5Config.tiny(vocab_size=tok.vocab_size + 8,
+                         eos_token_id=tok.sep_token_id)
+    gen = T5Model(gcfg)
+    gp = gen.init(jax.random.PRNGKey(1), jnp.ones((2, 8), jnp.int32),
+                  jnp.ones((2, 8), jnp.int32),
+                  jnp.ones((2, 3), jnp.int32))["params"]
+    fe = FLMRExecutor(retriever, rp, TrainConfig(lr=1e-3), quiet=True)
+    index = fe.build_index(corpus_doc_batches(
+        corpus, world["doc_tokenizer"], batch_size=8))
+    ex = RagExecutor(
+        retriever, rp, gen, gp, gen_tokenizer=tok,
+        rag_cfg=RagConfig(n_docs=3, gen_maxlen=48, label_maxlen=4,
+                          max_decode_len=4, use_lora=True, lora_rank=2),
+        train_cfg=TrainConfig(lr=3e-3),
+        index=index, passage_contents=corpus.contents, quiet=True)
+
+    qt = world["query_tokenizer"]
+    items = [world["train"].items[i] for i in range(4)]
+    server = VQAServer(ex, qt, image_feature_dim=8,
+                       config=ServeConfig(max_batch=4, max_wait_ms=10.0))
+    try:
+        futs = [server.submit(it["question"],
+                              np.asarray(it["image_features"], np.float32))
+                for it in items]
+        results = [f.result(timeout=120) for f in futs]
+    finally:
+        server.stop()
+
+    qi, qm = qt.tensorize([it["question"] for it in items])
+    direct = ex.generate({
+        "questions": [it["question"] for it in items],
+        "query_input_ids": qi, "query_attention_mask": qm,
+        "image_features": np.stack([it["image_features"] for it in items]),
+    })
+    for i, r in enumerate(results):
+        assert r.answer == direct["predictions"][i]
+        np.testing.assert_allclose(r.doc_scores, direct["doc_scores"][i],
+                                   rtol=1e-5, atol=1e-5)
+        assert len(r.passages) == 3
