@@ -57,8 +57,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 
 class FastWordPiece:
-    """C++ WordPiece encoder over a vocab.txt; ASCII fast path only —
-    route non-ASCII strings to the Python tokenizer."""
+    """C++ WordPiece encoder over a vocab.txt. Handles ASCII + CJK
+    ideographs + common fullwidth punctuation natively; rows containing
+    other non-ASCII codepoints come back with len -1 (the caller
+    re-encodes them with the Python reference implementation)."""
 
     def __init__(self, vocab_path: str, unk_id: int = 100):
         lib = get_lib()
@@ -70,9 +72,10 @@ class FastWordPiece:
             raise FileNotFoundError(vocab_path)
 
     def encode_batch(self, texts: Sequence[str], maxlen: int):
-        """-> (ids (n, maxlen) int32 zero-padded, lens (n,) int32)."""
+        """-> (ids (n, maxlen) int32 zero-padded, lens (n,) int32;
+        lens[i] == -1 marks a row the caller must re-encode in Python)."""
         n = len(texts)
-        bufs = [t.encode("ascii", "replace") for t in texts]
+        bufs = [t.replace("\x00", " ").encode("utf-8") for t in texts]
         offsets = np.zeros(n, np.int64)
         pos = 0
         blob = bytearray()

@@ -41,6 +41,32 @@ inline bool is_punct(unsigned char c) {
 
 inline bool is_control(unsigned char c) { return c < 32 && !is_ws(c); }
 
+// CJK ideograph ranges (matches tokenization/wordpiece.py _is_cjk) —
+// each ideograph is isolated as its own word before wordpiece lookup.
+inline bool is_cjk_cp(uint32_t cp) {
+    return (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF)
+        || (cp >= 0x20000 && cp <= 0x2A6DF)
+        || (cp >= 0x2A700 && cp <= 0x2B73F)
+        || (cp >= 0x2B740 && cp <= 0x2B81F)
+        || (cp >= 0x2B820 && cp <= 0x2CEAF)
+        || (cp >= 0xF900 && cp <= 0xFAFF)
+        || (cp >= 0x2F800 && cp <= 0x2FA1F);
+}
+
+// Common CJK/fullwidth punctuation we can isolate without Unicode
+// category tables (each is category P* in the Python reference).
+inline bool is_cjk_punct_cp(uint32_t cp) {
+    switch (cp) {
+        case 0x3001: case 0x3002: case 0x300A: case 0x300B:
+        case 0x300C: case 0x300D: case 0x3010: case 0x3011:
+        case 0xFF01: case 0xFF08: case 0xFF09: case 0xFF0C:
+        case 0xFF1A: case 0xFF1B: case 0xFF1F:
+            return true;
+        default:
+            return false;
+    }
+}
+
 // greedy longest-match-first wordpiece of one lowercase word
 void wordpiece(const Vocab& v, const std::string& word,
                std::vector<int32_t>& out) {
@@ -102,8 +128,12 @@ int32_t wp_load_vocab(const char* path, int32_t unk_id) {
     return (int32_t)g_vocabs.size() - 1;
 }
 
-// Encode one ASCII text: basic tokenize (lowercase, split punct) + wordpiece.
-// Writes up to maxlen ids into out; returns the number written.
+// Encode one UTF-8 text: basic tokenize (ASCII lowercase, punctuation
+// split, CJK ideograph isolation) + wordpiece. Writes up to maxlen ids
+// into out; returns the number written, or -1 when the text contains a
+// non-ASCII codepoint outside the handled CJK set (accents, Unicode
+// whitespace/punctuation needing category tables) — the Python wrapper
+// re-encodes those rows with the reference implementation.
 int32_t wp_encode(int32_t handle, const char* text, int32_t* out,
                   int32_t maxlen) {
     const Vocab& v = *g_vocabs[(size_t)handle];
@@ -116,19 +146,46 @@ int32_t wp_encode(int32_t handle, const char* text, int32_t* out,
             word.clear();
         }
     };
-    for (size_t i = 0; i < n; ++i) {
+    size_t i = 0;
+    while (i < n) {
         unsigned char c = (unsigned char)text[i];
-        if (c == 0 || is_control(c)) continue;
-        if (is_ws(c)) {
-            flush();
-        } else if (is_punct(c)) {
-            flush();
-            std::string p(1, (char)c);
-            wordpiece(v, p, ids);
-        } else {
-            if (c >= 'A' && c <= 'Z') c = (unsigned char)(c - 'A' + 'a');
-            word.push_back((char)c);
+        if (c < 0x80) {                                  // ASCII fast path
+            ++i;
+            if (c == 0 || is_control(c)) continue;
+            if (is_ws(c)) {
+                flush();
+            } else if (is_punct(c)) {
+                flush();
+                std::string p(1, (char)c);
+                wordpiece(v, p, ids);
+            } else {
+                if (c >= 'A' && c <= 'Z') c = (unsigned char)(c - 'A' + 'a');
+                word.push_back((char)c);
+            }
+            continue;
         }
+        // decode one UTF-8 sequence
+        uint32_t cp = 0;
+        size_t len = 0;
+        if ((c & 0xE0) == 0xC0) { cp = c & 0x1F; len = 2; }
+        else if ((c & 0xF0) == 0xE0) { cp = c & 0x0F; len = 3; }
+        else if ((c & 0xF8) == 0xF0) { cp = c & 0x07; len = 4; }
+        else return -1;                                  // malformed
+        if (i + len > n) return -1;
+        for (size_t j = 1; j < len; ++j) {
+            unsigned char cc = (unsigned char)text[i + j];
+            if ((cc & 0xC0) != 0x80) return -1;
+            cp = (cp << 6) | (cc & 0x3F);
+        }
+        if (cp == 0x3000) {                              // ideographic space
+            flush();
+        } else if (is_cjk_cp(cp) || is_cjk_punct_cp(cp)) {
+            flush();
+            wordpiece(v, std::string(text + i, len), ids);
+        } else {
+            return -1;                                   // needs Python path
+        }
+        i += len;
     }
     flush();
     int32_t m = (int32_t)ids.size();

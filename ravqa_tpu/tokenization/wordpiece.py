@@ -145,10 +145,21 @@ class WordPieceTokenizer:
 
     def encode_batch(self, texts: list[str], maxlen: int):
         """Batched encode -> (ids (n, maxlen) int32 zero-padded, lens (n,)).
-        Uses the C++ fast path for ASCII inputs when available."""
+
+        C++ fast path when available (ASCII + CJK + common fullwidth
+        punctuation handled natively, threaded over rows on multi-core
+        hosts); rows the native encoder flags (len -1: accents, exotic
+        Unicode) are re-encoded here with the Python reference path.
+        """
         import numpy as np
-        if self._fast is not None and all(t.isascii() for t in texts):
-            return self._fast.encode_batch(texts, maxlen)
+        if self._fast is not None:
+            ids, lens = self._fast.encode_batch(texts, maxlen)
+            for i in np.nonzero(lens < 0)[0]:
+                row = self.encode(texts[int(i)])[:maxlen]
+                ids[i] = 0
+                ids[i, :len(row)] = row
+                lens[i] = len(row)
+            return ids, lens
         ids = np.zeros((len(texts), maxlen), np.int32)
         lens = np.zeros(len(texts), np.int32)
         for i, t in enumerate(texts):

@@ -70,3 +70,43 @@ def test_large_batch_parity(vocab_file, fast):
     for i in rng.choice(1500, 100, replace=False):
         want = py.encode(texts[i])[:24]
         assert list(ids[i, :lens[i]]) == want
+
+
+@pytest.fixture(scope="module")
+def cjk_vocab_file(tmp_path_factory):
+    words = ["[PAD]", "[unused0]", "[unused1]", "[UNK]", "[CLS]", "[SEP]",
+             "[MASK]", "the", "cat", "dog", ".", ",", "。", "，",
+             "北", "京", "天", "安", "门", "中", "国", "##京"] \
+            + list("abcdefghijklmnopqrstuvwxyz") \
+            + ["##" + c for c in "abcdefghijklmnopqrstuvwxyz"]
+    p = tmp_path_factory.mktemp("cjkvocab") / "vocab.txt"
+    p.write_text("\n".join(words) + "\n", encoding="utf-8")
+    return str(p)
+
+
+def test_cjk_parity_and_fallback(cjk_vocab_file):
+    """Native path isolates CJK ideographs + fullwidth punctuation exactly
+    like the Python reference (ENCN serving path); rows with accents fall
+    back to Python via the -1 marker and still come out byte-identical."""
+    from ravqa_tpu.native import FastWordPiece
+    try:
+        fast = FastWordPiece(cjk_vocab_file, unk_id=3)
+    except RuntimeError:
+        pytest.skip("no C++ compiler")
+    py = WordPieceTokenizer(cjk_vocab_file, use_native=False)
+    texts = ["北京天安门",                     # pure CJK: isolate each char
+             "the cat 在 北京。",              # mixed + fullwidth stop
+             "中国 dog，cat",                  # fullwidth comma
+             "café résumé",                    # accents -> Python fallback
+             "北京 the dog."]
+    # direct native call shows which rows were natively handled
+    ids_n, lens_n = fast.encode_batch(texts, maxlen=32)
+    assert lens_n[3] == -1          # accents flagged for fallback
+    assert (lens_n[[0, 1, 2, 4]] >= 0).all()
+    # the integrated tokenizer path must equal the pure-Python path per row
+    integrated = WordPieceTokenizer(cjk_vocab_file)   # native + fallback
+    ids, lens = integrated.encode_batch(texts, maxlen=32)
+    for i, t in enumerate(texts):
+        want = py.encode(t)[:32]
+        assert list(ids[i, :lens[i]]) == want, (t, list(ids[i, :lens[i]]),
+                                                want)
