@@ -107,17 +107,24 @@ def make_optimizer(cfg: TrainConfig, params) -> optax.GradientTransformation:
     if cfg.grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
 
-    mask = trainable_mask(params, list(cfg.modules))
-    if not all(jax.tree.leaves(mask)):
-        tx = optax.chain(
-            optax.masked(optax.set_to_zero(),
-                         jax.tree.map(lambda t: not t, mask)),
-            tx)
     if cfg.accumulate_grad_batches > 1:
         # reference accumulate_grad_batches: average grads over k micro-steps,
         # apply one optimizer update (params are bit-identical in between)
         tx = optax.MultiSteps(tx, every_k_schedule=
                               cfg.accumulate_grad_batches)
+
+    mask = trainable_mask(params, list(cfg.modules))
+    if not all(jax.tree.leaves(mask)):
+        # frozen params: zero their updates AND keep the entire optimizer
+        # state (Adam moments, MultiSteps accumulators) only for trainable
+        # leaves — optax.masked replaces frozen leaves with stateless
+        # MaskedNodes. At flan-T5-XL LoRA scale this is the difference
+        # between ~33 GB of dead f32 moments+accumulators and a few MB
+        # (what lets the published RAVQA-v2 recipe train on one v5e chip).
+        tx = optax.chain(
+            optax.masked(optax.set_to_zero(),
+                         jax.tree.map(lambda t: not t, mask)),
+            optax.masked(tx, mask))
     return tx
 
 

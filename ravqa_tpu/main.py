@@ -416,8 +416,13 @@ def main(argv=None):
         if args.mode == "train":
             raw = rag_batches(data["train"], tc.get("batch_size", 8),
                               seed=cfg.get("seed", 0))
+            # NO prefetch here: make_train_batch runs LIVE retrieval with
+            # the current retriever params — prefetching it would (a) race a
+            # background device dispatch against the donated train-step
+            # buffers (observed deadlock on the CPU mesh) and (b) retrieve
+            # with stale params batches ahead. Host-side prefetch applies to
+            # the plain loader path below.
             batches = (ex.make_train_batch(b) for b in raw)
-            batches = _maybe_prefetch(batches, tc, mesh)
             ckpt_manager, early_stopping = _callbacks_from(cfg, log_dir)
             ex.fit(batches, steps=tc.get("total_steps", 100),
                    log_every=tc.get("log_every", 20),

@@ -42,6 +42,11 @@ class T5Config:
     decoder_start_token_id: int = 0
     dtype: Any = jnp.float32             # compute dtype
     param_dtype: Any = jnp.float32       # parameter storage dtype
+    # rematerialize each block on the backward pass (jax.checkpoint):
+    # activation memory drops from O(layers) to O(1) residuals at ~1/3 extra
+    # FLOPs — what lets the flan-T5-XL RAVQA-v2 recipe (bs1 x 5 docs x 512
+    # tokens + LoRA) train on ONE v5e chip (scripts/bench_rag_train.py)
+    remat: bool = False
 
     @property
     def n_dec(self) -> int:
@@ -235,15 +240,16 @@ class T5Model(nn.Module):
         cfg = self.cfg
         self.shared = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=cfg.dtype,
                                param_dtype=cfg.param_dtype, name="shared")
+        Block = nn.remat(T5Block) if cfg.remat else T5Block
         self.enc_blocks = [
-            T5Block(cfg, is_decoder=False, has_relative_bias=(i == 0),
-                    name=f"encoder_{i}") for i in range(cfg.num_layers)]
+            Block(cfg, is_decoder=False, has_relative_bias=(i == 0),
+                  name=f"encoder_{i}") for i in range(cfg.num_layers)]
         self.enc_final_ln = RMSNorm(cfg.layer_norm_eps, cfg.dtype,
                                     cfg.param_dtype,
                                     name="encoder_final_ln")
         self.dec_blocks = [
-            T5Block(cfg, is_decoder=True, has_relative_bias=(i == 0),
-                    name=f"decoder_{i}") for i in range(cfg.n_dec)]
+            Block(cfg, is_decoder=True, has_relative_bias=(i == 0),
+                  name=f"decoder_{i}") for i in range(cfg.n_dec)]
         self.dec_final_ln = RMSNorm(cfg.layer_norm_eps, cfg.dtype,
                                     cfg.param_dtype,
                                     name="decoder_final_ln")

@@ -92,3 +92,46 @@ def test_cli_rag_mesh_accum_with_callbacks(tmp_path):
     hist = [json.loads(l) for l in
             open(os.path.join(exp, "metrics.jsonl"))]
     assert any("valid/exact_match" in h for h in hist)
+
+
+def test_optimizer_state_only_for_trainable():
+    """Frozen params must not carry Adam moments or MultiSteps
+    accumulators (at flan-T5-XL LoRA scale the full-tree f32 state is
+    ~33 GiB of dead memory — the reason the published recipe fits one
+    chip is that optax.masked keeps state for trainable leaves only)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ravqa_tpu.executors.base import make_optimizer, TrainConfig
+
+    params = {
+        "query_encoder": {"w": jnp.ones((8, 8))},
+        "mapping": {"w": jnp.ones((4, 4))},
+    }
+    cfg = TrainConfig(lr=1e-3, accumulate_grad_batches=4,
+                      modules=("freeze_question_encoder",))
+    tx = make_optimizer(cfg, params)
+    state = tx.init(params)
+
+    def arrays_under(tree, key):
+        return [x for p, x in
+                jax.tree_util.tree_leaves_with_path(tree)
+                if any(getattr(k, "key", None) == key for k in p)
+                and hasattr(x, "shape") and np.prod(x.shape) > 1]
+
+    frozen_arrays = arrays_under(state, "query_encoder")
+    trainable_arrays = arrays_under(state, "mapping")
+    assert not frozen_arrays, \
+        f"frozen subtree carries {len(frozen_arrays)} state arrays"
+    assert trainable_arrays, "trainable subtree must carry moments"
+
+    # updates: frozen leaf stays exactly zero through accumulation + apply
+    g = jax.tree.map(jnp.ones_like, params)
+    p = params
+    for _ in range(4):
+        up, state = tx.update(g, state, p)
+        p = __import__("optax").apply_updates(p, up)
+    np.testing.assert_array_equal(np.asarray(p["query_encoder"]["w"]),
+                                  np.asarray(params["query_encoder"]["w"]))
+    assert not np.allclose(np.asarray(p["mapping"]["w"]),
+                           np.asarray(params["mapping"]["w"]))
