@@ -27,7 +27,10 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser("ravqa_tpu")
     p.add_argument("--config", required=True)
     p.add_argument("--mode", required=True,
-                   choices=["prepare_data", "train", "test", "eval"])
+                   choices=["prepare_data", "train", "test", "eval",
+                            "serve"])
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080)
     p.add_argument("--experiment_name", default="default")
     p.add_argument("--log_dir", default="experiments")
     p.add_argument("--opts", nargs="*", default=[])
@@ -381,6 +384,63 @@ def run_eval(cfg, ex, data, log_dir: str, split: str = "valid"):
     return metrics
 
 
+def build_server(cfg, data, mesh, log_dir: str):
+    """Construct the deployment server from a config: VQAServer for RAG
+    configs (retrieve-then-generate answering), RetrievalServer otherwise.
+    Loads the experiment checkpoint when present; `serve.*` config keys set
+    the micro-batching parameters."""
+    from .data.datasets import corpus_doc_batches
+    from .retrieval import LateInteractionSearcher
+    from .serving import RetrievalServer, ServeConfig, VQAServer
+
+    sv = cfg.get("serve", Config())
+    sc = ServeConfig(max_batch=sv.get("max_batch", 32),
+                     max_wait_ms=sv.get("max_wait_ms", 2.0),
+                     k=sv.get("k", 10))
+    tc = cfg.get("train", Config())
+    vdim = cfg.model_config.get("vision_embedding_size", 8)
+    ckpt = tc.get("load_model_path") or os.path.join(log_dir, "ckpt")
+    if cfg.executor.get("ExecutorClass") == "RagExecutor":
+        ex = build_rag_executor(cfg, data, mesh, log_dir, quiet=True)
+        if os.path.exists(os.path.join(ckpt, "params.msgpack")):
+            ex.load_checkpoint(ckpt)
+        return VQAServer(ex, data["query_tokenizer"],
+                         image_feature_dim=vdim, config=sc)
+    ex = build_executor(cfg, data, mesh, log_dir, quiet=True)
+    if os.path.exists(os.path.join(ckpt, "params.msgpack")):
+        ex.load_checkpoint(ckpt)
+    corpus = data["passages"]["full_passages"]
+    index = ex.build_index(
+        corpus_doc_batches(corpus, data["doc_tokenizer"], batch_size=64))
+    mode = cfg.model_config.get("search_mode", "exact")
+    if mode in ("two_stage", "hierarchical"):
+        index.build_summaries(n_summary=sv.get("n_summary", 8))
+    if mode == "hierarchical":
+        index.build_block_summaries(block_size=sv.get("block_size", 64))
+    searcher = LateInteractionSearcher(index, mode=mode)
+    id2content = {i: c for i, c in enumerate(corpus.contents)}
+    return RetrievalServer(ex, searcher, data["query_tokenizer"],
+                           image_feature_dim=vdim, id2content=id2content,
+                           config=sc)
+
+
+def run_serve(cfg, args, data, mesh, log_dir: str) -> int:
+    from .serving import make_http_server
+    server = build_server(cfg, data, mesh, log_dir)
+    httpd = make_http_server(server, args.host, args.port)
+    kind = type(server).__name__
+    print(f"{kind} listening on {args.host}:{httpd.server_address[1]} "
+          f"(POST /{'answer' if kind == 'VQAServer' else 'search'}, "
+          "GET /healthz)", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+    return 0
+
+
 def main(argv=None):
     args = parse_args(argv)
     cfg = apply_overrides(load_config(args.config), args.opts)
@@ -408,6 +468,9 @@ def main(argv=None):
     if args.mode == "prepare_data":
         print("prepare_data done:", list(data))
         return 0
+
+    if args.mode == "serve":
+        return run_serve(cfg, args, data, mesh, log_dir)
 
     is_rag = cfg.executor.get("ExecutorClass") == "RagExecutor"
     tc = cfg.get("train", Config())

@@ -268,3 +268,81 @@ class VQAServer(_MicroBatchServer):
                 passages=(out["retrieved_contents"][i]
                           if out.get("retrieved_contents") is not None
                           else None)))
+
+
+# ---------------------------------------------------------------------------
+# HTTP front end (stdlib-only): JSON over POST, for deployment behind any
+# standard load balancer. GET /healthz; POST /search (RetrievalServer);
+# POST /answer (VQAServer).
+# ---------------------------------------------------------------------------
+
+def make_http_server(server, host: str = "0.0.0.0", port: int = 8080):
+    """Wrap a RetrievalServer or VQAServer in a ThreadingHTTPServer.
+
+    Returns the http.server instance — call .serve_forever() (blocking)
+    or run it on a thread and .shutdown() to stop. Request threads block
+    on the micro-batcher's futures, so concurrent HTTP requests batch
+    together on the TPU exactly like direct submit() callers.
+    """
+    import json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    is_vqa = isinstance(server, VQAServer)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):                    # quiet access log
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True,
+                                 "mode": "vqa" if is_vqa else "retrieval"})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError):
+                return self._json(400, {"error": "bad json"})
+            try:
+                if self.path == "/search" and not is_vqa:
+                    feats = req.get("image_features")
+                    res = server.submit(
+                        req["query"],
+                        None if feats is None
+                        else np.asarray(feats, np.float32)).result(
+                            timeout=req.get("timeout_s", 60))
+                    return self._json(200, {
+                        "pids": np.asarray(res.pids).tolist(),
+                        "scores": np.asarray(res.scores,
+                                             np.float64).tolist(),
+                        "contents": res.contents})
+                if self.path == "/answer" and is_vqa:
+                    feats = req.get("image_features")
+                    res = server.submit(
+                        req["question"],
+                        None if feats is None
+                        else np.asarray(feats, np.float32)).result(
+                            timeout=req.get("timeout_s", 120))
+                    return self._json(200, {
+                        "answer": res.answer,
+                        "doc_scores": np.asarray(res.doc_scores,
+                                                 np.float64).tolist(),
+                        "passages": res.passages})
+                return self._json(404, {"error": "not found"})
+            except KeyError as e:
+                return self._json(400, {"error": f"missing field {e}"})
+            except Exception as e:                     # surface, don't die
+                return self._json(500, {"error": str(e)})
+
+    return ThreadingHTTPServer((host, port), Handler)

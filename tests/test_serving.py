@@ -206,3 +206,61 @@ def test_vqa_server_end_to_end():
         np.testing.assert_allclose(r.doc_scores, direct["doc_scores"][i],
                                    rtol=1e-5, atol=1e-5)
         assert len(r.passages) == 3
+
+
+def test_http_server_search_and_vqa(tmp_path):
+    """CLI-config-built servers behind the stdlib HTTP front end: /healthz,
+    /search (retrieval config) and /answer (RAG config) round-trip JSON."""
+    import json as jsonlib
+    import os
+    import urllib.request
+
+    from ravqa_tpu.config import load_config
+    from ravqa_tpu.main import build_server
+    from ravqa_tpu.serving import make_http_server
+
+    cfg_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs")
+
+    def post(port, path, obj):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=jsonlib.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return jsonlib.loads(r.read())
+
+    for conf, path, payload, want_key in [
+            ("synthetic_flmr.json", "/search", {"query": "cat dog sky"},
+             "pids"),
+            ("synthetic_rag.json", "/answer", {"question": "cat dog sky"},
+             "answer")]:
+        cfg = load_config(os.path.join(cfg_dir, conf))
+        from ravqa_tpu.main import build_pipeline
+        dp = build_pipeline(cfg, cache_dir=str(tmp_path / "cache"))
+        data = dp.get_data(cfg.data_pipeline_output_node, explode=True)
+        server = build_server(cfg, data, None, str(tmp_path))
+        httpd = make_http_server(server, "127.0.0.1", 0)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+                assert jsonlib.loads(r.read())["ok"]
+            out = post(port, path, payload)
+            assert want_key in out, out
+            if want_key == "pids":
+                assert len(out["pids"]) == 10
+                assert out["contents"][0]
+            else:
+                assert isinstance(out["answer"], str)
+                assert len(out["passages"]) >= 1
+            # error paths
+            try:
+                post(port, path, {})
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        finally:
+            httpd.shutdown()
+            server.stop()
