@@ -206,16 +206,23 @@ class BaseExecutor:
                  seed: int = 0, quiet: bool = False,
                  param_sharding: str = "replicated",
                  fsdp_min_size: int = 2 ** 18,
-                 logger_backends: Sequence[str] = ("jsonl",)):
+                 logger_backends: Sequence[str] = ("jsonl",),
+                 copy_params: bool = True):
         """param_sharding: 'replicated' (DP) or 'fsdp' (shard each large
         param's biggest divisible dim over the data axis — ZeRO-3-style;
-        XLA inserts the all-gathers)."""
+        XLA inserts the all-gathers).
+
+        copy_params=False skips the defensive param copy (the train step
+        DONATES state, so the caller's passed-in arrays become invalid
+        after the first step) — use for multi-billion-param models where
+        the transient 2x param memory of the copy would not fit HBM."""
         self.model = model
         self.train_cfg = train_cfg
         self.mesh = mesh
-        # private copy: the train step donates its input state, which would
-        # otherwise invalidate the caller's param buffers
-        params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        if copy_params:
+            # private copy: the train step donates its input state, which
+            # would otherwise invalidate the caller's param buffers
+            params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
         self.tx = make_optimizer(train_cfg, params)
         self.logger = MetricsLogger(log_dir, quiet=quiet,
                                     backends=logger_backends)

@@ -101,7 +101,8 @@ class RagExecutor(BaseExecutor):
                  passage_ids: Optional[Sequence] = None,
                  static_retrieval: Optional[dict] = None,
                  input_builder: Optional[GeneratorInputBuilder] = None,
-                 mesh=None, log_dir=None, seed: int = 0, quiet: bool = False):
+                 mesh=None, log_dir=None, seed: int = 0, quiet: bool = False,
+                 copy_params: bool = True):
         self.retriever = retriever
         self.generator = generator
         self.gen_tokenizer = gen_tokenizer
@@ -140,7 +141,7 @@ class RagExecutor(BaseExecutor):
             modules = tuple(train_cfg.modules) + ("freeze_generator_base",)
             train_cfg = dataclasses.replace(train_cfg, modules=modules)
         super().__init__(generator, params, train_cfg, mesh, log_dir, seed,
-                         quiet=quiet)
+                         quiet=quiet, copy_params=copy_params)
         self._encode_query = jax.jit(self._encode_query_impl)
 
     # -- param helpers --------------------------------------------------------

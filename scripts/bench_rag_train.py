@@ -10,7 +10,7 @@ FLMR retriever with live in-graph retrieval scores, bs1 x n_docs5,
 gen_maxlen 512, optax MultiSteps accumulation 16.
 
 Prints per-micro-step time and effective questions/s.
-Run: python scripts/bench_rag_train.py   (SCALE=large for t5-large shape)
+Run: python scripts/bench_rag_train.py   (SCALE=blip2 for the full BLIP2 generator; SCALE=large for t5-large)
 """
 
 import os
@@ -69,10 +69,41 @@ else:
                     d_ff=2816, num_layers=24, num_decoder_layers=24,
                     num_heads=16, feed_forward_proj="gated-gelu",
                     dtype=jnp.bfloat16)
-gen = T5Model(gcfg)
-gp = gen.init(jax.random.PRNGKey(1), jnp.ones((2, 8), jnp.int32),
-              jnp.ones((2, 8), jnp.int32), jnp.ones((2, 3), jnp.int32),
-              )["params"]
+if SCALE == "blip2":
+    # the FULL published generator: EVA-ViT-g (1.0B) + Q-Former + flan-T5-XL
+    # (2.7B) — vision/qformer are inside the frozen LoRA base
+    # (stop_gradient), so only their forward runs; T5 remats its backward
+    from ravqa_tpu.models.blip2 import (Blip2Config, Blip2T5,
+                                        Blip2VisionConfig, QFormerConfig)
+    bcfg = Blip2Config(
+        vision=Blip2VisionConfig(dtype=jnp.bfloat16),
+        qformer=QFormerConfig(dtype=jnp.bfloat16),
+        t5=T5Config.flan_t5_xl(dtype=jnp.bfloat16,
+                               param_dtype=jnp.bfloat16, remat=True,
+                               vocab_size=tok.vocab_size + 8),
+        num_query_tokens=32)
+    gen = Blip2T5(bcfg)
+    gp = gen.init(jax.random.PRNGKey(1),
+                  jnp.ones((1, 224, 224, 3), jnp.float32),
+                  jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32),
+                  jnp.ones((1, 3), jnp.int32))["params"]
+    # bf16 storage for the frozen vision/qformer trees too (their configs
+    # store f32; f32 ViT-g alone is 4 GiB). Leaf-wise cast with incremental
+    # free so the f32 and bf16 trees never coexist in HBM.
+    leaves, treedef = jax.tree_util.tree_flatten(gp)
+    del gp
+    for i in range(len(leaves)):
+        leaf = leaves[i]
+        leaves[i] = (leaf.astype(jnp.bfloat16)
+                     if leaf.dtype == jnp.float32 else leaf)
+        del leaf
+    gp = jax.tree_util.tree_unflatten(treedef, leaves)
+    del leaves
+else:
+    gen = T5Model(gcfg)
+    gp = gen.init(jax.random.PRNGKey(1), jnp.ones((2, 8), jnp.int32),
+                  jnp.ones((2, 8), jnp.int32), jnp.ones((2, 3), jnp.int32),
+                  )["params"]
 n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(gp))
 print(f"generator params: {n_params / 1e9:.2f}B ({SCALE})", flush=True)
 
@@ -84,17 +115,24 @@ ex = RagExecutor(
     rag_cfg=RagConfig(n_docs=N_DOCS, gen_maxlen=GEN_LEN,
                       label_maxlen=LABEL_LEN, max_decode_len=LABEL_LEN,
                       use_lora=True, lora_rank=8, lora_alpha=32.0,
-                      loss_type="Approach6"),
+                      loss_type="Approach6",
+                      generator_type=("blip2" if SCALE == "blip2"
+                                      else "t5")),
     train_cfg=TrainConfig(lr=1e-4, retriever_lr=1e-5,
                           accumulate_grad_batches=ACCUM,
                           modules=("freeze_question_encoder",)),
-    index=index, passage_contents=corpus.contents, quiet=True)
-del gp   # the executor holds its own copy; don't keep 5.4 GiB twice
+    index=index, passage_contents=corpus.contents, quiet=True,
+    # no defensive copy: at 3.8B params the transient 2x would not fit;
+    # gp/rp are not reused after this (the train step donates them)
+    copy_params=False)
+del gp
 
 items = [world["train"].items[i] for i in range(B)]
 qt = world["query_tokenizer"]
 qi, qm = qt.tensorize([it["question"] for it in items])
 batch = {
+    **({"pixel_values": np.zeros((B, 224, 224, 3), np.float32)}
+       if SCALE == "blip2" else {}),
     "question_ids": [it["question_id"] for it in items],
     "questions": [it["question"] for it in items],
     "answers": [it["answers"] for it in items],
