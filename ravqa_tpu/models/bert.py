@@ -34,6 +34,7 @@ class BertConfig:
     dropout_rate: float = 0.0
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    remat: bool = False                  # per-layer backward remat
 
     @property
     def encoder_cfg(self) -> EncoderConfig:
@@ -48,6 +49,7 @@ class BertConfig:
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            remat=self.remat,
         )
 
     @staticmethod

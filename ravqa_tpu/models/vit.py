@@ -32,6 +32,8 @@ class ViTConfig:
     use_pre_layernorm: bool = True      # CLIP has pre_layrnorm before blocks
     global_pool: bool = False           # MAE-style mean-pool instead of CLS
     dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32       # parameter storage dtype
+    remat: bool = False                  # per-layer backward remat
 
     @property
     def num_patches(self) -> int:
@@ -48,6 +50,8 @@ class ViTConfig:
             layer_norm_eps=self.layer_norm_eps,
             pre_layernorm=True,
             dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            remat=self.remat,
         )
 
     @staticmethod
@@ -86,14 +90,16 @@ class CLIPVisionModel(nn.Module):
                     kernel_size=(cfg.patch_size, cfg.patch_size),
                     strides=(cfg.patch_size, cfg.patch_size),
                     use_bias=False, dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype,
                     name="patch_embedding")(pixel_values.astype(cfg.dtype))
         x = x.reshape(b, -1, cfg.hidden_size)            # (B, P, H)
         cls = self.param("class_embedding", nn.initializers.normal(0.02),
-                         (cfg.hidden_size,))
+                         (cfg.hidden_size,), cfg.param_dtype)
         cls = jnp.broadcast_to(cls.astype(cfg.dtype), (b, 1, cfg.hidden_size))
         x = jnp.concatenate([cls, x], axis=1)
         pos = self.param("position_embedding", nn.initializers.normal(0.02),
-                         (cfg.num_patches + 1, cfg.hidden_size))
+                         (cfg.num_patches + 1, cfg.hidden_size),
+                         cfg.param_dtype)
         x = x + pos.astype(cfg.dtype)[None]
         if cfg.use_pre_layernorm:
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
