@@ -38,22 +38,28 @@ def prefetch(batches: Iterable, size: int = 2,
     q: queue.Queue = queue.Queue(maxsize=size)
     stop = threading.Event()
 
+    def stop_aware_put(item) -> bool:
+        """put() that gives up when the consumer has gone away — a plain
+        blocking put here would park the daemon thread (and the batches it
+        holds, device-resident under prefetch_to_device) forever."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for b in batches:
                 if transform is not None:
                     b = transform(b)
-                while not stop.is_set():
-                    try:
-                        q.put(b, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not stop_aware_put(b):
                     return
-            q.put(_SENTINEL)
+            stop_aware_put(_SENTINEL)
         except BaseException as e:                     # re-raise downstream
-            q.put(e)
+            stop_aware_put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()

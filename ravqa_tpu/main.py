@@ -150,11 +150,14 @@ def build_rag_executor(cfg: Config, data, mesh, log_dir: str, quiet=False):
     if gen_type == "blip2":
         from .models.blip2 import (Blip2Config, Blip2T5, Blip2VisionConfig,
                                    QFormerConfig)
+        # pop num_query_tokens BEFORE the t5 fallback: when no "t5" key is
+        # given the remaining flat keys become the T5Config kwargs
+        nqt = gen_cfg_dict.pop("num_query_tokens", 32)
         bcfg = Blip2Config(
             vision=Blip2VisionConfig(**gen_cfg_dict.pop("vision", {})),
             qformer=QFormerConfig(**gen_cfg_dict.pop("qformer", {})),
             t5=T5Config(**gen_cfg_dict.pop("t5", gen_cfg_dict)),
-            num_query_tokens=gen_cfg_dict.pop("num_query_tokens", 32))
+            num_query_tokens=nqt)
         generator = Blip2T5(bcfg)
         v = bcfg.vision
         gp = generator.init(
@@ -398,29 +401,55 @@ def build_server(cfg, data, mesh, log_dir: str):
                      max_wait_ms=sv.get("max_wait_ms", 2.0),
                      k=sv.get("k", 10))
     tc = cfg.get("train", Config())
-    vdim = cfg.model_config.get("vision_embedding_size", 8)
-    ckpt = tc.get("load_model_path") or os.path.join(log_dir, "ckpt")
+    mc = cfg.model_config
+    # same default as _flmr_config_from — a mismatched zero-feature shape
+    # would crash every request
+    vdim = mc.get("vision_embedding_size", 768)
+
+    def load_ckpt(ex):
+        explicit = tc.get("load_model_path")
+        if explicit:
+            ex.load_checkpoint(explicit)     # raises on a bad path
+        elif os.path.exists(os.path.join(log_dir, "ckpt",
+                                         "params.msgpack")):
+            ex.load_checkpoint(os.path.join(log_dir, "ckpt"))
+        else:
+            print("serve: no checkpoint found (set train.load_model_path) "
+                  "— serving randomly initialized weights", flush=True)
+
     if cfg.executor.get("ExecutorClass") == "RagExecutor":
         ex = build_rag_executor(cfg, data, mesh, log_dir, quiet=True)
-        if os.path.exists(os.path.join(ckpt, "params.msgpack")):
-            ex.load_checkpoint(ckpt)
+        load_ckpt(ex)
+        # BLIP-2 generators take raw pixels per request
+        pixel_shape = None
+        if mc.get("generator", {}).get("type") == "blip2":
+            img = mc.get("generator", {}).get("vision", {}) \
+                .get("image_size", 224)
+            pixel_shape = (img, img, 3)
         return VQAServer(ex, data["query_tokenizer"],
-                         image_feature_dim=vdim, config=sc)
+                         image_feature_dim=vdim, pixel_shape=pixel_shape,
+                         config=sc)
     ex = build_executor(cfg, data, mesh, log_dir, quiet=True)
-    if os.path.exists(os.path.join(ckpt, "params.msgpack")):
-        ex.load_checkpoint(ckpt)
+    load_ckpt(ex)
     corpus = data["passages"]["full_passages"]
     index = ex.build_index(
         corpus_doc_batches(corpus, data["doc_tokenizer"], batch_size=64))
-    mode = cfg.model_config.get("search_mode", "exact")
+    mode = mc.get("search_mode", "exact")
     if mode in ("two_stage", "hierarchical"):
         index.build_summaries(n_summary=sv.get("n_summary", 8))
     if mode == "hierarchical":
         index.build_block_summaries(block_size=sv.get("block_size", 64))
     searcher = LateInteractionSearcher(index, mode=mode)
     id2content = {i: c for i, c in enumerate(corpus.contents)}
+    # in-graph-vision retrievers take raw pixels per request (a zeroed
+    # image_features vector would silently bypass the trained ViT)
+    pixel_shape = None
+    if mc.get("in_graph_vision"):
+        img = mc.get("vit", {}).get("image_size", 224)
+        pixel_shape = (img, img, 3)
     return RetrievalServer(ex, searcher, data["query_tokenizer"],
-                           image_feature_dim=vdim, id2content=id2content,
+                           image_feature_dim=0 if pixel_shape else vdim,
+                           id2content=id2content, pixel_shape=pixel_shape,
                            config=sc)
 
 

@@ -75,7 +75,10 @@ class FastWordPiece:
         """-> (ids (n, maxlen) int32 zero-padded, lens (n,) int32;
         lens[i] == -1 marks a row the caller must re-encode in Python)."""
         n = len(texts)
-        bufs = [t.replace("\x00", " ").encode("utf-8") for t in texts]
+        # NUL would terminate the C string; the Python reference DROPS
+        # NUL (cp==0 -> continue, joining the surrounding word), so strip
+        # rather than substitute a space (which would split the word)
+        bufs = [t.replace("\x00", "").encode("utf-8") for t in texts]
         offsets = np.zeros(n, np.int64)
         pos = 0
         blob = bytearray()

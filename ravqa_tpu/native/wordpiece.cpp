@@ -39,7 +39,12 @@ inline bool is_punct(unsigned char c) {
            (c >= 91 && c <= 96) || (c >= 123 && c <= 126);
 }
 
-inline bool is_control(unsigned char c) { return c < 32 && !is_ws(c); }
+// DEL (0x7F) is Unicode category Cc like the other controls — the Python
+// reference drops it inside words; keeping it would silently break the
+// byte-parity contract (no -1 fallback fires for pure-ASCII rows)
+inline bool is_control(unsigned char c) {
+    return (c < 32 && !is_ws(c)) || c == 0x7F;
+}
 
 // CJK ideograph ranges (matches tokenization/wordpiece.py _is_cjk) —
 // each ideograph is isolated as its own word before wordpiece lookup.

@@ -80,6 +80,17 @@ class _MicroBatchServer:
     def stop(self):
         self._stop.set()
         self._thread.join(timeout=5.0)
+        # fail queued-but-uncollected requests instead of leaving their
+        # futures pending (callers blocked in fut.result would otherwise
+        # stall until their timeout)
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            fut = item[-1]
+            if isinstance(fut, Future) and not fut.done():
+                fut.set_exception(RuntimeError("server stopped"))
 
     def _collect(self):
         """Block for the first request, then fill up to max_batch within
@@ -129,28 +140,36 @@ class RetrievalServer(_MicroBatchServer):
     def __init__(self, executor, searcher, query_tokenizer,
                  image_feature_dim: int = 0,
                  id2content: Optional[dict] = None,
+                 pixel_shape: Optional[tuple] = None,
                  config: ServeConfig = ServeConfig()):
         """id2content: optional {passage_id: text} map (pids may be strings
         like the GoogleSearch 'GS_...' ids) — results carry contents when
-        given."""
+        given. pixel_shape: (H, W, 3) for in-graph-vision retrievers (raw
+        pixels ride with each request instead of precomputed features)."""
         self.ex = executor
         self.searcher = searcher
         self.qt = query_tokenizer
         self.image_feature_dim = image_feature_dim
         self.id2content = id2content
+        self.pixel_shape = pixel_shape
         super().__init__(config)
 
     # -- client side --------------------------------------------------------
     def submit(self, text: str,
-               image_features: Optional[np.ndarray] = None) -> Future:
+               image_features: Optional[np.ndarray] = None,
+               pixel_values: Optional[np.ndarray] = None) -> Future:
         """Tokenize on the caller's thread, enqueue, return a Future."""
         ids, mask = self.qt.tensorize([text])
         if image_features is None and self.image_feature_dim:
             image_features = np.zeros((self.image_feature_dim,), np.float32)
+        if pixel_values is None and self.pixel_shape is not None:
+            pixel_values = np.zeros(self.pixel_shape, np.float32)
         return self._enqueue(
             (np.asarray(ids)[0], np.asarray(mask)[0],
              (None if image_features is None
-              else np.asarray(image_features, np.float32))))
+              else np.asarray(image_features, np.float32)),
+             (None if pixel_values is None
+              else np.asarray(pixel_values, np.float32))))
 
     def search_batch(self, texts: Sequence[str],
                      image_features: Optional[np.ndarray] = None
@@ -174,6 +193,11 @@ class RetrievalServer(_MicroBatchServer):
                 [b[2] if b[2] is not None else zero for b in batch]
                 + [zero] * pad)
             enc["image_features"] = feats
+        if self.pixel_shape is not None:
+            zero = np.zeros(self.pixel_shape, np.float32)
+            enc["pixel_values"] = np.stack(
+                [b[3] if b[3] is not None else zero for b in batch]
+                + [zero] * pad)
         # keep the encoded queries ON DEVICE between the two jitted
         # programs (encode_queries would np.asarray the (B, Lq, dim)
         # embeddings — a full host round-trip per dispatch); only the tiny
@@ -184,7 +208,9 @@ class RetrievalServer(_MicroBatchServer):
             jnp.asarray(enc["query_input_ids"]),
             jnp.asarray(enc["query_attention_mask"]),
             (jnp.asarray(enc["image_features"])
-             if "image_features" in enc else None), None, None)
+             if "image_features" in enc else None),
+            (jnp.asarray(enc["pixel_values"])
+             if "pixel_values" in enc else None), None)
         scores, rows = self.searcher.search_device(q, self.cfg.k)
         scores = np.asarray(scores)
         pids = self.searcher.index.pids[np.asarray(rows)]
@@ -222,7 +248,11 @@ class VQAServer(_MicroBatchServer):
 
     def submit(self, question: str,
                image_features: Optional[np.ndarray] = None,
-               pixel_values: Optional[np.ndarray] = None) -> Future:
+               pixel_values: Optional[np.ndarray] = None,
+               question_id=None) -> Future:
+        """question_id: pass the dataset question id when the executor uses
+        STATIC retrieval (the precomputed map is keyed by it; unknown/None
+        ids fall back to the reference's dummy-passage behavior)."""
         ids, mask = self.qt.tensorize([question])
         if image_features is None and self.image_feature_dim:
             image_features = np.zeros((self.image_feature_dim,), np.float32)
@@ -233,7 +263,8 @@ class VQAServer(_MicroBatchServer):
              (None if image_features is None
               else np.asarray(image_features, np.float32)),
              (None if pixel_values is None
-              else np.asarray(pixel_values, np.float32))))
+              else np.asarray(pixel_values, np.float32)),
+             question_id))
 
     def answer_batch(self, questions: Sequence[str],
                      image_features: Optional[np.ndarray] = None
@@ -249,6 +280,9 @@ class VQAServer(_MicroBatchServer):
         rows = batch + [batch[0]] * pad
         gen_batch = {
             "questions": [r[0] for r in rows],
+            # static-retrieval executors key their map by question_id;
+            # None ids take the dummy-passage fallback
+            "question_ids": [r[5] for r in rows],
             "query_input_ids": np.stack([r[1] for r in rows]),
             "query_attention_mask": np.stack([r[2] for r in rows]),
         }
@@ -315,12 +349,13 @@ def make_http_server(server, host: str = "0.0.0.0", port: int = 8080):
             except (ValueError, json.JSONDecodeError):
                 return self._json(400, {"error": "bad json"})
             try:
+                def arr(key):
+                    v = req.get(key)
+                    return None if v is None else np.asarray(v, np.float32)
                 if self.path == "/search" and not is_vqa:
-                    feats = req.get("image_features")
                     res = server.submit(
-                        req["query"],
-                        None if feats is None
-                        else np.asarray(feats, np.float32)).result(
+                        req["query"], arr("image_features"),
+                        arr("pixel_values")).result(
                             timeout=req.get("timeout_s", 60))
                     return self._json(200, {
                         "pids": np.asarray(res.pids).tolist(),
@@ -328,11 +363,10 @@ def make_http_server(server, host: str = "0.0.0.0", port: int = 8080):
                                              np.float64).tolist(),
                         "contents": res.contents})
                 if self.path == "/answer" and is_vqa:
-                    feats = req.get("image_features")
                     res = server.submit(
-                        req["question"],
-                        None if feats is None
-                        else np.asarray(feats, np.float32)).result(
+                        req["question"], arr("image_features"),
+                        arr("pixel_values"),
+                        question_id=req.get("question_id")).result(
                             timeout=req.get("timeout_s", 120))
                     return self._json(200, {
                         "answer": res.answer,

@@ -36,6 +36,9 @@ def test_parity_with_python(vocab_file, fast):
              "unbreakable,", "zap", "qq"]
     texts = [" ".join(rng.choice(words, size=rng.integers(1, 12)))
              for _ in range(50)]
+    # ASCII control edge cases the reference drops: DEL inside a word,
+    # NUL joining the surrounding word (no fallback fires — must match)
+    texts += ["dog\x7f", "ab\x00cd dog", "the\x7fquick"]
     ids, lens = fast.encode_batch(texts, maxlen=64)
     for i, t in enumerate(texts):
         want = py.encode(t)[:64]

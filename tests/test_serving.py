@@ -264,3 +264,52 @@ def test_http_server_search_and_vqa(tmp_path):
         finally:
             httpd.shutdown()
             server.stop()
+
+
+def test_http_server_vqa_blip2_pixels(tmp_path):
+    """BLIP-2 RAG configs serve /answer end-to-end: the server fabricates
+    (and accepts) raw pixel_values per request — previously generate()
+    KeyError'd on every request (review finding)."""
+    import json as jsonlib
+    import os
+    import urllib.request
+
+    from ravqa_tpu.config import load_config
+    from ravqa_tpu.main import build_pipeline, build_server
+    from ravqa_tpu.serving import make_http_server
+
+    cfg_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs")
+    cfg = load_config(os.path.join(cfg_dir, "synthetic_rag.json"))
+    cfg.model_config["generator"] = {
+        "type": "blip2", "num_query_tokens": 2,
+        "vision": {"image_size": 28, "patch_size": 14, "hidden_size": 32,
+                   "num_layers": 1, "num_heads": 2,
+                   "intermediate_size": 64},
+        "qformer": {"hidden_size": 32, "num_layers": 1, "num_heads": 2,
+                    "intermediate_size": 64, "encoder_hidden_size": 32},
+        "d_model": 32, "d_kv": 8, "d_ff": 64, "num_layers": 1,
+        "num_heads": 4,
+    }
+    dp = build_pipeline(cfg, cache_dir=str(tmp_path / "cache"))
+    data = dp.get_data(cfg.data_pipeline_output_node, explode=True)
+    server = build_server(cfg, data, None, str(tmp_path))
+    assert server.pixel_shape == (28, 28, 3)
+    httpd = make_http_server(server, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/answer",
+            data=jsonlib.dumps({
+                "question": "cat dog sky",
+                "pixel_values": np.zeros((28, 28, 3)).tolist(),
+                "question_id": "q7"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=180) as r:
+            out = jsonlib.loads(r.read())
+        assert isinstance(out["answer"], str)
+    finally:
+        httpd.shutdown()
+        server.stop()
