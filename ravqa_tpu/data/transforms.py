@@ -104,6 +104,30 @@ class LoadOscarCaptionFeatures(BaseTransform):
         return {"caption_features": captions}
 
 
+def _resize_host(im: np.ndarray, size: int) -> np.ndarray:
+    """Host-side bilinear resize to (size, size, 3), half-pixel centers.
+
+    ROI crops have essentially unique (h, w) shapes; an eager
+    jax.image.resize would compile one XLA program PER DISTINCT SHAPE
+    (thousands of compilations over a real dataset). Keep the per-crop
+    resize on host; the batched CLIP encode stays jitted."""
+    im = np.asarray(im, np.float32)
+    if im.ndim == 2:
+        im = np.repeat(im[:, :, None], 3, axis=2)
+    h, w = im.shape[:2]
+    ys = np.clip((np.arange(size) + 0.5) * h / size - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(size) + 0.5) * w / size - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    top = im[y0][:, x0] * (1 - wx) + im[y0][:, x1] * wx
+    bot = im[y1][:, x0] * (1 - wx) + im[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
 def _poly_area(xs, ys) -> float:
     """Shoelace area of a polygon (reference PolyArea,
     vqa_data_ops.py:182-183)."""
@@ -575,8 +599,13 @@ class ExtractImageFeaturesWithViT(BaseTransform):
         rec = roi_crops.get(key)
         if rec is None:
             return np.asarray(source(key))
-        img = np.asarray(source(str(rec.get("image_id",
-                                            rec.get("img_path")))))
+        # crop records always CONTAIN an "image_id" key (possibly None), so
+        # a dict.get default never fires — fall back to img_path explicitly
+        # (path-keyed items, e.g. WIT-style records)
+        img_key = rec.get("image_id")
+        if img_key is None:
+            img_key = rec.get("img_path")
+        img = np.asarray(source(str(img_key)))
         xmin, ymin, xmax, ymax = rec["crop"]
         h, w = img.shape[:2]
         y0, y1 = max(0, int(ymin)), min(h, max(int(ymin) + 1, int(ymax)))
@@ -637,9 +666,7 @@ class ExtractImageFeaturesWithViT(BaseTransform):
                 imgs = []
                 for i in chunk:
                     im = self._load(i, roi_crops, source)
-                    im = np.asarray(jax.image.resize(
-                        im.astype(np.float32), (size, size, 3), "bilinear"))
-                    imgs.append(im)
+                    imgs.append(_resize_host(im, size))
                 cls = np.asarray(encode(jnp.asarray(np.stack(imgs))))
                 for key, feat in zip(chunk, cls):
                     cache[key] = feat

@@ -55,24 +55,31 @@ class TrainState:
 
 
 def make_schedule(cfg: TrainConfig, lr: float):
+    # cfg.total_steps / warmup_steps count MICRO-batches (what fit()
+    # iterates), but with gradient accumulation the inner schedule only
+    # advances once per optimizer UPDATE (every k micro-steps under
+    # optax.MultiSteps) — rescale so warmup/decay land where configured
+    # instead of stretching by the accumulation factor
+    accum = max(cfg.accumulate_grad_batches, 1)
+    total = max(cfg.total_steps // accum, 1)
+    warmup = cfg.warmup_steps // accum
     if cfg.schedule == "constant":
-        if cfg.warmup_steps > 0:
-            return optax.linear_schedule(0.0, lr, cfg.warmup_steps)
+        if warmup > 0:
+            return optax.linear_schedule(0.0, lr, warmup)
         return lr
     if cfg.schedule == "linear":
         # warmup then LINEAR DECAY to 0 over total_steps (HF
         # get_linear_schedule_with_warmup semantics, which the reference's
         # configs request)
-        warm = max(cfg.warmup_steps, 0)
-        decay = optax.linear_schedule(
-            lr, 0.0, max(cfg.total_steps - warm, 1))
+        warm = max(warmup, 0)
+        decay = optax.linear_schedule(lr, 0.0, max(total - warm, 1))
         if warm > 0:
             return optax.join_schedules(
                 [optax.linear_schedule(0.0, lr, warm), decay], [warm])
         return decay
     if cfg.schedule == "cosine":
         return optax.warmup_cosine_decay_schedule(
-            0.0, lr, max(cfg.warmup_steps, 1), cfg.total_steps)
+            0.0, lr, max(warmup, 1), total)
     raise ValueError(cfg.schedule)
 
 
@@ -295,8 +302,10 @@ class BaseExecutor:
                 self.logger.log(last_metrics, int(self.state.step),
                                 prefix="train/")
             if val_fn is not None and val_every and (i + 1) % val_every == 0:
+                # val_fn owns its own metric logging (run_eval/run_rag_eval
+                # log under "valid/"); logging vm again here wrote every
+                # validation row twice at the same step
                 vm = val_fn()
-                self.logger.log(vm, int(self.state.step), prefix="valid/")
                 if ckpt_manager is not None:
                     ckpt_manager.on_validation(self, vm,
                                                int(self.state.step))

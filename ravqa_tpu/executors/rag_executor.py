@@ -216,7 +216,12 @@ class RagExecutor(BaseExecutor):
             rows = np.take_along_axis(rows, cols, axis=1)
         # gather on device: fetching the whole index to host per step would
         # move the entire KB over PCIe/tunnel every retrieve
-        dummy = rows < 0
+        # dummy = static-path -1 rows AND live-search rows that land on
+        # index PADDING (pid -1; possible when n_docs > num_docs) — the
+        # latter would otherwise serve passage_contents[-1], i.e. the LAST
+        # real passage, to the generator
+        pids_of = np.asarray(self.index.pids)[np.where(rows < 0, 0, rows)]
+        dummy = (rows < 0) | (pids_of < 0)
         rows_dev = jnp.asarray(np.where(dummy, 0, rows))
         doc_tokens = np.array(self.index.gather_tokens(rows_dev), np.float32)
         doc_masks = np.array(
@@ -224,8 +229,10 @@ class RagExecutor(BaseExecutor):
         # dummy docs: all-zero tokens/mask, empty content (score -> pad fill)
         doc_tokens[dummy] = 0.0
         doc_masks[dummy] = 0.0
-        contents = [[self.passage_contents[self.index.pids[r]] if r >= 0
-                     else "" for r in row] for row in rows]
+        contents = [[self.passage_contents[self.index.pids[r]]
+                     if not d else ""
+                     for r, d in zip(row, drow)]
+                    for row, drow in zip(rows, dummy)]
         return {"rows": rows, "doc_tokens": doc_tokens,
                 "doc_masks": doc_masks, "contents": contents}
 

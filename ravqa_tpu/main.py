@@ -173,8 +173,10 @@ def build_rag_executor(cfg: Config, data, mesh, log_dir: str, quiet=False):
                             jnp.ones((2, 8), jnp.int32),
                             jnp.ones((2, 3), jnp.int32))["params"]
     corpus = data["passages"]["full_passages"]
+    # mesh-aware build: the index must pad n_pad to the shard count or the
+    # RagExecutor's sharded search cannot split dim 0 over the mesh
     retr_exec = FLMRExecutor(retriever, rp, TrainConfig(lr=1e-4),
-                             quiet=True)
+                             mesh=mesh, quiet=True)
     index = retr_exec.build_index(
         corpus_doc_batches(corpus, data["doc_tokenizer"], batch_size=64))
     rag_keys = {f.name for f in __import__("dataclasses").fields(RagConfig)}
@@ -234,20 +236,31 @@ def _callbacks_from(cfg, log_dir: str):
     FLMR_base_preload_vision_features.jsonnet:206-232)."""
     from .executors.callbacks import CheckpointManager, EarlyStopping
     tc = cfg.get("train", Config())
+
+    def default_mode(monitor: str) -> str:
+        # Lightning defaults mode="min"; a "max" default on a loss monitor
+        # would keep the WORST checkpoints and early-stop on improvement.
+        # Recall/accuracy-style monitors (the reference's recall_at_5)
+        # default to "max".
+        up = ("recall", "precision", "accuracy", "success", "mrr", "bleu")
+        return "max" if any(t in monitor for t in up) else "min"
+
     ckpt_manager = None
     mp = tc.get("model_checkpoint_callback_paras")
     if mp:
+        monitor = mp.get("monitor", "loss")
         ckpt_manager = CheckpointManager(
             dirpath=mp.get("dirpath", os.path.join(log_dir, "ckpts")),
-            monitor=mp.get("monitor", "loss"),
-            mode=mp.get("mode", "max"),
+            monitor=monitor,
+            mode=mp.get("mode", default_mode(monitor)),
             save_top_k=mp.get("save_top_k", 1),
             save_last=mp.get("save_last", True))
     early = None
     ep = tc.get("early_stopping_callback_paras")
     if ep:
-        early = EarlyStopping(monitor=ep.get("monitor", "loss"),
-                              mode=ep.get("mode", "max"),
+        monitor = ep.get("monitor", "loss")
+        early = EarlyStopping(monitor=monitor,
+                              mode=ep.get("mode", default_mode(monitor)),
                               patience=ep.get("patience", 3),
                               min_delta=ep.get("min_delta", 0.0))
     return ckpt_manager, early
@@ -360,6 +373,12 @@ def run_eval(cfg, ex, data, log_dir: str, split: str = "valid"):
         pos_item_ids=[it.get("pos_item_ids", []) for it in ds.items],
         ks=ks,
         search_mode=search_mode,
+        # NOTE exact reference parity (metrics_processors.py:225): the flag
+        # DROPS position 0 before scoring. In the reference snapshot the
+        # null-document INSERTER lives outside the shipped code (RAVQA-v1
+        # static files carry a null doc at position 0); only set this flag
+        # when your retrieval results genuinely have one there — with live
+        # search results it would discard the top-1 real passage.
         add_null_document="add_null_document"
         in cfg.model_config.get("modules", []))
     metrics = {k: v for k, v in m.items() if not k.startswith("_")}

@@ -135,3 +135,26 @@ def test_optimizer_state_only_for_trainable():
                                   np.asarray(params["query_encoder"]["w"]))
     assert not np.allclose(np.asarray(p["mapping"]["w"]),
                            np.asarray(params["mapping"]["w"]))
+
+
+def test_schedule_counts_optimizer_updates_not_micro_steps():
+    """total_steps/warmup_steps are configured in micro-batches (what
+    fit() iterates), but under accumulation the schedule only advances
+    once per optimizer update — make_schedule must rescale or decay
+    stretches by the accumulation factor (LR would end at lr*(1-1/k))."""
+    from ravqa_tpu.executors.base import TrainConfig, make_schedule
+
+    cfg = TrainConfig(lr=1e-3, schedule="linear", total_steps=80,
+                      warmup_steps=8, accumulate_grad_batches=4)
+    sched = make_schedule(cfg, cfg.lr)
+    # 80 micro-steps / 4 = 20 updates; warmup 8/4 = 2 updates
+    assert abs(float(sched(2)) - 1e-3) < 1e-9     # warmup done at update 2
+    assert float(sched(20)) < 1e-9                # decayed to 0 at update 20
+    assert 0 < float(sched(10)) < 1e-3            # mid-decay
+
+    # no accumulation: unchanged semantics
+    cfg1 = TrainConfig(lr=1e-3, schedule="linear", total_steps=80,
+                       warmup_steps=8)
+    s1 = make_schedule(cfg1, cfg1.lr)
+    assert abs(float(s1(8)) - 1e-3) < 1e-9
+    assert float(s1(80)) < 1e-9
