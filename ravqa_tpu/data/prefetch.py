@@ -75,9 +75,8 @@ def prefetch(batches: Iterable, size: int = 2,
         stop.set()
 
 
-def prefetch_to_device(batches: Iterable, size: int = 2, mesh=None,
-                       sharded_keys: Optional[Iterable[str]] = None
-                       ) -> Iterator:
+def prefetch_to_device(batches: Iterable, size: int = 2,
+                       mesh=None) -> Iterator:
     """prefetch() + early device dispatch: each dict batch's arrays are
     device_put from the producer thread (sharded over `mesh`'s first axis
     when given — executors' shard_batch semantics) so transfers overlap

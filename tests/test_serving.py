@@ -108,14 +108,8 @@ def test_search_batch_wrapper(served):
 
 def test_dispatch_exception_delivered(served):
     server, *_ = served
-    bad = object()
-
-    class Boom:
-        def tensorize(self, texts):
-            raise ValueError("tokenizer boom")
-
-    # exceptions on the caller thread surface at submit();
-    # dispatcher-side failures surface through the future:
+    # dispatcher-side failures surface through the future (exceptions on
+    # the caller thread surface at submit() directly):
     orig = server.searcher
     try:
         class BadSearcher:
