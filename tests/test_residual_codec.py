@@ -35,7 +35,7 @@ def clustered():
     return toks, mask, q.astype(np.float32), q_cluster, doc_cluster
 
 
-@pytest.mark.parametrize("nbits", [2, 4])
+@pytest.mark.parametrize("nbits", [2, 4, 8])
 def test_pack_unpack_roundtrip(nbits):
     rng = np.random.default_rng(1)
     vals = rng.integers(0, 2 ** nbits, (5, 7, DIM)).astype(np.uint8)
@@ -204,6 +204,25 @@ def test_rag_executor_with_residual_index(clustered):
     valid = mask[np.asarray(rows)] > 0
     err = np.linalg.norm((g - toks[np.asarray(rows)])[valid], axis=-1)
     assert err.mean() < 0.35
+
+
+def test_nbits8_end_to_end():
+    """nbits=8 is the reference's published OK-VQA FLMR index setting
+    (FLMR_base_preload_vision_features.jsonnet:142) — per_byte=1 planar
+    packing must round-trip through search."""
+    rng = np.random.default_rng(5)
+    toks = rng.standard_normal((256, 12, DIM)).astype(np.float32)
+    toks /= np.linalg.norm(toks, axis=-1, keepdims=True)
+    mask = np.ones((256, 12), np.int8)
+    idx = build_index_from_embeddings(toks, mask, pad_multiple=64,
+                                      dtype=jnp.float32)
+    idx.build_summaries(n_summary=2)
+    idx.quantize_residual(n_centroids=64, nbits=8)
+    s = LateInteractionSearcher(idx, mode="two_stage", use_pallas=False,
+                                n_candidates=128)
+    q = jnp.asarray(toks[:6, :8])
+    _, rows = s.search_device(q, k=5)
+    assert float(np.mean(np.asarray(rows)[:, 0] == np.arange(6))) == 1.0
 
 
 def test_quantize_residual_tiny_corpus():
