@@ -85,7 +85,7 @@ def main():
 
     def exact_fn(qq, idx, m):
         if on_tpu:
-            return maxsim_search_pallas(qq, idx, m, tile_d=16)
+            return maxsim_search_pallas(qq, idx, m, tile_d=64)
         return maxsim_search_xla(qq, idx, m)
 
     # recall of hierarchical (the headline mode) vs exact
