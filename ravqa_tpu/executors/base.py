@@ -61,8 +61,11 @@ def make_schedule(cfg: TrainConfig, lr: float):
     # optax.MultiSteps) — rescale so warmup/decay land where configured
     # instead of stretching by the accumulation factor
     accum = max(cfg.accumulate_grad_batches, 1)
-    total = max(cfg.total_steps // accum, 1)
-    warmup = cfg.warmup_steps // accum
+    # ceil so a total not divisible by accum doesn't truncate the decay
+    # horizon; a nonzero warmup shorter than one accumulation window still
+    # warms up for one update instead of being floored away
+    total = max(-(-cfg.total_steps // accum), 1)
+    warmup = max(cfg.warmup_steps // accum, 1) if cfg.warmup_steps > 0 else 0
     if cfg.schedule == "constant":
         if warmup > 0:
             return optax.linear_schedule(0.0, lr, warmup)
@@ -236,23 +239,29 @@ class BaseExecutor:
         rng = jax.random.PRNGKey(seed)
         self.state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                                 opt_state=self.tx.init(params), rng=rng)
+        self._state_shardings = None
         if mesh is not None:
+            rep = NamedSharding(mesh, P())
             if param_sharding == "fsdp":
                 from ..parallel import fsdp_sharding
                 pspec = fsdp_sharding(self.state.params, mesh,
                                       axis="data", min_size=fsdp_min_size)
-                rep = NamedSharding(mesh, P())
-                self.state = TrainState(
-                    step=jax.device_put(self.state.step, rep),
-                    params=jax.tree.map(jax.device_put, self.state.params,
-                                        pspec),
-                    # optimizer moments shard like their params where the
-                    # tree structures line up; otherwise replicate
-                    opt_state=jax.device_put(self.state.opt_state, rep),
-                    rng=jax.device_put(self.state.rng, rep))
+                # optimizer moments/accumulators get the SAME shape-only
+                # sharding rule as params: an f32 Adam moment shards the
+                # same dim its parameter does (ZeRO-3 — replicating them
+                # would forfeit most of FSDP's memory win since moments
+                # are 2x params at f32), while scalar schedule counts and
+                # MultiSteps step counters fall under min_size and stay
+                # replicated
+                ospec = fsdp_sharding(self.state.opt_state, mesh,
+                                      axis="data", min_size=fsdp_min_size)
+                self._state_shardings = TrainState(
+                    step=rep, params=pspec, opt_state=ospec, rng=rep)
             else:
-                rep = NamedSharding(mesh, P())
-                self.state = jax.device_put(self.state, rep)
+                self._state_shardings = jax.tree.map(lambda _: rep,
+                                                     self.state)
+            self.state = jax.tree.map(jax.device_put, self.state,
+                                      self._state_shardings)
         self._train_step = self._build_train_step()
 
     # -- to be overridden ---------------------------------------------------
@@ -293,6 +302,23 @@ class BaseExecutor:
         executors.callbacks (Lightning ModelCheckpoint/EarlyStopping
         parity)."""
         last_metrics: dict = {}
+        try:
+            last_metrics = self._fit_loop(batches, steps, log_every,
+                                          val_every, val_fn, ckpt_manager,
+                                          early_stopping)
+        finally:
+            # a prefetch iterator abandoned mid-stream (fit ending at
+            # `steps`, early stop, or an exception) would otherwise leave
+            # its daemon producer parked holding `size` device-resident
+            # batches until GC; generator .close() runs its finally block,
+            # which sets the producer's stop event deterministically
+            if hasattr(batches, "close"):
+                batches.close()
+        return last_metrics
+
+    def _fit_loop(self, batches, steps, log_every, val_every, val_fn,
+                  ckpt_manager, early_stopping) -> dict:
+        last_metrics: dict = {}
         for i, batch in enumerate(batches):
             if steps is not None and i >= steps:
                 break
@@ -316,6 +342,13 @@ class BaseExecutor:
         return last_metrics
 
     # -- checkpointing (replaces Lightning .ckpt + HF save, SURVEY §5) ------
+    # A checkpoint carries the FULL training state — params, step, rng, AND
+    # opt_state (Adam moments, MultiSteps accumulation counter, LR-schedule
+    # counts) — matching Lightning-.ckpt semantics: a job resumed mid-run
+    # continues bit-identically, with warmup/decay at the right schedule
+    # position (the reference even hacks scheduler resume by hand,
+    # src/executors/FLMR_executor.py:332; here the counts live inside
+    # opt_state so they ride along for free).
     def save_checkpoint(self, path: str, backend: str = "msgpack"):
         """backend 'msgpack' (portable single file) or 'orbax' (sharded,
         TPU-production standard; preserves device shardings)."""
@@ -324,6 +357,8 @@ class BaseExecutor:
             ckptr = ocp.StandardCheckpointer()
             ckptr.save(os.path.abspath(os.path.join(path, "orbax")),
                        {"params": self.state.params,
+                        "opt_state": self.state.opt_state,
+                        "rng": self.state.rng,
                         "step": jax.device_get(self.state.step)},
                        force=True)
             ckptr.wait_until_finished()
@@ -332,24 +367,45 @@ class BaseExecutor:
         with open(os.path.join(path, "params.msgpack"), "wb") as f:
             f.write(flax.serialization.to_bytes(
                 jax.device_get(self.state.params)))
+        with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
+            f.write(flax.serialization.to_bytes(
+                jax.device_get(self.state.opt_state)))
+        with open(os.path.join(path, "rng.msgpack"), "wb") as f:
+            f.write(flax.serialization.to_bytes(
+                jax.device_get(self.state.rng)))
         with open(os.path.join(path, "step.json"), "w") as f:
             json.dump({"step": int(self.state.step)}, f)
+
+    def _place_state(self, state: TrainState) -> TrainState:
+        if self._state_shardings is None:
+            return state
+        return jax.tree.map(jax.device_put, state, self._state_shardings)
 
     def load_checkpoint_orbax(self, path: str):
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
         target = {"params": jax.device_get(self.state.params),
+                  "opt_state": jax.device_get(self.state.opt_state),
+                  "rng": jax.device_get(self.state.rng),
                   "step": jax.device_get(self.state.step)}
-        restored = ckptr.restore(
-            os.path.abspath(os.path.join(path, "orbax")), target)
-        self.state = TrainState(
+        try:
+            restored = ckptr.restore(
+                os.path.abspath(os.path.join(path, "orbax")), target)
+        except Exception:
+            # pre-round-3 checkpoint: params+step only — fall back to a
+            # fresh opt_state (resume resets moments/schedule; logged)
+            restored = ckptr.restore(
+                os.path.abspath(os.path.join(path, "orbax")),
+                {"params": target["params"], "step": target["step"]})
+            restored["opt_state"] = self.tx.init(restored["params"])
+            restored["rng"] = self.state.rng
+            self.logger.log({"ckpt_opt_state_missing": 1},
+                            int(restored["step"]))
+        self.state = self._place_state(TrainState(
             step=jnp.asarray(restored["step"], jnp.int32),
             params=restored["params"],
-            opt_state=self.tx.init(restored["params"]),
-            rng=self.state.rng)
-        if self.mesh is not None:
-            self.state = jax.device_put(
-                self.state, NamedSharding(self.mesh, P()))
+            opt_state=restored["opt_state"],
+            rng=jnp.asarray(restored["rng"])))
 
     def load_checkpoint(self, path: str):
         with open(os.path.join(path, "params.msgpack"), "rb") as f:
@@ -357,13 +413,23 @@ class BaseExecutor:
                 jax.device_get(self.state.params), f.read())
         with open(os.path.join(path, "step.json")) as f:
             step = json.load(f)["step"]
-        self.state = TrainState(step=jnp.asarray(step, jnp.int32),
-                                params=params,
-                                opt_state=self.tx.init(params),
-                                rng=self.state.rng)
-        if self.mesh is not None:
-            self.state = jax.device_put(
-                self.state, NamedSharding(self.mesh, P()))
+        opt_path = os.path.join(path, "opt_state.msgpack")
+        if os.path.exists(opt_path):
+            with open(opt_path, "rb") as f:
+                opt_state = flax.serialization.from_bytes(
+                    jax.device_get(self.state.opt_state), f.read())
+        else:  # pre-round-3 checkpoint without opt_state
+            opt_state = self.tx.init(params)
+            self.logger.log({"ckpt_opt_state_missing": 1}, step)
+        rng_path = os.path.join(path, "rng.msgpack")
+        rng = self.state.rng
+        if os.path.exists(rng_path):
+            with open(rng_path, "rb") as f:
+                rng = jnp.asarray(flax.serialization.from_bytes(
+                    jax.device_get(self.state.rng), f.read()))
+        self.state = self._place_state(TrainState(
+            step=jnp.asarray(step, jnp.int32), params=params,
+            opt_state=opt_state, rng=rng))
 
 
 def save_params(params, path: str):

@@ -152,6 +152,11 @@ def _compress_block(tokens, mask, centroids, cutoffs, weights, *,
     per_byte = 8 // nbits
     codes = codes * mask.reshape(-1).astype(codes.dtype)
     packed = packed * mask.reshape(-1, 1).astype(jnp.uint8)
+    # zero the scales of masked tokens too: their codes/bytes are zeroed
+    # above, so an unmasked scale would multiply a garbage reconstruction
+    # for any consumer that (unlike search, which applies doc_masks)
+    # treats mask-0 rows as zero tokens
+    scales = scales * mask.reshape(-1).astype(scales.dtype)
     return (codes.reshape(n, ld).astype(jnp.int32),
             packed.reshape(n, ld, dim // per_byte),
             scales.reshape(n, ld))

@@ -38,7 +38,8 @@ class TokenIndex:
     mask: jax.Array            # (N_pad, Ld) int8/float
     pids: np.ndarray           # (N_pad,) int64 global passage ids; -1 = pad
     num_docs: int              # real (unpadded) doc count
-    scales: Optional[jax.Array] = None   # (N_pad, Ld) f32 if int8-quantized
+    scales: Optional[jax.Array] = None   # (N_pad, Ld): f32 dequant scales
+    #   (int8 index) or bf16 reconstruction-norm scales (residual index)
     summaries: Optional[jax.Array] = None  # (N_pad, S, dim) coarse stage
     block_summaries: Optional[jax.Array] = None  # (N_pad/bs, Sb, dim)
     block_size: int = 64
@@ -117,8 +118,9 @@ class TokenIndex:
             # int32 codes, residual_embeddings.py:23-24); searches upcast
             codes = codes.astype(jnp.int16)
         # reconstruction-norm scales (reference normalizes decompressed
-        # tokens before scoring, residual.py:273-276); bf16 is plenty
-        scales = scales.astype(jnp.bfloat16).astype(jnp.float32)
+        # tokens before scoring, residual.py:273-276); stored AND kept
+        # bf16 — 2 B/token, upcast by dtype promotion at the multiply
+        scales = scales.astype(jnp.bfloat16)
         if mesh is not None:
             sh = NamedSharding(mesh, P(axis))
             codes = jax.device_put(codes, sh)
@@ -286,11 +288,23 @@ def encode_corpus(
 
 def save_index(index: TokenIndex, path: str) -> None:
     os.makedirs(path, exist_ok=True)
+    # scales keep their native dtype on disk: residual indexes store
+    # reconstruction-norm scales as bf16 (2 B/token — half the footprint
+    # the old f32 write cost), int8 indexes store f32 dequant scales.
+    # npz has no bf16 dtype, so bf16 goes down as a uint16 bit-view with
+    # the real dtype recorded in metadata.
+    if index.scales is None:
+        scales_np, scales_dtype = np.zeros((0,)), "float32"
+    elif index.scales.dtype == jnp.bfloat16:
+        scales_np = np.asarray(index.scales).view(np.uint16)
+        scales_dtype = "bfloat16"
+    else:
+        scales_np, scales_dtype = np.asarray(index.scales,
+                                             np.float32), "float32"
     arrays = dict(
         mask=np.asarray(index.mask, np.int8),
         pids=index.pids,
-        scales=(np.asarray(index.scales, np.float32)
-                if index.scales is not None else np.zeros((0,))),
+        scales=scales_np,
     )
     if index.tokens is not None:
         arrays["tokens"] = np.asarray(
@@ -315,6 +329,7 @@ def save_index(index: TokenIndex, path: str) -> None:
             extra["residual_layout"] = "planar"
         json.dump({"num_docs": index.num_docs,
                    "quantized": index.scales is not None,
+                   "scales_dtype": scales_dtype,
                    "nbits": index.nbits,
                    **extra,
                    **index.meta}, f)
@@ -328,7 +343,17 @@ def load_index(path: str, dtype=jnp.bfloat16, mesh: Optional[Mesh] = None,
     quantized = meta.pop("quantized", False)
     nbits = meta.pop("nbits", 0)
     mask = jnp.asarray(z["mask"])
-    scales = jnp.asarray(z["scales"], jnp.float32) if quantized else None
+    scales_dtype = meta.pop("scales_dtype", "float32")
+    if not quantized:
+        scales = None
+    elif scales_dtype == "bfloat16":
+        import ml_dtypes
+        raw = z["scales"]
+        if raw.dtype != np.uint16:   # npz collapses bf16 to a void view
+            raw = raw.view(np.uint16)
+        scales = jnp.asarray(raw.view(ml_dtypes.bfloat16))
+    else:
+        scales = jnp.asarray(z["scales"], jnp.float32)
     sh = NamedSharding(mesh, P(axis)) if mesh is not None else None
     if "codes" in z.files:                  # residual-codec index
         layout = meta.pop("residual_layout", "interleaved")

@@ -12,10 +12,15 @@ Two servers share the dispatcher:
   selected by joint doc/generation score (RagExecutor.generate).
 
 Design (TPU-first):
-- **Static shapes**: requests are padded to `max_batch` so the jitted
-  executables never recompile. Padding rows reuse request 0's tokens
-  (their results are discarded) — cheaper than a separate mask path
-  through the kernels.
+- **Static shapes, bucketed**: each dispatch pads to the smallest
+  compiled batch bucket covering it (powers of two up to `max_batch` by
+  default), so a lone low-load request runs a batch-1 executable instead
+  of a 32-wide one, while the executables never recompile after their
+  first hit. Padding rows reuse request 0's tokens (their results are
+  discarded) — cheaper than a separate mask path through the kernels.
+- **Load shedding**: with `max_queue` set, a full queue rejects at
+  admission (`ServerOverloaded`, HTTP 503) — bounded worst-case latency
+  under overload instead of an unbounded backlog.
 - **Batching window**: the dispatcher thread collects up to `max_batch`
   requests or waits at most `max_wait_ms` (classic dynamic batching —
   bounded added latency, amortized MXU occupancy). Under full load the
@@ -42,9 +47,37 @@ import numpy as np
 
 @dataclasses.dataclass
 class ServeConfig:
-    max_batch: int = 32        # compiled batch shape (pad target)
+    max_batch: int = 32        # largest compiled batch shape (pad target)
     max_wait_ms: float = 2.0   # batching window at low load
     k: int = 10                # top-k passages per query (retrieval)
+    max_queue: int = 0         # bounded request queue; 0 = unbounded.
+    #   When full, submit() raises ServerOverloaded immediately (load
+    #   shedding at admission — callers/LBs retry elsewhere) instead of
+    #   letting latency grow without bound.
+    batch_buckets: Optional[tuple] = None
+    #   Compiled batch-shape buckets: each dispatch pads to the SMALLEST
+    #   bucket >= its size instead of always max_batch (a lone request at
+    #   low load runs the bucket-1 executable, not a 32-wide one). None ->
+    #   powers of two up to max_batch (1,2,4,...,max_batch). One
+    #   executable compiles per bucket actually hit (first hit pays the
+    #   compile); pass (max_batch,) to keep the single-shape behavior.
+
+    def buckets(self) -> tuple:
+        if self.batch_buckets:
+            bs = tuple(sorted(set(int(b) for b in self.batch_buckets)))
+            assert bs[-1] >= self.max_batch, \
+                "largest bucket must cover max_batch"
+            return bs
+        out, b = [], 1
+        while b < self.max_batch:
+            out.append(b)
+            b *= 2
+        out.append(self.max_batch)
+        return tuple(out)
+
+
+class ServerOverloaded(RuntimeError):
+    """Raised by submit() when the bounded request queue is full."""
 
 
 @dataclasses.dataclass
@@ -65,17 +98,32 @@ class _MicroBatchServer:
     """Bounded-window micro-batching dispatcher; subclasses implement
     `_dispatch(batch)` where batch is a list of (payload..., future)."""
 
-    def __init__(self, config: ServeConfig):
-        self.cfg = config
-        self._q: queue.Queue = queue.Queue()
+    def __init__(self, config: Optional[ServeConfig] = None):
+        self.cfg = config if config is not None else ServeConfig()
+        self._q: queue.Queue = queue.Queue(maxsize=self.cfg.max_queue)
+        self._buckets = self.cfg.buckets()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def _enqueue(self, item) -> Future:
         fut: Future = Future()
-        self._q.put(item + (fut,))
+        try:
+            self._q.put_nowait(item + (fut,))
+        except queue.Full:
+            # shed at admission: the caller learns IMMEDIATELY that the
+            # server is saturated (LBs retry elsewhere) instead of queueing
+            # into unbounded latency
+            raise ServerOverloaded(
+                f"request queue full ({self.cfg.max_queue})")
         return fut
+
+    def _bucket(self, n: int) -> int:
+        """Smallest compiled batch bucket covering n requests."""
+        for b in self._buckets:
+            if b >= n:
+                return b
+        return self._buckets[-1]
 
     def stop(self):
         self._stop.set()
@@ -141,7 +189,7 @@ class RetrievalServer(_MicroBatchServer):
                  image_feature_dim: int = 0,
                  id2content: Optional[dict] = None,
                  pixel_shape: Optional[tuple] = None,
-                 config: ServeConfig = ServeConfig()):
+                 config: Optional[ServeConfig] = None):
         """id2content: optional {passage_id: text} map (pids may be strings
         like the GoogleSearch 'GS_...' ids) — results carry contents when
         given. pixel_shape: (H, W, 3) for in-graph-vision retrievers (raw
@@ -183,7 +231,7 @@ class RetrievalServer(_MicroBatchServer):
     # -- dispatcher ---------------------------------------------------------
     def _dispatch(self, batch):
         n = len(batch)
-        pad = self.cfg.max_batch - n
+        pad = self._bucket(n) - n
         ids = np.stack([b[0] for b in batch] + [batch[0][0]] * pad)
         mask = np.stack([b[1] for b in batch] + [batch[0][1]] * pad)
         enc = {"query_input_ids": ids, "query_attention_mask": mask}
@@ -237,14 +285,15 @@ class VQAServer(_MicroBatchServer):
     def __init__(self, rag_executor, query_tokenizer,
                  image_feature_dim: int = 0,
                  pixel_shape: Optional[tuple] = None,
-                 config: ServeConfig = ServeConfig(max_batch=8)):
+                 config: Optional[ServeConfig] = None):
         """pixel_shape: (H, W, 3) when the generator is BLIP-2 (raw image
         pixels ride with each request); None for text-only generators."""
         self.ex = rag_executor
         self.qt = query_tokenizer
         self.image_feature_dim = image_feature_dim
         self.pixel_shape = pixel_shape
-        super().__init__(config)
+        super().__init__(config if config is not None
+                         else ServeConfig(max_batch=8))
 
     def submit(self, question: str,
                image_features: Optional[np.ndarray] = None,
@@ -276,7 +325,7 @@ class VQAServer(_MicroBatchServer):
 
     def _dispatch(self, batch):
         n = len(batch)
-        pad = self.cfg.max_batch - n
+        pad = self._bucket(n) - n
         rows = batch + [batch[0]] * pad
         gen_batch = {
             "questions": [r[0] for r in rows],
@@ -376,6 +425,8 @@ def make_http_server(server, host: str = "0.0.0.0", port: int = 8080):
                 return self._json(404, {"error": "not found"})
             except KeyError as e:
                 return self._json(400, {"error": f"missing field {e}"})
+            except ServerOverloaded as e:              # shed -> retry later
+                return self._json(503, {"error": str(e)})
             except Exception as e:                     # surface, don't die
                 return self._json(500, {"error": str(e)})
 

@@ -3,6 +3,7 @@ results equal direct search, concurrency-safe, padding rows invisible,
 exceptions delivered not swallowed."""
 
 import threading
+import time
 
 import numpy as np
 import jax
@@ -307,3 +308,84 @@ def test_http_server_vqa_blip2_pixels(tmp_path):
     finally:
         httpd.shutdown()
         server.stop()
+
+
+# ---------------------------------------------------------------------------
+# Robustness under load: bucketed batch shapes, bounded-queue shedding
+# ---------------------------------------------------------------------------
+
+def test_batch_buckets():
+    cfg = ServeConfig(max_batch=8)
+    assert cfg.buckets() == (1, 2, 4, 8)
+    assert ServeConfig(max_batch=8, batch_buckets=(8,)).buckets() == (8,)
+    assert ServeConfig(max_batch=6).buckets() == (1, 2, 4, 6)
+
+
+def test_dispatch_pads_to_bucket(served):
+    """Mixed-size bursts each pad to the smallest covering bucket, and
+    every request still gets the direct-search answer."""
+    server, ex, searcher, qt, passages, vdim = served
+    seen = []
+    orig = server.__class__._dispatch
+
+    def spy(self, batch):
+        seen.append((len(batch), self._bucket(len(batch))))
+        return orig(self, batch)
+
+    server._dispatch = spy.__get__(server)
+    try:
+        # lone request -> bucket 1
+        r = server.submit(passages[3]).result(timeout=30)
+        assert len(r.pids) == 3
+        # burst of 3 -> one or more dispatches, each padded to its bucket
+        futs = [server.submit(passages[i]) for i in range(3)]
+        rs = [f.result(timeout=30) for f in futs]
+    finally:
+        del server._dispatch
+    assert seen[0] == (1, 1)
+    for n, b in seen:
+        assert b >= n and b in (1, 2, 4, 8)
+    ids, mask = qt.tensorize(passages[:3])
+    q = ex.encode_queries([{"query_input_ids": ids,
+                            "query_attention_mask": mask,
+                            "image_features":
+                                np.zeros((3, vdim), np.float32)}])
+    _, pids = searcher.search(q, k=3)
+    for i, r in enumerate(rs):
+        np.testing.assert_array_equal(r.pids, pids[i])
+
+
+def test_bounded_queue_sheds_on_overload():
+    """With max_queue set, a saturated server rejects at submit() with
+    ServerOverloaded instead of queueing unboundedly — and recovers once
+    the backlog drains."""
+    from ravqa_tpu.serving import ServerOverloaded, _MicroBatchServer
+
+    release = threading.Event()
+
+    class SlowServer(_MicroBatchServer):
+        def submit(self, x):
+            return self._enqueue((x,))
+
+        def _dispatch(self, batch):
+            release.wait(timeout=30)
+            for x, fut in batch:
+                fut.set_result(x)
+
+    srv = SlowServer(ServeConfig(max_batch=1, max_wait_ms=0.0, max_queue=2))
+    try:
+        futs = [srv.submit(0)]          # picked up by the dispatcher, blocks
+        time.sleep(0.2)
+        futs += [srv.submit(1), srv.submit(2)]   # fill the queue
+        with pytest.raises(ServerOverloaded):
+            for i in range(3, 50):      # queue=2 -> must shed quickly
+                futs.append(srv.submit(i))
+        release.set()
+        got = sorted(f.result(timeout=30) for f in futs)
+        assert got == list(range(len(futs)))     # nothing admitted was lost
+        # after draining, new submits are accepted again
+        assert srv.submit(99).result(timeout=30) == 99
+    finally:
+        release.set()
+        srv.stop()
+
