@@ -413,3 +413,77 @@ class TestResidualCodecParity:
             got_rows = np.asarray(rows)[b]
             np.testing.assert_array_equal(np.sort(got_rows),
                                           np.sort(expect))
+
+
+class TestTokenizerParityCJK:
+    """ENCN proof (the PreFLMR ViT-L_ENCN path, BASELINE.md CN rows):
+    byte-parity of Query/Doc tensorization on a CJK-HEAVY vocab with
+    Chinese fixtures — CJK char isolation, mixed-script text, unknown
+    CJK -> [UNK], and full-width punctuation — against the reference
+    tokenizers. The native wordpiece CJK fast path and the Python
+    fallback are additionally held equal to each other."""
+
+    CJK = list("猫是狗天空太阳树鱼"
+               "鸟车红蓝大老热湿什"
+               "么颜色中的图片问题")
+    WORDS = CJK + ["##" + c for c in CJK[:8]] \
+        + ["what", "is", "the", "color", "of", "in", "image",
+           ",", "?", ".", "？", "，", "。"] \
+        + list("abcdefghijklmnopqrstuvwxyz") \
+        + ["##" + c for c in "abcdefghijklmnopqrstuvwxyz"]
+
+    TEXTS = [
+        "猫是什么颜色？",      # pure CJK + fw ?
+        "what color is the 狗 in the image?",          # mixed script
+        "图片中的龙",                  # 龙 -> [UNK]
+        "天空，太阳。",            # fw punctuation
+        "猫是狗" * 40,                         # truncation, no
+        #   whitespace anywhere (the CJK isolation path must split it)
+        "abc猫def是",                              # CJK inside a
+        #   Latin word: isolation must cut the word at the char boundary
+    ]
+
+    @pytest.fixture(scope="class")
+    def vocab_dir(self, ref, tmp_path_factory):
+        return make_standard_layout_vocab(
+            tmp_path_factory.mktemp("refparity_cjk"), self.WORDS)
+
+    @pytest.fixture(scope="class")
+    def ref_tokenizers(self, ref, vocab_dir):
+        from colbert.infra.config.config import ColBERTConfig
+        from colbert.modeling.tokenization import (DocTokenizer,
+                                                   QueryTokenizer)
+        d, _ = vocab_dir
+        return ColBERTConfig, QueryTokenizer, DocTokenizer, d
+
+    @pytest.mark.parametrize("qmax", [32, 12])
+    def test_cjk_query_byte_equality(self, ref_tokenizers, vocab_dir, qmax):
+        from ravqa_tpu.tokenization import QueryTokenizer, WordPieceTokenizer
+        ColBERTConfig, RefQT, _, ckpt = ref_tokenizers
+        _, vf = vocab_dir
+        ref_qt = RefQT(ColBERTConfig(checkpoint=ckpt, query_maxlen=qmax))
+        want_ids, want_mask = ref_qt.tensorize(list(self.TEXTS))
+        for use_native in (True, False):
+            our_qt = QueryTokenizer(
+                WordPieceTokenizer(vf, use_native=use_native),
+                query_maxlen=qmax)
+            got_ids, got_mask = our_qt.tensorize(list(self.TEXTS))
+            np.testing.assert_array_equal(got_ids, want_ids.numpy(),
+                                          err_msg=f"native={use_native}")
+            np.testing.assert_array_equal(got_mask, want_mask.numpy())
+
+    @pytest.mark.parametrize("dmax", [48, 16])
+    def test_cjk_doc_byte_equality(self, ref_tokenizers, vocab_dir, dmax):
+        from ravqa_tpu.tokenization import DocTokenizer, WordPieceTokenizer
+        ColBERTConfig, _, RefDT, ckpt = ref_tokenizers
+        _, vf = vocab_dir
+        ref_dt = RefDT(ColBERTConfig(checkpoint=ckpt, doc_maxlen=dmax))
+        want_ids, want_mask = ref_dt.tensorize(list(self.TEXTS))
+        for use_native in (True, False):
+            our_dt = DocTokenizer(
+                WordPieceTokenizer(vf, use_native=use_native),
+                doc_maxlen=dmax)
+            got_ids, got_mask = our_dt.tensorize(list(self.TEXTS))
+            np.testing.assert_array_equal(got_ids, want_ids.numpy(),
+                                          err_msg=f"native={use_native}")
+            np.testing.assert_array_equal(got_mask, want_mask.numpy())
