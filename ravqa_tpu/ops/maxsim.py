@@ -232,82 +232,3 @@ def flipr_reduce(scores: jax.Array, d_mask: jax.Array,
         top2, _ = jax.lax.top_k(rest, k2)
         out = out + jnp.sum(top2, axis=-1)
     return out
-
-
-# ---------------------------------------------------------------------------
-# Pallas gather+MaxSim kernel: exact re-scoring of per-query candidate sets
-# ---------------------------------------------------------------------------
-
-def _maxsim_gather_kernel(cand_ref, q_ref, d_ref, m_ref, out_ref, *,
-                          ld: int, lq: int):
-    """Grid (B, C). Per step: one query block vs one candidate doc.
-
-    cand_ref: (B, C) int32 scalar-prefetch — candidate row ids; drives the
-      d_ref/m_ref index_maps (DMA of the right doc block per step).
-    q_ref: (1, Lq, dim) VMEM — this query's tokens (block over B).
-    d_ref: (1, Ld, dim) VMEM — the candidate doc's tokens.
-    m_ref: (1, Ld, 1) VMEM — its validity mask (trailing singleton for TPU
-      block-tiling: last dim equals the full array dim).
-    out_ref: (B, C) VMEM — the ENTIRE output, resident across the grid
-      (a (1, C) block would violate the sublane-divisibility rule).
-    """
-    from jax.experimental import pallas as pl
-    i = pl.program_id(0)
-    c = pl.program_id(1)
-    s = jax.lax.dot_general(
-        d_ref[0], q_ref[0],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                   # (Ld, Lq)
-    s = jnp.where(m_ref[0] > 0, s, NEG_INF)
-    score = jnp.sum(jnp.max(s, axis=0))
-    out_ref[i, pl.ds(c, 1)] = score[None]
-
-
-def maxsim_gather_pallas(q: jax.Array, tokens: jax.Array, mask: jax.Array,
-                         cand: jax.Array) -> jax.Array:
-    """Exact MaxSim of each query against ITS OWN candidate doc set.
-
-    q: (B, Lq, dim); tokens: (N, Ld, dim) HBM-resident; mask: (N, Ld);
-    cand: (B, C) int32 candidate rows. Returns (B, C) f32 scores.
-
-    The candidate ids are scalar-prefetched so Mosaic's pipeline DMAs each
-    candidate's tokens HBM->VMEM ahead of compute — the TPU equivalent of
-    the reference's segmented_lookup + segmented_maxsim C++ path.
-
-    EXPERIMENTAL: verified in interpret mode; current Mosaic cannot lower
-    the per-lane dynamic store (`out[i, ds(c, 1)]`) in compiled mode — use
-    the vectorized fine stage in retrieval.coarse.two_stage_search (default)
-    on real hardware.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b, lq, dim = q.shape
-    n, ld, dim2 = tokens.shape
-    c = cand.shape[1]
-    mask3d = mask.astype(jnp.float32).reshape(n, ld, 1)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, c),
-        in_specs=[
-            pl.BlockSpec((1, lq, dim), lambda i, j, cand_ref: (i, 0, 0)),
-            pl.BlockSpec((1, ld, dim),
-                         lambda i, j, cand_ref: (cand_ref[i, j], 0, 0)),
-            pl.BlockSpec((1, ld, 1),
-                         lambda i, j, cand_ref: (cand_ref[i, j], 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((b, c), lambda i, j, cand_ref: (0, 0)),
-    )
-    kernel = functools.partial(_maxsim_gather_kernel, ld=ld, lq=lq)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, c), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * c * ld * lq * dim,
-            bytes_accessed=b * c * ld * dim * tokens.dtype.itemsize,
-            transcendentals=0,
-        ),
-    )(cand.astype(jnp.int32), q, tokens, mask3d)

@@ -209,6 +209,53 @@ def decompress(codes: jax.Array, packed: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Packed per-doc records: the residual index's storage/gather format
+# ---------------------------------------------------------------------------
+#
+# Measured on v5e (scripts/exp_residual_stage2.py): gathering codes /
+# scales / residual bytes as SEPARATE arrays costs ~1.5 ms/batch in small-
+# row XLA gathers and forces the fine stage into a per-query lax.map
+# (3.1/7.4 ms at C=256/1024). Packing each doc's [codes int16 | scales
+# bf16 | residual bytes] into ONE contiguous uint8 record row makes the
+# candidate gather a single wide-row take and unlocks the fully-batched
+# decompress+einsum fine stage: 1.6/2.8 ms — 1.9x/2.7x. Same bytes, one
+# layout. (The reference's analogue is its strided chunk storage,
+# residual_embeddings_strided.py.)
+
+def record_bytes(ld: int, dim: int, nbits: int) -> int:
+    return ld * 2 + ld * 2 + ld * (dim * nbits // 8)
+
+
+@jax.jit
+def pack_records(codes: jax.Array, scales: jax.Array,
+                 packed: jax.Array) -> jax.Array:
+    """codes (N, Ld) int (< 65536 centroids) + scales (N, Ld) bf16 +
+    packed (N, Ld, P) uint8 -> (N, Ld*(4+P)) uint8 records."""
+    n, ld = codes.shape
+    cb = jax.lax.bitcast_convert_type(
+        codes.astype(jnp.uint16), jnp.uint8).reshape(n, ld * 2)
+    sb = jax.lax.bitcast_convert_type(
+        scales.astype(jnp.bfloat16), jnp.uint8).reshape(n, ld * 2)
+    rb = packed.reshape(n, -1)
+    return jnp.concatenate([cb, sb, rb], axis=1)
+
+
+def split_records(rg: jax.Array, ld: int):
+    """Inverse of pack_records on (possibly gathered) records
+    (..., RB) uint8 -> (codes (..., Ld) int32, scales (..., Ld) f32,
+    packed (..., Ld, P) uint8)."""
+    lead = rg.shape[:-1]
+    codes = jax.lax.bitcast_convert_type(
+        rg[..., :ld * 2].reshape(lead + (ld, 2)), jnp.uint16) \
+        .astype(jnp.int32)
+    scales = jax.lax.bitcast_convert_type(
+        rg[..., ld * 2:ld * 4].reshape(lead + (ld, 2)), jnp.bfloat16) \
+        .astype(jnp.float32)
+    packed = rg[..., ld * 4:].reshape(lead + (ld, -1))
+    return codes, scales, packed
+
+
+# ---------------------------------------------------------------------------
 # Fused decompress + MaxSim Pallas kernel (the serving fine stage)
 # ---------------------------------------------------------------------------
 #

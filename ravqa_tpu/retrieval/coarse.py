@@ -78,64 +78,78 @@ def coarse_scores(q: jax.Array, summaries: jax.Array,
     return jnp.sum(per_q, axis=-1).T                # (B, N)
 
 
+# Fully-batched residual fine stage gate. ISOLATED (candidates supplied
+# externally) the batched decompress+einsum wins big on v5e — 1.5/2.6 ms
+# vs per-query 4.9/7.2 ms at C=256/1024 on a 1M index — but INTEGRATED
+# inside hierarchical_search it consistently REGRESSES the whole program
+# (15.1 vs 11.0 ms at B128/C1024; 4.8 vs 4.4 at B64/C256, 1M docs):
+# XLA's schedule/layout for stages 0-1 degrades around the big batched
+# intermediate. Default is therefore the per-query path (0); set
+# RAVQA_FINE_BATCH_BUDGET (bytes allowed for the (B,C,Ld,Lq) f32 score
+# intermediate) to enable batching when profiling shows it wins for a
+# given deployment. Numbers: scripts/exp_residual_stage2.py rounds 3-7.
+import os as _os
+_FINE_BATCH_BUDGET = int(_os.environ.get("RAVQA_FINE_BATCH_BUDGET", 0))
+
+
 def _fine_stage(q, cand, tokens, mask, *, k: int,
-                scales=None, codes=None, residuals=None, centroids=None,
+                scales=None, records=None, centroids=None,
                 bucket_weights=None, nbits: int = 0,
-                use_pallas_fine: bool = False,
                 use_pallas_residual: bool = False):
     """Exact re-score of per-query candidate sets -> (scores (B,k), rows).
 
     Shared by two_stage_search (fine stage) and hierarchical_search
-    (stage 2). q: (B, Lq, dim); cand: (B, C) candidate rows.
+    (stage 2). q: (B, Lq, dim); cand: (B, C) candidate rows. Residual
+    indexes pass `records` — the packed per-doc [codes|scales|residual
+    bytes] rows (ops.residual.pack_records).
     """
-    if use_pallas_residual and codes is not None \
-            and centroids.shape[0] <= 1024:
-        # the fused kernel's in-VMEM one-hot centroid matmul scales with
-        # the codebook size; for larger codebooks the batched-gather XLA
-        # path below wins (measured at K=8192 on a 1M-doc index)
-        # fused decompress+MaxSim kernel: candidates stay packed all the way
-        # into VMEM (see ops.residual.maxsim_residual_pallas)
-        from ..ops.residual import maxsim_residual_pallas
-        tc = 32
-        while cand.shape[1] % tc:
-            tc //= 2
-        sc = maxsim_residual_pallas(
-            q.astype(jnp.float32), jnp.take(codes, cand, axis=0),
-            jnp.take(residuals, cand, axis=0), jnp.take(mask, cand, axis=0),
-            centroids, bucket_weights,
-            jnp.take(scales, cand, axis=0) if scales is not None else None,
-            nbits=nbits, tile_c=tc)
-        top_s, sel = jax.lax.top_k(sc, k)
-        return top_s, jnp.take_along_axis(cand, sel, axis=1)
-
-    if use_pallas_fine:
-        from ..ops.maxsim import maxsim_gather_pallas
-        sc = maxsim_gather_pallas(q, tokens, mask, cand)     # (B, C)
-        top_s, sel = jax.lax.top_k(sc, k)
-        return top_s, jnp.take_along_axis(cand, sel, axis=1)
-
-    if codes is not None:
-        # residual codec: gather the (small) compressed rows BATCHED — one
-        # XLA gather per array instead of B sequential per-query gathers
-        # (measured 3.8 vs 5.5 ms/batch at C=256 on a 1M index; the gather
-        # is overhead-bound, not bandwidth-bound) — then decompress+score
-        # per query so the (C, Ld, dim) reconstruction stays per-query.
-        from ..ops.residual import decompress
-        cg = jnp.take(codes, cand, axis=0)                   # (B, C, Ld)
-        pg = jnp.take(residuals, cand, axis=0)
+    if records is not None:
+        # residual codec. ONE wide-row gather of the packed records
+        # (gathering codes/scales/bytes as separate arrays measured
+        # ~2.5x slower — small-row gather overhead,
+        # scripts/exp_residual_stage2.py), then decompress+score.
+        from ..ops.residual import (decompress, maxsim_residual_pallas,
+                                    split_records)
+        b, c = cand.shape
+        ld = mask.shape[1]
+        lq = q.shape[1]
+        rg = jnp.take(records, cand, axis=0)                 # (B, C, RB)
+        cg, sg, pg = split_records(rg, ld)
         mg = jnp.take(mask, cand, axis=0)
-        sg = (jnp.take(scales, cand, axis=0) if scales is not None
-              else jnp.ones_like(mg, jnp.float32))
 
-        def fine_res(args):
+        if use_pallas_residual and centroids.shape[0] <= 1024:
+            # fused decompress+MaxSim kernel: candidates stay packed all
+            # the way into VMEM (ops.residual.maxsim_residual_pallas).
+            # Gated to small codebooks — its in-VMEM one-hot centroid
+            # matmul scales with K; the batched XLA path wins at K=8192.
+            tc = 32
+            while c % tc:
+                tc //= 2
+            sc = maxsim_residual_pallas(
+                q.astype(jnp.float32), cg, pg, mg, centroids,
+                bucket_weights, sg, nbits=nbits, tile_c=tc)
+            top_s, sel = jax.lax.top_k(sc, k)
+            return top_s, jnp.take_along_axis(cand, sel, axis=1)
+
+        if b * c * ld * lq * 4 <= _FINE_BATCH_BUDGET:
+            # decompress to bf16, MXU bf16 x bf16 (f32 accum): bucket-
+            # quantization error >> bf16 rounding. Reconstruction-norm
+            # scales carry the reference's post-decompress L2
+            # normalization (residual.py:273-276) into the scores.
+            tok = decompress(cg, pg, centroids, bucket_weights, nbits)
+            s = jnp.einsum("bcld,bqd->bclq", tok, q.astype(tok.dtype),
+                           preferred_element_type=jnp.float32)
+            s = s * sg[..., None]
+            s = jnp.where(mg.astype(bool)[..., None], s, NEG_INF)
+            sc = jnp.sum(jnp.max(s, axis=2), axis=-1)        # (B, C)
+            top_s, sel = jax.lax.top_k(sc, k)
+            return top_s, jnp.take_along_axis(cand, sel, axis=1)
+
+        def fine_res(args):                                  # large-C path
             qi, cand_i, cgi, pgi, mgi, sgi = args
-            # decompress to bf16, MXU bf16 x bf16 (f32 accum): halves the
-            # HBM round-trip; bucket-quantization error >> bf16 rounding
             tok = decompress(cgi, pgi, centroids, bucket_weights, nbits)
             s = jnp.einsum("cld,qd->clq", tok, qi.astype(tok.dtype),
                            preferred_element_type=jnp.float32)
-            # reconstruction-norm scales: the reference L2-normalizes the
-            # decompressed tokens before MaxSim (residual.py:273-276)
             s = s * sgi[:, :, None]
             s = jnp.where(mgi.astype(bool)[:, :, None], s, NEG_INF)
             sc = jnp.sum(jnp.max(s, axis=1), axis=-1)        # (C,)
@@ -172,7 +186,6 @@ def _fine_stage(q, cand, tokens, mask, *, k: int,
 
 @functools.partial(jax.jit, static_argnames=("k", "n_candidates",
                                              "coarse_query_len",
-                                             "use_pallas_fine",
                                              "use_pallas_coarse",
                                              "use_pallas_residual", "nbits"))
 def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
@@ -180,12 +193,10 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
                      summaries: jax.Array, *, k: int,
                      n_candidates: int = 1024,
                      coarse_query_len: Optional[int] = None,
-                     use_pallas_fine: bool = False,
                      use_pallas_coarse: bool = False,
                      use_pallas_residual: bool = False,
                      scales: Optional[jax.Array] = None,
-                     codes: Optional[jax.Array] = None,
-                     residuals: Optional[jax.Array] = None,
+                     records: Optional[jax.Array] = None,
                      centroids: Optional[jax.Array] = None,
                      bucket_weights: Optional[jax.Array] = None,
                      nbits: int = 0):
@@ -194,16 +205,15 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
 
     use_pallas_coarse: run the coarse summary sweep through the fused
     Pallas MaxSim kernel (TPU) instead of the XLA einsum.
-    use_pallas_fine: re-score candidates with the scalar-prefetch
-    gather+MaxSim Pallas kernel (experimental, see ops.maxsim).
     use_pallas_residual: re-score residual-codec candidates with the fused
     decompress+MaxSim Pallas kernel (TPU; ops.residual).
     scales: per-token f32 scales when `tokens` is an int8-quantized index
     (ops.quant.quantize_index_int8) — dequantization happens inside the
     fine stage, so a 1M-passage index fits one chip's HBM.
-    codes/residuals/centroids/bucket_weights/nbits: residual-codec index
-    (ops.residual; tokens=None) — candidates decompress inside the fine
-    stage, nothing ever materializes at full precision.
+    records/centroids/bucket_weights/nbits: residual-codec index
+    (ops.residual; tokens=None) — `records` holds the packed per-doc
+    [codes|scales|residual bytes] rows; candidates decompress inside the
+    fine stage, nothing ever materializes at full precision.
     """
     if use_pallas_coarse:
         from ..ops.maxsim import maxsim_search_pallas
@@ -220,9 +230,8 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
     _, cand = jax.lax.top_k(approx, n_candidates)            # (B, C)
 
     return _fine_stage(q, cand, tokens, mask, k=k, scales=scales,
-                       codes=codes, residuals=residuals, centroids=centroids,
+                       records=records, centroids=centroids,
                        bucket_weights=bucket_weights, nbits=nbits,
-                       use_pallas_fine=use_pallas_fine,
                        use_pallas_residual=use_pallas_residual)
 
 
@@ -256,8 +265,7 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
                         scales: Optional[jax.Array] = None,
                         coarse_query_len: Optional[int] = None,
                         use_pallas_residual: bool = False,
-                        codes: Optional[jax.Array] = None,
-                        residuals: Optional[jax.Array] = None,
+                        records: Optional[jax.Array] = None,
                         centroids: Optional[jax.Array] = None,
                         bucket_weights: Optional[jax.Array] = None,
                         nbits: int = 0):
@@ -308,7 +316,7 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
     cand = jax.lax.map(per_q, (q.astype(jnp.float32), blk))  # (B, C)
     # stage 2: exact on gathered candidates (full query)
     return _fine_stage(q, cand, tokens, mask, k=k, scales=scales,
-                       codes=codes, residuals=residuals, centroids=centroids,
+                       records=records, centroids=centroids,
                        bucket_weights=bucket_weights, nbits=nbits,
                        use_pallas_residual=use_pallas_residual)
 

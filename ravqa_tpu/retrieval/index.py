@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 class TokenIndex:
     """A (possibly sharded) late-interaction token index."""
     tokens: Optional[jax.Array]  # (N_pad, Ld, dim) bf16/f32/int8; None when
-    #                              residual-compressed (codes/residuals hold
+    #                              residual-compressed (`records` holds
     #                              the data)
     mask: jax.Array            # (N_pad, Ld) int8/float
     pids: np.ndarray           # (N_pad,) int64 global passage ids; -1 = pad
@@ -43,9 +43,14 @@ class TokenIndex:
     summaries: Optional[jax.Array] = None  # (N_pad, S, dim) coarse stage
     block_summaries: Optional[jax.Array] = None  # (N_pad/bs, Sb, dim)
     block_size: int = 64
-    # residual codec (ops.residual; the reference's nbits index format)
-    codes: Optional[jax.Array] = None       # (N_pad, Ld) int32
-    residuals: Optional[jax.Array] = None   # (N_pad, Ld, dim*nbits/8) uint8
+    # residual codec (ops.residual; the reference's nbits index format).
+    # Per-doc data lives in ONE packed uint8 record row per doc —
+    # [codes uint16 | scales bf16 | residual bytes] (pack_records) — so
+    # the fine stage gathers candidates with a single wide-row take
+    # (measured 1.9-2.7x over separate codes/residuals/scales arrays,
+    # scripts/exp_residual_stage2.py); unpack_residual() splits when the
+    # separate arrays are needed (save, parity tests, gather_tokens).
+    records: Optional[jax.Array] = None     # (N_pad, Ld*(4+dim*nbits/8))
     codec_centroids: Optional[jax.Array] = None   # (K, dim) f32
     codec_weights: Optional[jax.Array] = None     # (2^nbits,) f32
     nbits: int = 0
@@ -136,23 +141,21 @@ class TokenIndex:
         else:
             n_centroids = int(codec.centroids.shape[0])
             nbits = codec.nbits
+        assert codec.centroids.shape[0] <= 65536, \
+            "records store uint16 centroid codes (max 65536 centroids)"
+        from ..ops.residual import pack_records
         codes, packed, scales = compress(toks, msk, codec)
-        if n_centroids <= 32768:
-            # int16 code table halves the code bytes (the reference stores
-            # int32 codes, residual_embeddings.py:23-24); searches upcast
-            codes = codes.astype(jnp.int16)
-        # reconstruction-norm scales (reference normalizes decompressed
-        # tokens before scoring, residual.py:273-276); stored AND kept
-        # bf16 — 2 B/token, upcast by dtype promotion at the multiply
-        scales = scales.astype(jnp.bfloat16)
+        # pack per doc: uint16 code (the reference stores int32,
+        # residual_embeddings.py:23-24) + bf16 reconstruction-norm scale
+        # (reference normalizes decompressed tokens before scoring,
+        # residual.py:273-276) + residual bytes -> one record row
+        records = pack_records(codes, scales.astype(jnp.bfloat16), packed)
         if mesh is not None:
-            sh = NamedSharding(mesh, P(axis))
-            codes = jax.device_put(codes, sh)
-            packed = jax.device_put(packed, sh)
-            scales = jax.device_put(scales, sh)
+            records = jax.device_put(records,
+                                     NamedSharding(mesh, P(axis)))
         rep = (NamedSharding(mesh, P()) if mesh is not None else None)
-        self.codes, self.residuals = codes, packed
-        self.scales = scales
+        self.records = records
+        self.scales = None
         self.codec_centroids = (jax.device_put(codec.centroids, rep)
                                 if rep else codec.centroids)
         self.codec_weights = (jax.device_put(codec.bucket_weights, rep)
@@ -167,24 +170,31 @@ class TokenIndex:
         given padded-index rows. rows (...,) int -> (..., Ld, dim) f32."""
         if self.tokens is not None:
             return jnp.take(self.tokens, rows, axis=0).astype(jnp.float32)
-        from ..ops.residual import decompress
-        cod = jnp.take(self.codes, rows, axis=0)
-        pck = jnp.take(self.residuals, rows, axis=0)
+        from ..ops.residual import decompress, split_records
+        rg = jnp.take(self.records, rows, axis=0)
+        cod, scl, pck = split_records(rg, self.doc_maxlen)
         rec = decompress(cod, pck, self.codec_centroids,
                          self.codec_weights, self.nbits)
-        if self.scales is not None:   # reference-parity L2 normalization
-            rec = rec * jnp.take(self.scales, rows, axis=0)[..., None]
-        return rec
+        # reference-parity L2 normalization via reconstruction-norm scales
+        return rec * scl[..., None]
+
+    def unpack_residual(self):
+        """Split the packed records into (codes int32, scales f32,
+        residual bytes) full-index arrays (materializes copies — for
+        save/parity/tooling, not the search hot path)."""
+        from ..ops.residual import split_records
+        return split_records(self.records, self.doc_maxlen)
 
     @property
     def n_pad(self) -> int:
         return (self.tokens if self.tokens is not None
-                else self.codes).shape[0]
+                else self.records).shape[0]
 
     @property
     def doc_maxlen(self) -> int:
-        return (self.tokens if self.tokens is not None
-                else self.codes).shape[1]
+        if self.tokens is not None:
+            return self.tokens.shape[1]
+        return self.mask.shape[1]
 
     @property
     def dim(self) -> int:
@@ -335,8 +345,7 @@ def save_index(index: TokenIndex, path: str) -> None:
             index.tokens,
             np.float32 if index.tokens.dtype != jnp.int8 else np.int8)
     else:                                   # residual-codec index
-        arrays["codes"] = np.asarray(index.codes)   # int16 or int32
-        arrays["residuals"] = np.asarray(index.residuals, np.uint8)
+        arrays["records"] = np.asarray(index.records, np.uint8)
         arrays["codec_centroids"] = np.asarray(index.codec_centroids,
                                                np.float32)
         arrays["codec_weights"] = np.asarray(index.codec_weights,
@@ -352,7 +361,8 @@ def save_index(index: TokenIndex, path: str) -> None:
             # under the planar unpack — load_index refuses them.
             extra["residual_layout"] = "planar"
         json.dump({"num_docs": index.num_docs,
-                   "quantized": index.scales is not None,
+                   "quantized": index.scales is not None
+                   or index.records is not None,
                    "scales_dtype": scales_dtype,
                    "nbits": index.nbits,
                    **extra,
@@ -379,7 +389,7 @@ def load_index(path: str, dtype=jnp.bfloat16, mesh: Optional[Mesh] = None,
     else:
         scales = jnp.asarray(z["scales"], jnp.float32)
     sh = NamedSharding(mesh, P(axis)) if mesh is not None else None
-    if "codes" in z.files:                  # residual-codec index
+    if "records" in z.files or "codes" in z.files:  # residual-codec index
         layout = meta.pop("residual_layout", "interleaved")
         if layout != "planar":
             raise ValueError(
@@ -387,20 +397,30 @@ def load_index(path: str, dtype=jnp.bfloat16, mesh: Optional[Mesh] = None,
                 "layout; this build decodes only 'planar' (residual bytes "
                 "would unpack onto the wrong dims). Re-build the index "
                 "with quantize_residual().")
+        if "records" in z.files:
+            records = jnp.asarray(z["records"])
+        else:
+            # legacy save with separate codes/residuals/scales arrays:
+            # repack into record rows (scales default to 1.0 for indexes
+            # predating reconstruction-norm storage)
+            from ..ops.residual import pack_records
+            codes_np = z["codes"]
+            if scales is None:
+                scales = jnp.ones(codes_np.shape, jnp.bfloat16)
+            records = pack_records(jnp.asarray(codes_np, jnp.int32),
+                                   jnp.asarray(scales, jnp.bfloat16),
+                                   jnp.asarray(z["residuals"]))
         idx = TokenIndex(
             tokens=None, mask=mask, pids=z["pids"],
             num_docs=meta.pop("num_docs"),
-            codes=jnp.asarray(z["codes"]),
-            residuals=jnp.asarray(z["residuals"]),
+            records=records,
             codec_centroids=jnp.asarray(z["codec_centroids"]),
             codec_weights=jnp.asarray(z["codec_weights"]),
             summaries=jnp.asarray(z["summaries"], dtype),
-            scales=scales,                  # reconstruction-norm scales
             nbits=nbits, meta=meta)
         if sh is not None:
-            for f_ in ("mask", "codes", "residuals", "summaries", "scales"):
-                if getattr(idx, f_) is not None:
-                    setattr(idx, f_, jax.device_put(getattr(idx, f_), sh))
+            for f_ in ("mask", "records", "summaries"):
+                setattr(idx, f_, jax.device_put(getattr(idx, f_), sh))
         return idx
     tokens = jnp.asarray(z["tokens"], jnp.int8 if quantized else dtype)
     if sh is not None:

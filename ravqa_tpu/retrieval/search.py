@@ -144,40 +144,38 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                    coarse_query_len=coarse_query_len)
         return _merge(q, s, i)
 
-    # residual-codec variants: per-doc arrays shard over `axis`; the small
-    # codec tables (centroids / bucket weights) replicate
-    def _local_two_stage_res(q, msk, summ, cod, res, cent, bw, scl):
+    # residual-codec variants: per-doc arrays (packed records) shard over
+    # `axis`; the small codec tables (centroids / bucket weights) replicate
+    def _local_two_stage_res(q, msk, summ, recs, cent, bw):
         s, i = two_stage_search(q, None, msk, summ, k=k_local,
                                 n_candidates=c_local,
                                 coarse_query_len=coarse_query_len,
                                 use_pallas_coarse=use_pallas,
                                 use_pallas_residual=use_pallas,
-                                scales=scl,
-                                codes=cod, residuals=res, centroids=cent,
+                                records=recs, centroids=cent,
                                 bucket_weights=bw, nbits=residual_nbits)
         return _merge(q, s, i)
 
-    def _local_hier_res(q, msk, summ, bsum, cod, res, cent, bw, scl):
+    def _local_hier_res(q, msk, summ, bsum, recs, cent, bw):
         s, i = hierarchical_search(q, None, msk, summ, bsum, k=k_local,
                                    n_blocks=b_local, n_candidates=c_local,
                                    block_size=block_size,
                                    coarse_query_len=coarse_query_len,
                                    use_pallas_residual=use_pallas,
-                                   scales=scl,
-                                   codes=cod, residuals=res, centroids=cent,
+                                   records=recs, centroids=cent,
                                    bucket_weights=bw, nbits=residual_nbits)
         return _merge(q, s, i)
 
     if residual_nbits and hierarchical:
         f = shard_map(_local_hier_res, mesh,
                       in_specs=(P(), P(axis), P(axis), P(axis), P(axis),
-                                P(axis), P(), P(), P(axis)),
+                                P(), P()),
                       out_specs=(P(), P()))
         return jax.jit(f)
     if residual_nbits and two_stage:
         f = shard_map(_local_two_stage_res, mesh,
-                      in_specs=(P(), P(axis), P(axis), P(axis), P(axis),
-                                P(), P(), P(axis)),
+                      in_specs=(P(), P(axis), P(axis), P(axis),
+                                P(), P()),
                       out_specs=(P(), P()))
         return jax.jit(f)
     if hierarchical and quantized:
@@ -255,7 +253,6 @@ class LateInteractionSearcher:
         self.n_candidates = n_candidates
         self.n_blocks = n_blocks
         self.coarse_query_len = coarse_query_len
-        self._unit_scales = None
         if mode == "two_stage":
             assert index.summaries is not None, \
                 "call index.build_summaries() first"
@@ -309,18 +306,8 @@ class LateInteractionSearcher:
                 args = (q, idx.mask, idx.summaries)
                 if self.mode == "hierarchical":
                     args += (idx.block_summaries,)
-                if idx.scales is not None:
-                    scl = idx.scales
-                else:
-                    # legacy residual index without stored scales: build the
-                    # unit-scale array ONCE, not per search call (it is
-                    # full-index-sized — ~250 MB at 1M docs)
-                    if self._unit_scales is None:
-                        self._unit_scales = jnp.ones_like(
-                            idx.mask, jnp.float32)
-                    scl = self._unit_scales
-                args += (idx.codes, idx.residuals, idx.codec_centroids,
-                         idx.codec_weights, scl)
+                args += (idx.records, idx.codec_centroids,
+                         idx.codec_weights)
                 return fn(*args)
             args = (q, idx.tokens, idx.mask)
             if self.mode in ("two_stage", "hierarchical"):
@@ -341,7 +328,7 @@ class LateInteractionSearcher:
                 block_size=idx.block_size, scales=idx.scales,
                 coarse_query_len=self.coarse_query_len,
                 use_pallas_residual=self.use_pallas,
-                codes=idx.codes, residuals=idx.residuals,
+                records=idx.records,
                 centroids=idx.codec_centroids,
                 bucket_weights=idx.codec_weights, nbits=idx.nbits)
         if self.mode == "two_stage":
@@ -352,7 +339,7 @@ class LateInteractionSearcher:
                 scales=idx.scales,
                 coarse_query_len=self.coarse_query_len,
                 use_pallas_residual=self.use_pallas,
-                codes=idx.codes, residuals=idx.residuals,
+                records=idx.records,
                 centroids=idx.codec_centroids,
                 bucket_weights=idx.codec_weights, nbits=idx.nbits)
         return search_single_device(

@@ -4,12 +4,12 @@ VERDICT r1 item 6: the int8 index (8 GiB at 1M x 64 x 128) caps corpus size
 per chip; the residual codec (ops.residual — centroid code + nbits=2
 bucketized residuals) stores the same corpus in
 
-    codes      1M x 64 int16            0.12 GiB
-    scales     1M x 64 bf16             0.12 GiB   (reconstruction norms)
-    residuals  1M x 64 x 32 uint8       1.91 GiB
+    records    1M x 2304 B uint8        2.15 GiB   (uint16 code + bf16
+               reconstruction-norm scale + 32 residual bytes per token,
+               packed per doc — ops.residual.pack_records)
     summaries  1M x 4 x 128 bf16        0.95 GiB   (coarse stage)
     ------------------------------------------------
-    ~3.0 GiB   (< 4 GiB target; 7.4x vs the 16 GiB bf16 token store,
+    ~3.1 GiB   (< 4 GiB target; 7.4x vs the 16 GiB bf16 token store,
                 2.7x vs int8+scales+summaries)
 
 Search quality is reported as self-retrieval top-1 (noisy query -> its own
@@ -28,7 +28,7 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
-from ravqa_tpu.ops.residual import _kmeans, compress_flat
+from ravqa_tpu.ops.residual import _kmeans, compress_flat, pack_records, record_bytes
 from ravqa_tpu.retrieval.coarse import (block_summaries, hierarchical_search,
                                         summarize_docs, two_stage_search)
 
@@ -93,46 +93,44 @@ print(f"codec trained ({N_CENT} centroids, nbits={NBITS}) "
 
 
 # ---- 2. build + compress the index in ONE jitted program -------------------
+# per-doc PACKED RECORD rows [codes uint16 | scales bf16 | residual
+# bytes] — the fine stage gathers candidates with one wide-row take
+# (ops.residual.pack_records; measured 1.9-2.7x over separate arrays)
+REC = record_bytes(LD, DIM, NBITS)
+
+
 @jax.jit
 def build_index(key, topics, centroids, cutoffs, weights_d):
-    per_byte = 8 // NBITS
-
     def body(i, carry):
-        codes, packed, smm, scl = carry
+        records, smm = carry
         tn = slab_tokens(key, i, topics)
         flat = tn.astype(jnp.float32).reshape(-1, DIM)
         # codec core shared with production compress (ops.residual)
         code, pk, scale = compress_flat(flat, centroids, cutoffs,
                                         weights_d, NBITS)
+        rec = pack_records(code.reshape(SLAB, LD),
+                           scale.reshape(SLAB, LD).astype(jnp.bfloat16),
+                           pk.reshape(SLAB, LD, -1))
         sm = summarize_docs(tn, jnp.ones((SLAB, LD), jnp.int8),
                             n_summary=4, iters=2).astype(dt)
         start = i * SLAB
-        codes = jax.lax.dynamic_update_slice(
-            codes, code.reshape(SLAB, LD).astype(jnp.int16), (start, 0))
-        packed = jax.lax.dynamic_update_slice(
-            packed, pk.reshape(SLAB, LD, DIM // per_byte), (start, 0, 0))
+        records = jax.lax.dynamic_update_slice(records, rec, (start, 0))
         smm = jax.lax.dynamic_update_slice(smm, sm, (start, 0, 0))
-        scl = jax.lax.dynamic_update_slice(
-            scl, scale.reshape(SLAB, LD).astype(jnp.bfloat16), (start, 0))
-        return codes, packed, smm, scl
+        return records, smm
 
-    init = (jnp.zeros((N, LD), jnp.int16),
-            jnp.zeros((N, LD, DIM * NBITS // 8), jnp.uint8),
-            jnp.zeros((N, 4, DIM), dt),
-            jnp.zeros((N, LD), jnp.bfloat16))
+    init = (jnp.zeros((N, REC), jnp.uint8),
+            jnp.zeros((N, 4, DIM), dt))
     return jax.lax.fori_loop(0, N // SLAB, body, init)
 
 
 t0 = time.time()
-codes, residuals, summ, scl = build_index(key, topics, centroids,
-                                           cutoffs, weights)
-codes = jax.block_until_ready(codes)
+records, summ = build_index(key, topics, centroids, cutoffs, weights)
+records = jax.block_until_ready(records)
 mask = jnp.ones((N, LD), jnp.int8)
-gib = (codes.size * 2 + residuals.size + summ.size * 2
-       + scl.size * 2) / 2 ** 30
+gib = (records.size + summ.size * 2) / 2 ** 30
 print(f"1M residual index built: {gib:.2f} GiB total "
-      f"(codes {codes.size * 2 / 2**30:.2f} (int16) + residuals "
-      f"{residuals.size / 2**30:.2f} + summaries {summ.size * 2 / 2**30:.2f})"
+      f"(records {records.size / 2**30:.2f} (uint16 codes + bf16 scales "
+      f"+ nbits={NBITS} bytes) + summaries {summ.size * 2 / 2**30:.2f})"
       f" in {time.time() - t0:.0f}s", flush=True)
 
 
@@ -151,8 +149,7 @@ qidx = np.arange(B)
 s, rows = two_stage_search(q, None, mask, summ, k=K, n_candidates=1024,
                            use_pallas_coarse=False,
                            use_pallas_residual=N_CENT <= 1024,
-                           scales=scl.astype(jnp.float32), codes=codes,
-                           residuals=residuals, centroids=centroids,
+                           records=records, centroids=centroids,
                            bucket_weights=weights, nbits=NBITS)
 top1 = float(np.mean(np.asarray(rows)[:, 0] == qidx))
 print(f"two-stage self-retrieval top-1: {top1:.2f}", flush=True)
@@ -177,8 +174,7 @@ def timeit(name, fn, args, iters=32):
           f"({dt_s / iters * 1e3:.2f} ms/batch)", flush=True)
 
 
-scl32 = scl.astype(jnp.float32)
-TS_ARGS = (mask, summ, codes, residuals, centroids, weights, scl32)
+TS_ARGS = (mask, summ, records, centroids, weights)
 # the fused Pallas residual kernel is auto-gated to codebooks <= 1024
 # centroids (_fine_stage; its in-VMEM one-hot centroid matmul scales with
 # N_CENT) — at this bench's N_CENT the fused flag would silently time the
@@ -191,7 +187,7 @@ for fused in FUSED_MODES:
     tag = "fused" if fused else "xla"
     for nc in (1024, 256):
         timeit(f"two_stage_1M_residual_C{nc}_{tag}",
-               lambda qq, m, sm, cod, res, cent, bw, scl_, nc=nc,
+               lambda qq, m, sm, recs, cent, bw, nc=nc,
                fused=fused: two_stage_search(
                    qq, None, m, sm, k=K, n_candidates=nc,
                    # XLA coarse measured faster than the Pallas sweep at
@@ -200,7 +196,7 @@ for fused in FUSED_MODES:
                    # scheduling anomaly); hierarchical stage-0 already
                    # uses the XLA path
                    use_pallas_coarse=False, use_pallas_residual=fused,
-                   scales=scl_, codes=cod, residuals=res, centroids=cent,
+                   records=recs, centroids=cent,
                    bucket_weights=bw, nbits=NBITS), TS_ARGS)
 
 BLOCK = 64
@@ -211,21 +207,19 @@ _, hrows = hierarchical_search(q, None, mask, summ, bsum, k=K,
                                n_blocks=128, n_candidates=1024,
                                block_size=BLOCK,
                                use_pallas_residual=N_CENT <= 1024,
-                               scales=scl32, codes=codes,
-                               residuals=residuals, centroids=centroids,
+                               records=records, centroids=centroids,
                                bucket_weights=weights, nbits=NBITS)
 htop1 = float(np.mean(np.asarray(hrows)[:, 0] == qidx))
 print(f"hierarchical self-retrieval top-1: {htop1:.2f}", flush=True)
 
-H_ARGS = (mask, summ, bsum, codes, residuals, centroids, weights,
-          scl32)
+H_ARGS = (mask, summ, bsum, records, centroids, weights)
 for fused in FUSED_MODES:
     tag = "fused" if fused else "xla"
     for nb_, nc in ((128, 1024), (64, 256)):
         timeit(f"hier_1M_residual_B{nb_}_C{nc}_{tag}",
-               lambda qq, m, sm, bm, cod, res, cent, bw, scl_, nb_=nb_,
+               lambda qq, m, sm, bm, recs, cent, bw, nb_=nb_,
                nc=nc, fused=fused: hierarchical_search(
                    qq, None, m, sm, bm, k=K, n_blocks=nb_, n_candidates=nc,
                    block_size=BLOCK, use_pallas_residual=fused,
-                   scales=scl_, codes=cod, residuals=res, centroids=cent,
+                   records=recs, centroids=cent,
                    bucket_weights=bw, nbits=NBITS), H_ARGS)

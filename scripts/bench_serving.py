@@ -93,8 +93,10 @@ def main():
         server = RetrievalServer(
             ex, searcher, qt, image_feature_dim=768,
             config=ServeConfig(max_batch=MAX_BATCH, max_wait_ms=2.0, k=10))
-        # warm the compiled shapes
-        server.search_batch(texts[:MAX_BATCH], feats[:MAX_BATCH])
+        # warm EVERY bucket executable (dispatch pads to the smallest
+        # covering bucket, so mixed-load bursts hit several shapes)
+        for bkt in server.cfg.buckets():
+            server.search_batch(texts[:bkt], feats[:bkt])
 
         lat = []
         done = []
@@ -122,6 +124,7 @@ def main():
         ls = np.sort(np.asarray(lat)) * 1e3
         print(f"conc={conc:3d}: {served / wall:8.1f} QPS served  "
               f"p50={ls[len(ls) // 2]:6.1f} ms  "
+              f"p95={ls[int(len(ls) * 0.95)]:6.1f} ms  "
               f"p99={ls[int(len(ls) * 0.99)]:6.1f} ms  (n={served})",
               flush=True)
         server.stop()

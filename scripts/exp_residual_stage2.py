@@ -201,7 +201,9 @@ def v_decomp_only(qq, cand, codes, resid, scales, mask, cent, weights):
 
 IDX = (codes, resid, scales, mask)
 FULL = (codes, resid, scales, mask, cent, weights)
-for C in (256, 1024):
+import os
+ROUND1 = os.environ.get("EXP_ROUND1", "0") == "1"
+for C in (256, 1024) if ROUND1 else ():
     cand = make_cand(C)
     print(f"--- C={C} ---", flush=True)
     timeit(f"gathers_C{C}", lambda qq, cand, *a: v_gathers(qq, cand, *a),
@@ -215,15 +217,414 @@ for C in (256, 1024):
         print(f"pallas_C{C} FAILED: {type(e).__name__}: "
               f"{str(e)[:300]}", flush=True)
 
-# numeric agreement check (top-k values baseline vs cqsplit vs pallas)
+if ROUND1:
+    # numeric agreement check (baseline vs cqsplit vs pallas)
+    cand = make_cand(256)
+    sb = np.asarray(v_baseline(q, cand, *FULL))
+    sq = np.asarray(v_cqsplit(q, cand, *FULL))
+    print("baseline-vs-cqsplit max rel err:",
+          float(np.max(np.abs(sb - sq) / (np.abs(sb) + 1e-6))), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 2: batched-decompress + fused Pallas candidate scorer.
+# Baseline breakdown showed gathers ~1.5ms, decompress +0.4ms, and the
+# per-query XLA scoring (einsum -> (C,Ld,Lq) f32 intermediate -> masked
+# max/sum) adding 1.3-5.4ms. The kernel below consumes pre-decompressed
+# (B, C, Ld, dim) bf16 tokens and keeps the score tensor in VMEM.
+# ---------------------------------------------------------------------------
+
+def _cand_kernel(q_ref, d_ref, m_ref, out_ref, *, tc, ld, lq):
+    s = jax.lax.dot_general(
+        d_ref[:], q_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (tc*Ld, Lq)
+    s = jnp.where(m_ref[:] > 0, s, NEG_INF)
+    s = s.reshape(tc, ld, lq)
+    per_q = jnp.max(s, axis=1)                           # (tc, Lq)
+    out_ref[:] = jnp.sum(per_q, axis=-1, keepdims=True)  # (tc, 1)
+
+
+def maxsim_candidates_pallas(qq, tok, mask, tc=128):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    b, c, ld, dim = tok.shape
+    lq = qq.shape[1]
+    import functools as ft
+    kernel = ft.partial(_cand_kernel, tc=tc, ld=ld, lq=lq)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, c // tc),
+        in_specs=[
+            pl.BlockSpec((None, lq, dim), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, tc * ld, dim), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, tc * ld, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, tc, 1), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, 1), jnp.float32),
+    )(qq, tok.reshape(b, c * ld, dim),
+      mask.reshape(b, c * ld, 1).astype(jnp.float32))
+    return out[..., 0]                                   # (B, C)
+
+
+def v_batched(qq, cand, codes, resid, scales, mask, cent, weights):
+    cg = jnp.take(codes, cand, axis=0).astype(jnp.int32)
+    pg = jnp.take(resid, cand, axis=0)
+    mg = jnp.take(mask, cand, axis=0)
+    sg = jnp.take(scales, cand, axis=0)
+    tok = decompress(cg, pg, cent, weights, NBITS)       # (B,C,Ld,dim) bf16
+    tok = tok * sg[..., None].astype(tok.dtype)          # fold norm scales
+    sc = maxsim_candidates_pallas(qq.astype(jnp.bfloat16), tok, mg)
+    top, _ = jax.lax.top_k(sc, K)
+    return top
+
+
+for C in ((256, 1024) if os.environ.get("EXP_ROUND2", "0") == "1" else ()):
+    cand = make_cand(C)
+    try:
+        timeit(f"batched_pallas_C{C}", v_batched, (cand,) + FULL)
+    except Exception as e:
+        print(f"batched_pallas_C{C} FAILED: {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
 cand = make_cand(256)
-sb = np.asarray(v_baseline(q, cand, *FULL))
-sq = np.asarray(v_cqsplit(q, cand, *FULL))
-print("baseline-vs-cqsplit max rel err:",
-      float(np.max(np.abs(sb - sq) / (np.abs(sb) + 1e-6))), flush=True)
-try:
-    sp = np.asarray(v_pallas(q, cand, *FULL))
-    print("baseline-vs-pallas max rel err:",
-          float(np.max(np.abs(sb - sp) / (np.abs(sb) + 1e-6))), flush=True)
-except Exception as e:
-    print("pallas check FAILED:", str(e)[:200])
+if os.environ.get("EXP_ROUND2", "0") == "1":
+  sb = np.asarray(v_baseline(q, cand, *FULL))
+  try:
+    sv = np.asarray(v_batched(q, cand, *FULL))
+    print("baseline-vs-batched max rel err:",
+          float(np.max(np.abs(sb - sv) / (np.abs(sb) + 1e-6))),
+          flush=True)
+  except Exception as e:
+    print("batched check FAILED:", str(e)[:300])
+
+
+# ---------------------------------------------------------------------------
+# Round 3 (EXP_ROUND3=1): (a) ONE consolidated record gather instead of 4
+# small-row gathers; (b) per-query Pallas scorer (no giant batched
+# materialization). Round-2 result: batched decompress + batched kernel
+# LOSES (5.8/19.0 ms vs baseline 3.1/7.4) — the (B,C,Ld,dim) bf16
+# materialization + 2M-row centroid gather dominates; v_decomp_only's
+# 1.9 ms was fusion-flattered (its sum() consumer fuses the gather+LUT).
+# ---------------------------------------------------------------------------
+
+# record layout: [codes int16 (Ld*2=128B) | scales bf16 (128B) |
+#                 residual bytes (Ld*32=2048B)] = 2304 B/doc
+REC = LD * 2 + LD * 2 + LD * PACKED
+
+
+@jax.jit
+def make_records(codes, scales, resid):
+    cb = jax.lax.bitcast_convert_type(codes, jnp.uint8).reshape(N, -1)
+    sb = jax.lax.bitcast_convert_type(scales, jnp.uint8).reshape(N, -1)
+    rb = resid.reshape(N, -1)
+    return jnp.concatenate([cb, sb, rb], axis=1)          # (N, 2304)
+
+
+def split_records(rg):
+    """(B, C, 2304) uint8 -> codes int32, scales f32, resid bytes."""
+    b, c, _ = rg.shape
+    cg = jax.lax.bitcast_convert_type(
+        rg[..., :LD * 2].reshape(b, c, LD, 2), jnp.int16) \
+        .reshape(b, c, LD).astype(jnp.int32)
+    sg = jax.lax.bitcast_convert_type(
+        rg[..., LD * 2:LD * 4].reshape(b, c, LD, 2), jnp.bfloat16) \
+        .reshape(b, c, LD).astype(jnp.float32)
+    pg = rg[..., LD * 4:].reshape(b, c, LD, PACKED)
+    return cg, sg, pg
+
+
+def v_record_gather(qq, cand, records):
+    rg = jnp.take(records, cand, axis=0)                  # (B, C, 2304)
+    cg, sg, pg = split_records(rg)
+    return (cg.sum() + sg.sum()
+            + pg.astype(jnp.int32).sum()).reshape(1, 1)
+
+
+def v_record_baseline(qq, cand, records, mask, cent, weights):
+    """Record gather + the baseline's per-query decompress/score."""
+    rg = jnp.take(records, cand, axis=0)
+    cg, sg, pg = split_records(rg)
+    mg = jnp.take(mask, cand, axis=0)
+
+    def fine_res(args):
+        qi, cgi, pgi, mgi, sgi = args
+        tok = decompress(cgi, pgi, cent, weights, NBITS)
+        s = jnp.einsum("cld,qd->clq", tok, qi.astype(tok.dtype),
+                       preferred_element_type=jnp.float32)
+        s = s * sgi[:, :, None]
+        s = jnp.where(mgi.astype(bool)[:, :, None], s, NEG_INF)
+        sc = jnp.sum(jnp.max(s, axis=1), axis=-1)
+        top_s, _ = jax.lax.top_k(sc, K)
+        return top_s
+    return jax.lax.map(fine_res, (qq.astype(jnp.float32), cg, pg, mg, sg))
+
+
+def _perq_kernel(q_ref, d_ref, m_ref, out_ref, *, tc, ld, lq):
+    s = jax.lax.dot_general(
+        d_ref[:], q_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (tc*Ld, Lq)
+    s = jnp.where(m_ref[:] > 0, s, NEG_INF)
+    s = s.reshape(tc, ld, lq)
+    out_ref[:] = jnp.sum(jnp.max(s, axis=1), axis=-1, keepdims=True)
+
+
+def v_record_perq_pallas(qq, cand, records, mask, cent, weights, tc=128):
+    """Record gather + per-query decompress (transient 16MB) + per-query
+    fused Pallas scorer -> (C,) — the (C,Ld,Lq) f32 intermediate never
+    touches HBM."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import functools as ft
+    b, c = cand.shape
+    rg = jnp.take(records, cand, axis=0)
+    cg, sg, pg = split_records(rg)
+    mg = jnp.take(mask, cand, axis=0)
+    kernel = ft.partial(_perq_kernel, tc=tc, ld=LD, lq=LQ)
+
+    def fine_res(args):
+        qi, cgi, pgi, mgi, sgi = args
+        tok = decompress(cgi, pgi, cent, weights, NBITS)  # (C, Ld, dim)
+        tok = tok * sgi[..., None].astype(tok.dtype)
+        sc = pl.pallas_call(
+            kernel,
+            grid=(c // tc,),
+            in_specs=[
+                pl.BlockSpec((LQ, DIM), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tc * LD, DIM), lambda j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tc * LD, 1), lambda j: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tc, 1), lambda j: (j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((c, 1), jnp.float32),
+        )(qi.astype(jnp.bfloat16), tok.reshape(c * LD, DIM),
+          mgi.reshape(c * LD, 1).astype(jnp.float32))
+        top_s, _ = jax.lax.top_k(sc[:, 0], K)
+        return top_s
+    return jax.lax.map(fine_res, (qq, cg, pg, mg, sg))
+
+
+if os.environ.get("EXP_ROUND3", "0") == "1":
+    records = jax.block_until_ready(make_records(codes, scales, resid))
+    print(f"records: {records.shape} ({records.nbytes / 2**30:.2f} GiB)",
+          flush=True)
+    for C in (256, 1024):
+        cand = make_cand(C)
+        timeit(f"record_gather_C{C}", v_record_gather, (cand, records))
+        timeit(f"record_baseline_C{C}", v_record_baseline,
+               (cand, records, mask, cent, weights))
+        try:
+            timeit(f"record_perq_pallas_C{C}", v_record_perq_pallas,
+                   (cand, records, mask, cent, weights))
+        except Exception as e:
+            print(f"record_perq_pallas_C{C} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+    cand = make_cand(256)
+    sb = np.asarray(v_baseline(q, cand, *FULL))
+    s1 = np.asarray(v_record_baseline(q, cand, records, mask, cent,
+                                      weights))
+    print("baseline-vs-record max rel err:",
+          float(np.max(np.abs(sb - s1) / (np.abs(sb) + 1e-6))), flush=True)
+    try:
+        s2 = np.asarray(v_record_perq_pallas(q, cand, records, mask, cent,
+                                             weights))
+        print("baseline-vs-perq-pallas max rel err:",
+              float(np.max(np.abs(sb - s2) / (np.abs(sb) + 1e-6))),
+              flush=True)
+    except Exception as e:
+        print("perq pallas check FAILED:", str(e)[:300])
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (EXP_ROUND4=1): query-GROUPED fine stage — lax.map serializes
+# all 32 queries; grouping g queries per step batches the einsum (better
+# MXU occupancy) while keeping the (g, C, Ld, Lq) transient bounded.
+# Also: bf16 score intermediate (halves the traffic of the dominant
+# (C, Ld, Lq) tensor).
+# ---------------------------------------------------------------------------
+
+def v_grouped(qq, cand, records, mask, cent, weights, g=4, sdtype=None):
+    b, c = cand.shape
+    rg = jnp.take(records, cand, axis=0)
+    cg, sg, pg = split_records(rg)
+    mg = jnp.take(mask, cand, axis=0)
+
+    def fine_group(args):
+        qi, cgi, pgi, mgi, sgi = args                    # (g, ...) each
+        tok = decompress(cgi, pgi, cent, weights, NBITS)  # (g,C,Ld,dim)
+        pet = jnp.float32 if sdtype is None else sdtype
+        s = jnp.einsum("gcld,gqd->gclq", tok, qi.astype(tok.dtype),
+                       preferred_element_type=pet)
+        s = s * sgi[..., None].astype(s.dtype)
+        s = jnp.where(mgi.astype(bool)[..., None], s,
+                      jnp.asarray(NEG_INF, s.dtype))
+        sc = jnp.sum(jnp.max(s, axis=2).astype(jnp.float32), axis=-1)
+        top_s, _ = jax.lax.top_k(sc, K)
+        return top_s                                     # (g, K)
+
+    grp = lambda x: x.reshape((b // g, g) + x.shape[1:])
+    out = jax.lax.map(fine_group, (grp(qq.astype(jnp.float32)), grp(cg),
+                                   grp(pg), grp(mg), grp(sg)))
+    return out.reshape(b, K)
+
+
+if os.environ.get("EXP_ROUND4", "0") == "1":
+    records = jax.block_until_ready(make_records(codes, scales, resid))
+    for C in (256, 1024):
+        cand = make_cand(C)
+        for g in (4, 8, 32):
+            timeit(f"grouped{g}_f32_C{C}", lambda qq, *a, g=g: v_grouped(
+                qq, *a, g=g), (cand, records, mask, cent, weights))
+        timeit(f"grouped4_bf16_C{C}", lambda qq, *a: v_grouped(
+            qq, *a, g=4, sdtype=jnp.bfloat16),
+            (cand, records, mask, cent, weights))
+    cand = make_cand(256)
+    sb = np.asarray(v_baseline(q, cand, *FULL))
+    s4 = np.asarray(v_grouped(q, cand, records, mask, cent, weights, g=4))
+    print("baseline-vs-grouped4 max rel err:",
+          float(np.max(np.abs(sb - s4) / (np.abs(sb) + 1e-6))), flush=True)
+    sbf = np.asarray(v_grouped(q, cand, records, mask, cent, weights,
+                               g=4, sdtype=jnp.bfloat16))
+    print("baseline-vs-grouped4-bf16 max rel err:",
+          float(np.max(np.abs(sb - sbf) / (np.abs(sb) + 1e-6))),
+          flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 5 (EXP_ROUND5=1): fully-batched fine stage (round-4 winner at
+# C=256: 1.59 ms vs 3.06 baseline) — separate gathers vs packed records,
+# and the C=1024 memory-safety check (round-4 grouped4 crashed the
+# worker there).
+# ---------------------------------------------------------------------------
+
+def v_batched_einsum(qq, cand, codes, resid, scales, mask, cent, weights):
+    cg = jnp.take(codes, cand, axis=0).astype(jnp.int32)
+    pg = jnp.take(resid, cand, axis=0)
+    mg = jnp.take(mask, cand, axis=0)
+    sg = jnp.take(scales, cand, axis=0).astype(jnp.float32)
+    tok = decompress(cg, pg, cent, weights, NBITS)        # (B,C,Ld,dim) bf16
+    s = jnp.einsum("bcld,bqd->bclq", tok, qq.astype(tok.dtype),
+                   preferred_element_type=jnp.float32)
+    s = s * sg[..., None]
+    s = jnp.where(mg.astype(bool)[..., None], s, NEG_INF)
+    sc = jnp.sum(jnp.max(s, axis=2), axis=-1)             # (B, C)
+    top, _ = jax.lax.top_k(sc, K)
+    return top
+
+
+if os.environ.get("EXP_ROUND5", "0") == "1":
+    for C in (256, 1024):
+        cand = make_cand(C)
+        timeit(f"batched_einsum_sepgather_C{C}", v_batched_einsum,
+               (cand,) + FULL)
+    records = jax.block_until_ready(make_records(codes, scales, resid))
+    cand = make_cand(256)
+    timeit("grouped32_records_C256", lambda qq, *a: v_grouped(
+        qq, *a, g=32), (cand, records, mask, cent, weights))
+    sb = np.asarray(v_baseline(q, cand, *FULL))
+    sv = np.asarray(v_batched_einsum(q, cand, *FULL))
+    print("baseline-vs-batched-einsum max rel err:",
+          float(np.max(np.abs(sb - sv) / (np.abs(sb) + 1e-6))), flush=True)
+
+
+# Round 6 (EXP_ROUND6=1): records + fully-batched at C=1024 (memory
+# check) and a bf16 score-intermediate variant to halve the (B,C,Ld,Lq)
+# traffic at large C.
+if os.environ.get("EXP_ROUND6", "0") == "1":
+    records = jax.block_until_ready(make_records(codes, scales, resid))
+    cand = make_cand(1024)
+    try:
+        timeit("grouped32_records_C1024", lambda qq, *a: v_grouped(
+            qq, *a, g=32), (cand, records, mask, cent, weights))
+    except Exception as e:
+        print("grouped32_records_C1024 FAILED:", str(e)[:200], flush=True)
+    try:
+        timeit("grouped32_records_bf16_C1024", lambda qq, *a: v_grouped(
+            qq, *a, g=32, sdtype=jnp.bfloat16),
+            (cand, records, mask, cent, weights))
+    except Exception as e:
+        print("grouped32_bf16_C1024 FAILED:", str(e)[:200], flush=True)
+    cand = make_cand(256)
+    sb = np.asarray(v_baseline(q, cand, *FULL))
+    sbf = np.asarray(v_grouped(q, cand, records, mask, cent, weights,
+                               g=32, sdtype=jnp.bfloat16))
+    print("baseline-vs-g32-bf16 max rel err:",
+          float(np.max(np.abs(sb - sbf) / (np.abs(sb) + 1e-6))),
+          flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (EXP_ROUND7=1): does the records+batched win survive at the
+# REAL 1M table size? (The 1M bench regressed at C=1024 after the
+# integration: 15.1 ms vs 12.5 per-query/separate — table-size-dependent
+# gather behavior suspected.)
+# ---------------------------------------------------------------------------
+
+def v_records_batched(qq, cand, records, mask, cent, weights):
+    from ravqa_tpu.ops.residual import split_records as _sr
+    b, c = cand.shape
+    rg = jnp.take(records, cand, axis=0)
+    cg, sg, pg = _sr(rg, LD)
+    mg = jnp.take(mask, cand, axis=0)
+    tok = decompress(cg, pg, cent, weights, NBITS)
+    s = jnp.einsum("bcld,bqd->bclq", tok, qq.astype(tok.dtype),
+                   preferred_element_type=jnp.float32)
+    s = s * sg[..., None]
+    s = jnp.where(mg.astype(bool)[..., None], s, NEG_INF)
+    sc = jnp.sum(jnp.max(s, axis=2), axis=-1)
+    top, _ = jax.lax.top_k(sc, K)
+    return top
+
+
+def v_records_perq(qq, cand, records, mask, cent, weights):
+    from ravqa_tpu.ops.residual import split_records as _sr
+    rg = jnp.take(records, cand, axis=0)
+    cg, sg, pg = _sr(rg, LD)
+    mg = jnp.take(mask, cand, axis=0)
+
+    def fine(args):
+        qi, cgi, pgi, mgi, sgi = args
+        tok = decompress(cgi, pgi, cent, weights, NBITS)
+        s = jnp.einsum("cld,qd->clq", tok, qi.astype(tok.dtype),
+                       preferred_element_type=jnp.float32)
+        s = s * sgi[:, :, None]
+        s = jnp.where(mgi.astype(bool)[:, :, None], s, NEG_INF)
+        sc = jnp.sum(jnp.max(s, axis=1), axis=-1)
+        top_s, _ = jax.lax.top_k(sc, K)
+        return top_s
+    return jax.lax.map(fine, (qq.astype(jnp.float32), cg, pg, mg, sg))
+
+
+if os.environ.get("EXP_ROUND7", "0") == "1":
+    NBIG = int(os.environ.get("EXP_N", 1_000_448))
+    print(f"rebuilding at N={NBIG}", flush=True)
+    N = NBIG
+
+    @jax.jit
+    def build_big(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        codes_b = jax.random.randint(k1, (N, LD), 0, N_CENT, jnp.int32)
+        resid_b = jax.random.randint(k2, (N, LD, PACKED), 0, 256,
+                                     jnp.int32).astype(jnp.uint8)
+        scales_b = (1.0 + 0.01 * jax.random.normal(k3, (N, LD))) \
+            .astype(jnp.bfloat16)
+        from ravqa_tpu.ops.residual import pack_records as pr
+        return pr(codes_b, scales_b, resid_b)
+
+    records = jax.block_until_ready(build_big(jax.random.PRNGKey(2)))
+    mask = jnp.ones((N, LD), jnp.int8)
+    print(f"records {records.nbytes / 2**30:.2f} GiB", flush=True)
+    for C in (256, 1024):
+        cand = jnp.asarray(rngc.integers(0, N, (B, C)), jnp.int32)
+        timeit(f"1M_records_gather_C{C}", lambda qq, cand, recs:
+               jnp.take(recs, cand, axis=0).astype(jnp.int32).sum()
+               .reshape(1, 1), (cand, records))
+        timeit(f"1M_records_batched_C{C}", v_records_batched,
+               (cand, records, mask, cent, weights))
+        timeit(f"1M_records_perq_C{C}", v_records_perq,
+               (cand, records, mask, cent, weights))

@@ -149,20 +149,3 @@ def test_ib_loss_gradients_flow():
     g = jax.grad(f)(q)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
-
-
-def test_gather_kernel_interpret_matches_xla():
-    """Scalar-prefetch gather+MaxSim kernel == gathered XLA scores."""
-    from jax.experimental.pallas import tpu as pltpu
-    from ravqa_tpu.ops.maxsim import maxsim_gather_pallas
-    rng = np.random.default_rng(11)
-    b, lq, n, ld, dim, c = 3, 8, 32, 16, 128, 8
-    q = jnp.array(rng.normal(size=(b, lq, dim)), jnp.float32)
-    toks = jnp.array(rng.normal(size=(n, ld, dim)), jnp.float32)
-    mask = jnp.array((rng.random((n, ld)) > 0.2), jnp.float32)
-    cand = jnp.array(rng.integers(0, n, (b, c)), jnp.int32)
-    with pltpu.force_tpu_interpret_mode():
-        got = np.asarray(maxsim_gather_pallas(q, toks, mask, cand))
-    full = np.asarray(maxsim_search_xla(q, toks, mask))
-    want = np.take_along_axis(full, np.asarray(cand), axis=1)
-    np.testing.assert_allclose(got, want, rtol=1e-4)
