@@ -416,9 +416,12 @@ def build_server(cfg, data, mesh, log_dir: str):
     from .serving import RetrievalServer, ServeConfig, VQAServer
 
     sv = cfg.get("serve", Config())
+    bb = sv.get("batch_buckets")
     sc = ServeConfig(max_batch=sv.get("max_batch", 32),
                      max_wait_ms=sv.get("max_wait_ms", 2.0),
-                     k=sv.get("k", 10))
+                     k=sv.get("k", 10),
+                     max_queue=sv.get("max_queue", 0),
+                     batch_buckets=tuple(bb) if bb else None)
     tc = cfg.get("train", Config())
     mc = cfg.model_config
     # same default as _flmr_config_from — a mismatched zero-feature shape
@@ -554,8 +557,16 @@ def main(argv=None):
 
     if args.mode == "train":
         ckpt = tc.get("load_model_path")
+        auto = os.path.join(log_dir, "ckpt")
         if ckpt:
             ex.load_checkpoint(ckpt)
+        elif tc.get("auto_resume") and os.path.exists(
+                os.path.join(auto, "params.msgpack")):
+            # Lightning resume_from_checkpoint semantics: checkpoints now
+            # carry opt_state + rng, so a restarted job continues
+            # bit-identically (schedule position included)
+            print(f"auto-resuming from {auto}", flush=True)
+            ex.load_checkpoint(auto)
         batches = _maybe_prefetch(
             data["train"].loader(batch_size=tc.get("batch_size", 8),
                                  shuffle=True, seed=cfg.get("seed", 0)),

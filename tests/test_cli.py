@@ -231,3 +231,26 @@ def test_cli_rag_static_retrieval_handoff(log_dir):
     metrics = json.load(open(os.path.join(log_dir, "rs",
                                           "test_rag_metrics.json")))
     assert "vqa_accuracy" in metrics
+
+
+def test_cli_auto_resume(tmp_path):
+    """train.auto_resume: a restarted `--mode train` job picks up the
+    log-dir checkpoint (full state — opt_state/rng ride along)."""
+    cfg = json.load(open(os.path.join(CFG_DIR, "synthetic_flmr.json")))
+    cfg.setdefault("train", {})
+    cfg["train"].update({"total_steps": 4, "log_every": 2,
+                         "auto_resume": True})
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(cfg))
+    ld = str(tmp_path / "exp")
+    args = ["--config", str(p), "--mode", "train", "--log_dir", ld,
+            "--experiment_name", "r"]
+    assert main(args) == 0
+    import glob
+    step_files = glob.glob(os.path.join(ld, "**", "step.json"),
+                           recursive=True)
+    assert len(step_files) == 1, step_files
+    assert json.load(open(step_files[0]))["step"] == 4
+    # second run resumes from step 4 and advances to 8
+    assert main(args) == 0
+    assert json.load(open(step_files[0]))["step"] == 8
