@@ -291,3 +291,46 @@ def test_batched_and_perquery_fine_stage_agree(monkeypatch):
     np.testing.assert_array_equal(outs["perq"][1], outs["batched"][1])
     np.testing.assert_allclose(outs["perq"][0], outs["batched"][0],
                                rtol=2e-3, atol=1e-3)
+
+
+def test_load_migrates_legacy_separate_array_save(clustered, tmp_path):
+    """Round-2 saves stored codes/residuals/scales as SEPARATE npz
+    arrays; load_index must repack them into record rows and search
+    identically."""
+    import json
+    import os
+    toks, mask, q, _, _ = clustered
+    idx = build_index_from_embeddings(toks, mask, pad_multiple=64,
+                                      dtype=jnp.float32)
+    idx.build_summaries(n_summary=2)
+    idx.quantize_residual(n_centroids=64, nbits=2)
+    s = LateInteractionSearcher(idx, mode="two_stage", use_pallas=False,
+                                n_candidates=128)
+    _, rows0 = s.search_device(jnp.asarray(q), k=5)
+
+    # write the ROUND-2 on-disk layout by hand from the unpacked arrays
+    codes, scales, packed = idx.unpack_residual()
+    path = str(tmp_path / "legacy2")
+    os.makedirs(path)
+    np.savez(os.path.join(path, "index.npz"),
+             mask=np.asarray(idx.mask, np.int8), pids=idx.pids,
+             scales=np.asarray(scales.astype(jnp.bfloat16))
+             .view(np.uint16),
+             codes=np.asarray(codes, np.int16),
+             residuals=np.asarray(packed, np.uint8),
+             codec_centroids=np.asarray(idx.codec_centroids, np.float32),
+             codec_weights=np.asarray(idx.codec_weights, np.float32),
+             summaries=np.asarray(idx.summaries, np.float32))
+    with open(os.path.join(path, "metadata.json"), "w") as f:
+        json.dump({"num_docs": idx.num_docs, "quantized": True,
+                   "scales_dtype": "bfloat16", "nbits": 2,
+                   "residual_layout": "planar", "dim": idx.dim}, f)
+
+    idx2 = load_index(path, dtype=jnp.float32)
+    assert idx2.records is not None
+    np.testing.assert_array_equal(np.asarray(idx2.records),
+                                  np.asarray(idx.records))
+    s2 = LateInteractionSearcher(idx2, mode="two_stage", use_pallas=False,
+                                 n_candidates=128)
+    _, rows2 = s2.search_device(jnp.asarray(q), k=5)
+    np.testing.assert_array_equal(np.asarray(rows0), np.asarray(rows2))
