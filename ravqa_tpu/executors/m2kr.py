@@ -151,6 +151,12 @@ def multitask_loader(tasks: Sequence[M2KRTask], batch_size: int,
     compiled step; the mixture is over batches, per the sampled weights."""
     probs = task_mixture_weights(tasks, sampling, temperature, ratios)
     rng = np.random.default_rng(seed)
+    for t in tasks:
+        n = len(t.train_dataset or t.dataset)
+        assert n >= batch_size, \
+            (f"task '{t.name}' has {n} items < batch_size {batch_size} "
+             "(the static-shape loader drops incomplete batches, so this "
+             "task would never yield)")
     iters = {t.name: iter((t.train_dataset or t.dataset).loader(
         batch_size, shuffle=True, seed=seed + 31 * i))
         for i, t in enumerate(tasks)}
