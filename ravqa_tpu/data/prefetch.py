@@ -63,16 +63,42 @@ def prefetch(batches: Iterable, size: int = 2,
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    try:
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-    finally:
-        stop.set()
+
+    def consume():
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    return _PrefetchIterator(consume())
+
+
+class _PrefetchIterator:
+    """Iterator wrapper marking prefetch-OWNED streams: consumers that
+    finish early (fit() ending at `steps`, early stop) may close() it to
+    stop the daemon producer deterministically; generic caller-owned
+    generators must NOT be closed by fit (a second fit() on the same
+    loader would silently train zero steps)."""
+
+    _ravqa_prefetch_owned = True
+
+    def __init__(self, gen):
+        self._gen = gen
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return next(self._gen)
+
+    def close(self):
+        self._gen.close()
 
 
 def prefetch_to_device(batches: Iterable, size: int = 2,

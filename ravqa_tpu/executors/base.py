@@ -310,9 +310,11 @@ class BaseExecutor:
             # a prefetch iterator abandoned mid-stream (fit ending at
             # `steps`, early stop, or an exception) would otherwise leave
             # its daemon producer parked holding `size` device-resident
-            # batches until GC; generator .close() runs its finally block,
-            # which sets the producer's stop event deterministically
-            if hasattr(batches, "close"):
+            # batches until GC; close() sets the producer's stop event
+            # deterministically. ONLY prefetch-owned streams are closed —
+            # a caller-owned generator must survive for a later fit()
+            # continuation (chunked training).
+            if getattr(batches, "_ravqa_prefetch_owned", False):
                 batches.close()
         return last_metrics
 
@@ -384,19 +386,23 @@ class BaseExecutor:
     def load_checkpoint_orbax(self, path: str):
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
+        p = os.path.abspath(os.path.join(path, "orbax"))
         target = {"params": jax.device_get(self.state.params),
                   "opt_state": jax.device_get(self.state.opt_state),
                   "rng": jax.device_get(self.state.rng),
                   "step": jax.device_get(self.state.step)}
-        try:
+        # decide the pre-round-3 (params+step only) fallback from what the
+        # checkpoint actually CONTAINS — a failed restore of a full
+        # checkpoint (fs error, shape mismatch) must raise, not silently
+        # reset Adam moments/schedule/rng
+        md = ckptr.metadata(p)
+        tree = getattr(md, "item_metadata", None) or getattr(md, "tree", md)
+        has_opt = "opt_state" in tree
+        if has_opt:
+            restored = ckptr.restore(p, target)
+        else:
             restored = ckptr.restore(
-                os.path.abspath(os.path.join(path, "orbax")), target)
-        except Exception:
-            # pre-round-3 checkpoint: params+step only — fall back to a
-            # fresh opt_state (resume resets moments/schedule; logged)
-            restored = ckptr.restore(
-                os.path.abspath(os.path.join(path, "orbax")),
-                {"params": target["params"], "step": target["step"]})
+                p, {"params": target["params"], "step": target["step"]})
             restored["opt_state"] = self.tx.init(restored["params"])
             restored["rng"] = self.state.rng
             self.logger.log({"ckpt_opt_state_missing": 1},

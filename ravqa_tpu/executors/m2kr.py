@@ -149,6 +149,9 @@ def multitask_loader(tasks: Sequence[M2KRTask], batch_size: int,
     """Infinite iterator of (task_name, batch): each batch is HOMOGENEOUS
     (drawn whole from one task) so its static shapes hit that task's
     compiled step; the mixture is over batches, per the sampled weights."""
+    names_all = [t.name for t in tasks]
+    assert len(set(names_all)) == len(names_all), \
+        f"duplicate task names: {names_all} (iterators are keyed by name)"
     probs = task_mixture_weights(tasks, sampling, temperature, ratios)
     rng = np.random.default_rng(seed)
     for t in tasks:
@@ -190,9 +193,13 @@ def train_m2kr(executor: FLMRExecutor, tasks: Sequence[M2KRTask],
     for step in range(steps):
         name, batch = next(loader)
         metrics = executor.train_step(batch)
-        task_loss[name] = float(metrics["loss"])
+        # keep the loss ON DEVICE between log points — float() here would
+        # block host-device async dispatch every step (BaseExecutor floats
+        # metrics only at log boundaries for the same reason)
+        task_loss[name] = metrics["loss"]
         task_count[name] = task_count.get(name, 0) + 1
         if (step + 1) % log_every == 0 or step == steps - 1:
+            task_loss = {n: float(v) for n, v in task_loss.items()}
             rec = {f"{n}/loss": v for n, v in task_loss.items()}
             rec.update({f"{n}/batches": c for n, c in task_count.items()})
             executor.logger.log(rec, int(executor.state.step),
@@ -203,5 +210,6 @@ def train_m2kr(executor: FLMRExecutor, tasks: Sequence[M2KRTask],
             executor.logger.log(res["_flat"], int(executor.state.step),
                                 prefix="eval/")
             eval_history.append(res)
-    return {"per_task_loss": task_loss, "per_task_batches": task_count,
+    return {"per_task_loss": {n: float(v) for n, v in task_loss.items()},
+            "per_task_batches": task_count,
             "eval_history": eval_history}

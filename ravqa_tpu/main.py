@@ -558,21 +558,25 @@ def main(argv=None):
     if args.mode == "train":
         ckpt = tc.get("load_model_path")
         auto = os.path.join(log_dir, "ckpt")
+        steps = tc.get("total_steps", 100)
         if ckpt:
             ex.load_checkpoint(ckpt)
         elif tc.get("auto_resume") and os.path.exists(
                 os.path.join(auto, "params.msgpack")):
             # Lightning resume_from_checkpoint semantics: checkpoints now
             # carry opt_state + rng, so a restarted job continues
-            # bit-identically (schedule position included)
+            # bit-identically (schedule position included) and trains only
+            # the REMAINING budget — an already-finished job restarts as a
+            # no-op instead of over-training past the schedule horizon
             print(f"auto-resuming from {auto}", flush=True)
             ex.load_checkpoint(auto)
+            steps = max(steps - int(ex.state.step), 0)
         batches = _maybe_prefetch(
             data["train"].loader(batch_size=tc.get("batch_size", 8),
                                  shuffle=True, seed=cfg.get("seed", 0)),
             tc, mesh)
         ckpt_manager, early_stopping = _callbacks_from(cfg, log_dir)
-        ex.fit(batches, steps=tc.get("total_steps", 100),
+        ex.fit(batches, steps=steps,
                log_every=tc.get("log_every", 20),
                val_every=tc.get("val_every"),
                val_fn=lambda: run_eval(cfg, ex, data, log_dir, "valid"),

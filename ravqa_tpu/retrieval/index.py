@@ -405,6 +405,12 @@ def load_index(path: str, dtype=jnp.bfloat16, mesh: Optional[Mesh] = None,
             # predating reconstruction-norm storage)
             from ..ops.residual import pack_records
             codes_np = z["codes"]
+            if codes_np.size and int(codes_np.max()) >= 65536:
+                raise ValueError(
+                    f"legacy residual index at {path} uses "
+                    f"{int(codes_np.max()) + 1}+ centroids; record rows "
+                    "store uint16 codes (max 65536) — re-build the index "
+                    "with n_centroids <= 65536")
             if scales is None:
                 scales = jnp.ones(codes_np.shape, jnp.bfloat16)
             records = pack_records(jnp.asarray(codes_np, jnp.int32),

@@ -23,8 +23,10 @@ def build(key):
     q = q * jax.lax.rsqrt(jnp.sum(q.astype(jnp.float32)**2, -1, keepdims=True) + 1e-9).astype(dt)
     return sm, q
 
+print("building...", flush=True)
 summ, q = jax.block_until_ready(build(jax.random.PRNGKey(0)))
 ones = jnp.ones(summ.shape[:2], jnp.float32)
+print("built", flush=True)
 
 def timeit(name, fn, iters=8):
     @jax.jit
@@ -34,6 +36,7 @@ def timeit(name, fn, iters=8):
             return qq + (out.reshape(-1)[0] * 1e-9).astype(qq.dtype), ()
         qq, _ = jax.lax.scan(body, qq0, None, length=iters)
         return qq[:1, :1, :1]
+    print(f"compiling {name}...", flush=True)
     _ = np.asarray(run(q))
     t0 = time.perf_counter()
     _ = np.asarray(run(q))

@@ -101,12 +101,26 @@ def v_gathers(qq, cand, codes, resid, scales, mask):
 
 
 def v_baseline(qq, cand, codes, resid, scales, mask, cent, weights):
-    from ravqa_tpu.retrieval.coarse import _fine_stage
-    s, _ = _fine_stage(qq, cand, None, mask, k=K,
-                       scales=scales.astype(jnp.float32), codes=codes,
-                       residuals=resid, centroids=cent,
-                       bucket_weights=weights, nbits=NBITS)
-    return s
+    """FROZEN copy of the round-2 production fine stage (separate-array
+    batched gathers + per-query decompress/score lax.map) — the library
+    has since moved to packed records, so this baseline lives here for
+    reproducibility of the comparison numbers."""
+    cg = jnp.take(codes, cand, axis=0).astype(jnp.int32)
+    pg = jnp.take(resid, cand, axis=0)
+    mg = jnp.take(mask, cand, axis=0)
+    sg = jnp.take(scales, cand, axis=0).astype(jnp.float32)
+
+    def fine_res(args):
+        qi, cgi, pgi, mgi, sgi = args
+        tok = decompress(cgi, pgi, cent, weights, NBITS)
+        sc = jnp.einsum("cld,qd->clq", tok, qi.astype(tok.dtype),
+                        preferred_element_type=jnp.float32)
+        sc = sc * sgi[:, :, None]
+        sc = jnp.where(mgi.astype(bool)[:, :, None], sc, NEG_INF)
+        per = jnp.sum(jnp.max(sc, axis=1), axis=-1)
+        top_s, _ = jax.lax.top_k(per, K)
+        return top_s
+    return jax.lax.map(fine_res, (qq.astype(jnp.float32), cg, pg, mg, sg))
 
 
 def v_cqsplit(qq, cand, codes, resid, scales, mask, cent, weights):
@@ -628,3 +642,53 @@ if os.environ.get("EXP_ROUND7", "0") == "1":
                (cand, records, mask, cent, weights))
         timeit(f"1M_records_perq_C{C}", v_records_perq,
                (cand, records, mask, cent, weights))
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (EXP_ROUND8=1): why does the batched fine stage regress ONLY
+# when integrated? Isolated (cand = program input) it wins 2.8x; inside
+# hierarchical_search it loses. Here cand is COMPUTED in-program from a
+# dummy coarse score -> top_k, isolating "cand is a producer" from
+# "hierarchical stages 0-1 specifically".
+# ---------------------------------------------------------------------------
+
+if os.environ.get("EXP_ROUND8", "0") == "1":
+    NBIG = 1_000_448
+    N = NBIG
+
+    @jax.jit
+    def build_big(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        codes_b = jax.random.randint(k1, (N, LD), 0, N_CENT, jnp.int32)
+        resid_b = jax.random.randint(k2, (N, LD, PACKED), 0, 256,
+                                     jnp.int32).astype(jnp.uint8)
+        scales_b = (1.0 + 0.01 * jax.random.normal(k3, (N, LD))) \
+            .astype(jnp.bfloat16)
+        from ravqa_tpu.ops.residual import pack_records as pr
+        return pr(codes_b, scales_b, resid_b)
+
+    print("round8: building 1M records...", flush=True)
+    records = jax.block_until_ready(build_big(jax.random.PRNGKey(2)))
+    mask = jnp.ones((N, LD), jnp.int8)
+    # dummy per-doc base scores: one small matmul vs doc "keys"
+    dkeys = jax.block_until_ready(jax.random.normal(
+        jax.random.PRNGKey(3), (N, DIM), jnp.bfloat16))
+    print("round8: built", flush=True)
+
+    def with_computed_cand(stage2):
+        def fn(qq, records, mask, cent, weights, dkeys, C):
+            # (N, d) @ (d, B): summed-query key scores — cheap, no giant
+            # intermediate, but cand is genuinely DATA-DEPENDENT
+            qsum = jnp.sum(qq.astype(jnp.bfloat16), axis=1)    # (B, d)
+            approx = jnp.einsum("nd,bd->bn", dkeys, qsum,
+                                preferred_element_type=jnp.float32)
+            _, cand = jax.lax.top_k(approx, C)         # computed cand
+            return stage2(qq, cand, records, mask, cent, weights)
+        return fn
+
+    for C in (256, 1024):
+        for name, s2 in (("batched", v_records_batched),
+                         ("perq", v_records_perq)):
+            timeit(f"computedcand_{name}_C{C}",
+                   lambda qq, *a, s2=s2, C=C: with_computed_cand(s2)(
+                       qq, *a, C), (records, mask, cent, weights, dkeys))

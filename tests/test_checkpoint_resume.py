@@ -190,3 +190,25 @@ def test_fsdp_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(jax.device_get(ex.state.params)),
                     jax.tree.leaves(jax.device_get(ex2.state.params))):
         np.testing.assert_array_equal(a, b)
+
+
+def test_orbax_params_only_fallback_and_full_restore_errors(tmp_path):
+    """A pre-round-3 orbax checkpoint (params+step only) loads with a
+    fresh opt_state; the fallback is keyed on the checkpoint CONTENTS,
+    not on swallowing restore errors."""
+    import orbax.checkpoint as ocp
+    import os
+    model, params, batches = make_world(n_batches=2)
+    ex = FLMRExecutor(model, params, TRAIN_CFG, quiet=True)
+    ex.train_step(batches[0])
+    # write an old-format checkpoint by hand
+    ckptr = ocp.StandardCheckpointer()
+    p = os.path.abspath(str(tmp_path / "old" / "orbax"))
+    ckptr.save(p, {"params": jax.device_get(ex.state.params),
+                   "step": jax.device_get(ex.state.step)}, force=True)
+    ckptr.wait_until_finished()
+    ex2 = FLMRExecutor(model, params, TRAIN_CFG, quiet=True)
+    ex2.load_checkpoint_orbax(str(tmp_path / "old"))
+    assert int(ex2.state.step) == 1
+    m = ex2.train_step(batches[1])
+    assert np.isfinite(float(m["loss"]))

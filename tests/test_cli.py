@@ -251,6 +251,12 @@ def test_cli_auto_resume(tmp_path):
                            recursive=True)
     assert len(step_files) == 1, step_files
     assert json.load(open(step_files[0]))["step"] == 4
-    # second run resumes from step 4 and advances to 8
+    # restart of a FINISHED job is a no-op (trains only the remaining
+    # budget — no over-training past the schedule horizon)
     assert main(args) == 0
-    assert json.load(open(step_files[0]))["step"] == 8
+    assert json.load(open(step_files[0]))["step"] == 4
+    # raising the budget resumes from step 4 and trains the 2 new steps
+    cfg["train"]["total_steps"] = 6
+    p.write_text(json.dumps(cfg))
+    assert main(args) == 0
+    assert json.load(open(step_files[0]))["step"] == 6
