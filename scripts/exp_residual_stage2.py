@@ -650,6 +650,13 @@ if os.environ.get("EXP_ROUND7", "0") == "1":
 # hierarchical_search it loses. Here cand is COMPUTED in-program from a
 # dummy coarse score -> top_k, isolating "cand is a producer" from
 # "hierarchical stages 0-1 specifically".
+#
+# MEASURED (v5e, 1M records): computedcand batched/perq 28.5/27.8 ms at
+# C=256 and 39.7/35.2 ms at C=1024 — the dense dummy coarse dominates
+# and batched is equal-or-worse, so a data-dependent candidate alone
+# does NOT reproduce the integrated regression; the interaction is
+# specific to the hierarchical stage-0/1 schedule. Per-query default
+# stands.
 # ---------------------------------------------------------------------------
 
 if os.environ.get("EXP_ROUND8", "0") == "1":
