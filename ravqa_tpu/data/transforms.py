@@ -104,8 +104,9 @@ class LoadOscarCaptionFeatures(BaseTransform):
         return {"caption_features": captions}
 
 
-def _resize_host(im: np.ndarray, size: int) -> np.ndarray:
-    """Host-side bilinear resize to (size, size, 3), half-pixel centers.
+def _resize_host(im: np.ndarray, size) -> np.ndarray:
+    """Host-side bilinear resize to (size, size, 3) — or (h, w, 3) when
+    `size` is a (h, w) tuple — with half-pixel centers.
 
     ROI crops have essentially unique (h, w) shapes; an eager
     jax.image.resize would compile one XLA program PER DISTINCT SHAPE
@@ -114,9 +115,10 @@ def _resize_host(im: np.ndarray, size: int) -> np.ndarray:
     im = np.asarray(im, np.float32)
     if im.ndim == 2:
         im = np.repeat(im[:, :, None], 3, axis=2)
+    th, tw = (size, size) if isinstance(size, int) else size
     h, w = im.shape[:2]
-    ys = np.clip((np.arange(size) + 0.5) * h / size - 0.5, 0, h - 1)
-    xs = np.clip((np.arange(size) + 0.5) * w / size - 0.5, 0, w - 1)
+    ys = np.clip((np.arange(th) + 0.5) * h / th - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(tw) + 0.5) * w / tw - 0.5, 0, w - 1)
     y0 = np.floor(ys).astype(np.int64)
     x0 = np.floor(xs).astype(np.int64)
     y1 = np.minimum(y0 + 1, h - 1)

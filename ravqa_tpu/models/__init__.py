@@ -11,6 +11,9 @@ from .generation import beam_generate, greedy_generate
 from .rag import (GeneratorInputBuilder, get_retrieval_labels,
                   rag_loss_components, select_answers_by_joint_score)
 from .lora import count_lora_params, init_lora, merge_lora
+from .detection import AttrRCNN, DetectorConfig, convert_vinvl_params
+from .captioner import (CaptionerConfig, OscarCaptioner,
+                        convert_oscar_captioner_params, greedy_caption)
 
 __all__ = [
     "EncoderConfig", "TransformerEncoder", "quick_gelu",
@@ -26,4 +29,7 @@ __all__ = [
     "GeneratorInputBuilder", "get_retrieval_labels", "rag_loss_components",
     "select_answers_by_joint_score",
     "count_lora_params", "init_lora", "merge_lora",
+    "AttrRCNN", "DetectorConfig", "convert_vinvl_params",
+    "CaptionerConfig", "OscarCaptioner", "convert_oscar_captioner_params",
+    "greedy_caption",
 ]
