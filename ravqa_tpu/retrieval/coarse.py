@@ -78,24 +78,56 @@ def coarse_scores(q: jax.Array, summaries: jax.Array,
     return jnp.sum(per_q, axis=-1).T                # (B, N)
 
 
-# Fully-batched residual fine stage gate. ISOLATED (candidates supplied
-# externally) the batched decompress+einsum wins big on v5e — 1.5/2.6 ms
-# vs per-query 4.9/7.2 ms at C=256/1024 on a 1M index — but INTEGRATED
-# inside hierarchical_search it consistently REGRESSES the whole program
-# (15.1 vs 11.0 ms at B128/C1024; 4.8 vs 4.4 at B64/C256, 1M docs):
-# XLA's schedule/layout for stages 0-1 degrades around the big batched
-# intermediate. Default is therefore the per-query path (0); set
-# RAVQA_FINE_BATCH_BUDGET (bytes allowed for the (B,C,Ld,Lq) f32 score
-# intermediate) to enable batching when profiling shows it wins for a
-# given deployment. Numbers: scripts/exp_residual_stage2.py rounds 3-7.
-import os as _os
-_FINE_BATCH_BUDGET = int(_os.environ.get("RAVQA_FINE_BATCH_BUDGET", 0))
+# A fully-batched residual fine stage (one (B,C,...) decompress+einsum
+# instead of the per-query lax.map) was prototyped in rounds 3-8 and
+# looked 2.7-3.3x faster ISOLATED but regressed INTEGRATED. Round 10
+# (scripts/exp_hier_integration.py) closed the mystery: the isolated win
+# was a TIMING ARTIFACT — with loop-invariant candidates, XLA hoists the
+# candidate gather AND decompress (neither depends on the scanned query)
+# out of the timing loop, which is only possible in the batched variant
+# (the per-query work sits inside lax.map and cannot be hoisted). With
+# data-dependent candidates — i.e. any real search — per-query wins at
+# every measured shape (1M docs, v5e: 3.6 vs 4.1 ms at C=256, 9.1 vs
+# 13.3 ms at C=1024), so the batched path was removed.
+
+
+def _resolve_group(group_size: int, b: int) -> int:
+    """Static query-group size for the grouped lax.map fine stages.
+
+    0 -> auto (8): each lax.map iteration carries ~18 us fixed overhead
+    on v5e (probe in scripts/exp_hier_112k.py), so queries are scored in
+    groups — g=8 measured fastest at the 112k bench shape (20.4k QPS vs
+    17.0k per-query), while g=16 and full batching (g=B) regress (the
+    bigger gathered-token / score intermediates cost more HBM bandwidth
+    than the map overhead they save). Explicit or auto sizes are clamped
+    to a divisor of the query batch."""
+    if group_size <= 0:
+        group_size = 8
+    g = min(group_size, b)
+    while b % g:
+        g -= 1
+    return g
+
+
+def _score_group_tokens(qi, cand_i, tokens, mask, scales):
+    """(g, Lq, dim) f32 queries x (g, C) candidate rows -> (g, C) exact
+    MaxSim over the gathered full-resolution (bf16/int8) token rows."""
+    tok = jnp.take(tokens, cand_i, axis=0)               # (g, C, Ld, dim)
+    s = jnp.einsum("gcld,gqd->gclq", tok.astype(jnp.float32), qi,
+                   preferred_element_type=jnp.float32)
+    msk = jnp.take(mask, cand_i, axis=0)
+    if scales is not None:                               # int8 index
+        scl = jnp.take(scales, cand_i, axis=0)           # (g, C, Ld)
+        s = s * scl[..., None]
+    s = jnp.where(msk.astype(bool)[..., None], s, NEG_INF)
+    return jnp.sum(jnp.max(s, axis=2), axis=-1)          # (g, C)
 
 
 def _fine_stage(q, cand, tokens, mask, *, k: int,
                 scales=None, records=None, centroids=None,
                 bucket_weights=None, nbits: int = 0,
-                use_pallas_residual: bool = False):
+                use_pallas_residual: bool = False,
+                group_size: int = 0):
     """Exact re-score of per-query candidate sets -> (scores (B,k), rows).
 
     Shared by two_stage_search (fine stage) and hierarchical_search
@@ -110,9 +142,8 @@ def _fine_stage(q, cand, tokens, mask, *, k: int,
         # scripts/exp_residual_stage2.py), then decompress+score.
         from ..ops.residual import (decompress, maxsim_residual_pallas,
                                     split_records)
-        b, c = cand.shape
+        c = cand.shape[1]
         ld = mask.shape[1]
-        lq = q.shape[1]
         rg = jnp.take(records, cand, axis=0)                 # (B, C, RB)
         cg, sg, pg = split_records(rg, ld)
         mg = jnp.take(mask, cand, axis=0)
@@ -121,7 +152,7 @@ def _fine_stage(q, cand, tokens, mask, *, k: int,
             # fused decompress+MaxSim kernel: candidates stay packed all
             # the way into VMEM (ops.residual.maxsim_residual_pallas).
             # Gated to small codebooks — its in-VMEM one-hot centroid
-            # matmul scales with K; the batched XLA path wins at K=8192.
+            # matmul scales with K; the XLA path wins at K=8192.
             tc = 32
             while c % tc:
                 tc //= 2
@@ -131,21 +162,11 @@ def _fine_stage(q, cand, tokens, mask, *, k: int,
             top_s, sel = jax.lax.top_k(sc, k)
             return top_s, jnp.take_along_axis(cand, sel, axis=1)
 
-        if b * c * ld * lq * 4 <= _FINE_BATCH_BUDGET:
+        def fine_res(args):
             # decompress to bf16, MXU bf16 x bf16 (f32 accum): bucket-
             # quantization error >> bf16 rounding. Reconstruction-norm
             # scales carry the reference's post-decompress L2
             # normalization (residual.py:273-276) into the scores.
-            tok = decompress(cg, pg, centroids, bucket_weights, nbits)
-            s = jnp.einsum("bcld,bqd->bclq", tok, q.astype(tok.dtype),
-                           preferred_element_type=jnp.float32)
-            s = s * sg[..., None]
-            s = jnp.where(mg.astype(bool)[..., None], s, NEG_INF)
-            sc = jnp.sum(jnp.max(s, axis=2), axis=-1)        # (B, C)
-            top_s, sel = jax.lax.top_k(sc, k)
-            return top_s, jnp.take_along_axis(cand, sel, axis=1)
-
-        def fine_res(args):                                  # large-C path
             qi, cand_i, cgi, pgi, mgi, sgi = args
             tok = decompress(cgi, pgi, centroids, bucket_weights, nbits)
             s = jnp.einsum("cld,qd->clq", tok, qi.astype(tok.dtype),
@@ -159,35 +180,31 @@ def _fine_stage(q, cand, tokens, mask, *, k: int,
         return jax.lax.map(fine_res,
                            (q.astype(jnp.float32), cand, cg, pg, mg, sg))
 
-    # Per-query fine stage via lax.map: XLA fuses the gather + einsum + max
-    # per query without materializing the (B, C, Ld, Lq) tensor. Measured
-    # faster than the fully-vectorized batched einsum (whose HBM-resident
-    # f32 intermediate costs more bandwidth than the serialization saves):
-    # C=256: 3486 vs 3215 QPS; C=1024: 2664 vs 2001 QPS on v5e. The big
-    # bf16/int8 token rows stay per-query too: batching THEIR gather would
-    # materialize (B, C, Ld, dim) — hundreds of MB — for an overhead saving
-    # that only matters for small compressed rows.
-    def fine_one(args):
-        qi, cand_i = args
-        tok = jnp.take(tokens, cand_i, axis=0)               # (C, Ld, dim)
-        s = jnp.einsum("cld,qd->clq", tok.astype(jnp.float32), qi,
-                       preferred_element_type=jnp.float32)
-        msk = jnp.take(mask, cand_i, axis=0)
-        if scales is not None:                               # int8 index
-            scl = jnp.take(scales, cand_i, axis=0)           # (C, Ld)
-            s = s * scl[:, :, None]
-        s = jnp.where(msk.astype(bool)[:, :, None], s, NEG_INF)
-        sc = jnp.sum(jnp.max(s, axis=1), axis=-1)            # (C,)
-        top_s, top_i = jax.lax.top_k(sc, k)
-        return top_s, jnp.take(cand_i, top_i)
+    # Grouped fine stage via lax.map: XLA fuses the gather + einsum + max
+    # per group without materializing the full (B, C, Ld, Lq) tensor, and
+    # grouping amortizes the ~18 us/iteration lax.map overhead
+    # (_resolve_group). The fully-vectorized batched einsum regresses
+    # (15.1k vs 20.4k QPS at the 112k shape): its HBM-resident f32 score
+    # intermediate costs more bandwidth than the serialization it saves.
+    g = _resolve_group(group_size, q.shape[0])
+    grp = lambda x: x.reshape((x.shape[0] // g, g) + x.shape[1:])
 
-    return jax.lax.map(fine_one, (q.astype(jnp.float32), cand))
+    def fine_group(args):
+        qi, cand_i = args
+        sc = _score_group_tokens(qi, cand_i, tokens, mask, scales)
+        top_s, sel = jax.lax.top_k(sc, k)
+        return top_s, jnp.take_along_axis(cand_i, sel, axis=1)
+
+    top_s, top_r = jax.lax.map(fine_group,
+                               (grp(q.astype(jnp.float32)), grp(cand)))
+    return top_s.reshape(-1, k), top_r.reshape(-1, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_candidates",
                                              "coarse_query_len",
                                              "use_pallas_coarse",
-                                             "use_pallas_residual", "nbits"))
+                                             "use_pallas_residual", "nbits",
+                                             "group_size"))
 def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
                      mask: jax.Array,
                      summaries: jax.Array, *, k: int,
@@ -199,7 +216,8 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
                      records: Optional[jax.Array] = None,
                      centroids: Optional[jax.Array] = None,
                      bucket_weights: Optional[jax.Array] = None,
-                     nbits: int = 0):
+                     nbits: int = 0,
+                     group_size: int = 0):
     """Returns (scores (B, k), rows (B, k)) — exact scores on the coarse
     stage's top `n_candidates` docs.
 
@@ -232,7 +250,8 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
     return _fine_stage(q, cand, tokens, mask, k=k, scales=scales,
                        records=records, centroids=centroids,
                        bucket_weights=bucket_weights, nbits=nbits,
-                       use_pallas_residual=use_pallas_residual)
+                       use_pallas_residual=use_pallas_residual,
+                       group_size=group_size)
 
 
 # ---------------------------------------------------------------------------
@@ -256,7 +275,8 @@ def block_summaries(summaries: jax.Array, block_size: int = 64,
 @functools.partial(jax.jit, static_argnames=("k", "n_blocks", "n_candidates",
                                              "block_size",
                                              "coarse_query_len",
-                                             "use_pallas_residual", "nbits"))
+                                             "use_pallas_residual", "nbits",
+                                             "group_size"))
 def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
                         mask: jax.Array,
                         summaries: jax.Array, block_summ: jax.Array, *,
@@ -268,7 +288,8 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
                         records: Optional[jax.Array] = None,
                         centroids: Optional[jax.Array] = None,
                         bucket_weights: Optional[jax.Array] = None,
-                        nbits: int = 0):
+                        nbits: int = 0,
+                        group_size: int = 0):
     """3-stage search: block summaries -> doc summaries -> exact MaxSim.
 
     Cuts the dominant coarse matmul by ~block_size/n_blocks-fold vs
@@ -293,12 +314,46 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
     s0 = jnp.where(jnp.any(doc_valid_blocks, axis=1)[None, :], s0, NEG_INF)
     _, blk = jax.lax.top_k(s0, n_blocks)              # (B, n_blocks)
 
+    if records is None:
+        # token (bf16/int8) index: stages 1+2 MERGED into one grouped
+        # lax.map — merging the two maps and grouping g queries per
+        # iteration amortizes the ~18 us/iteration map overhead (probe in
+        # scripts/exp_hier_112k.py). Measured at the 112k bench shape:
+        # per-query two-map 17.0k QPS, merged 18.0k, merged g=8 20.4k;
+        # g=16 and full batching regress. Residual-records indexes stay
+        # on the two-map per-query path below: grouping their
+        # decompress-bearing stage 2 (g >= 2) crashes the TPU worker at
+        # C=1024 (scripts/exp_group_sweep.py).
+        g = _resolve_group(group_size, q.shape[0])
+        grp = lambda x: x.reshape((x.shape[0] // g, g) + x.shape[1:])
+
+        def per_group(args):
+            qi, blk_i = args                 # (g, Lq, d) f32, (g, n_blocks)
+            qc = qi if coarse_query_len is None \
+                else qi[:, :coarse_query_len]
+            sg = jnp.take(summ_blocks, blk_i, axis=0)  # (g, nb, bs, S, d)
+            s1 = jnp.einsum("gnbsd,gqd->gnbsq", sg.astype(jnp.float32), qc,
+                            preferred_element_type=jnp.float32)
+            approx = jnp.sum(jnp.max(s1, axis=3), axis=-1) \
+                .reshape(g, n_blocks * block_size)
+            valid = jnp.take(doc_valid_blocks, blk_i, axis=0) \
+                .reshape(g, -1)
+            approx = jnp.where(valid, approx, NEG_INF)
+            _, loc = jax.lax.top_k(approx, n_candidates)
+            cand_i = jnp.take_along_axis(blk_i, loc // block_size, axis=1) \
+                * block_size + (loc % block_size)      # (g, n_candidates)
+            sc = _score_group_tokens(qi, cand_i, tokens, mask, scales)
+            top_s, sel = jax.lax.top_k(sc, k)
+            return top_s, jnp.take_along_axis(cand_i, sel, axis=1)
+
+        top_s, top_r = jax.lax.map(per_group,
+                                   (grp(q.astype(jnp.float32)), grp(blk)))
+        return top_s.reshape(-1, k), top_r.reshape(-1, k)
+
     # stage 1: doc summaries of the selected blocks, per query via lax.map.
     # The block gather stays PER-QUERY: block rows are large contiguous
     # slices (bs*S*d bf16, ~64 KiB) so the gather is bandwidth- not
-    # overhead-bound, and batching it materializes a (B, n_blocks, bs, S,
-    # d) array — measured 25-30% SLOWER at the 1M scale (unlike the small
-    # compressed-row gathers in _fine_stage, which batching speeds up).
+    # overhead-bound.
     def per_q(args):
         qi, blk_i = args                              # (Lq, d), (n_blocks,)
         qc = qi if coarse_query_len is None else qi[:coarse_query_len]

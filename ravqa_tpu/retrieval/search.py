@@ -80,7 +80,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                         n_blocks: Optional[int] = None,
                         block_size: int = 64,
                         coarse_query_len: Optional[int] = None,
-                        residual_nbits: int = 0):
+                        residual_nbits: int = 0,
+                        group_size: int = 0):
     """Build a jitted collective search fn over `mesh`.
 
     Returned fn(q, tokens, mask[, summaries[, block_summaries]][, scales])
@@ -127,21 +128,24 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
         s, i = two_stage_search(q, tok, msk, summ, k=k_local,
                                 n_candidates=c_local,
                                 coarse_query_len=coarse_query_len,
-                                use_pallas_coarse=use_pallas)
+                                use_pallas_coarse=use_pallas,
+                                group_size=group_size)
         return _merge(q, s, i)
 
     def _local_two_stage_int8(q, tok, msk, summ, scl):
         s, i = two_stage_search(q, tok, msk, summ, k=k_local,
                                 n_candidates=c_local, scales=scl,
                                 coarse_query_len=coarse_query_len,
-                                use_pallas_coarse=use_pallas)
+                                use_pallas_coarse=use_pallas,
+                                group_size=group_size)
         return _merge(q, s, i)
 
     def _local_hier(q, tok, msk, summ, bsum, scl=None):
         s, i = hierarchical_search(q, tok, msk, summ, bsum, k=k_local,
                                    n_blocks=b_local, n_candidates=c_local,
                                    block_size=block_size, scales=scl,
-                                   coarse_query_len=coarse_query_len)
+                                   coarse_query_len=coarse_query_len,
+                                   group_size=group_size)
         return _merge(q, s, i)
 
     # residual-codec variants: per-doc arrays (packed records) shard over
@@ -223,7 +227,8 @@ class LateInteractionSearcher:
                  tile_d: Optional[int] = None, mode: str = "exact",
                  n_candidates: Optional[int] = None,
                  n_blocks: Optional[int] = None,
-                 coarse_query_len: Optional[int] = None):
+                 coarse_query_len: Optional[int] = None,
+                 group_size: int = 0):
         """mode: "exact" (exhaustive MaxSim), "two_stage" (coarse over
         index.summaries -> exact re-score of top n_candidates; requires
         index.build_summaries()), or "hierarchical" (block summaries ->
@@ -253,6 +258,8 @@ class LateInteractionSearcher:
         self.n_candidates = n_candidates
         self.n_blocks = n_blocks
         self.coarse_query_len = coarse_query_len
+        # fine-stage query-group size (0 = auto; coarse._resolve_group)
+        self.group_size = group_size
         if mode == "two_stage":
             assert index.summaries is not None, \
                 "call index.build_summaries() first"
@@ -294,7 +301,8 @@ class LateInteractionSearcher:
                 if self.mode == "hierarchical" else self.n_blocks,
                 block_size=self.index.block_size,
                 coarse_query_len=self.coarse_query_len,
-                residual_nbits=self.index.nbits)
+                residual_nbits=self.index.nbits,
+                group_size=self.group_size)
         return self._sharded_fns[k]
 
     def search_device(self, q: jax.Array, k: int):
@@ -330,7 +338,8 @@ class LateInteractionSearcher:
                 use_pallas_residual=self.use_pallas,
                 records=idx.records,
                 centroids=idx.codec_centroids,
-                bucket_weights=idx.codec_weights, nbits=idx.nbits)
+                bucket_weights=idx.codec_weights, nbits=idx.nbits,
+                group_size=self.group_size)
         if self.mode == "two_stage":
             from .coarse import two_stage_search
             return two_stage_search(
@@ -341,7 +350,8 @@ class LateInteractionSearcher:
                 use_pallas_residual=self.use_pallas,
                 records=idx.records,
                 centroids=idx.codec_centroids,
-                bucket_weights=idx.codec_weights, nbits=idx.nbits)
+                bucket_weights=idx.codec_weights, nbits=idx.nbits,
+                group_size=self.group_size)
         return search_single_device(
             q, idx.tokens, idx.mask, idx.scales, k=k,
             use_pallas=self.use_pallas, tile_d=self.tile_d)

@@ -371,7 +371,7 @@ class TestResidualCodecParity:
         """End-to-end: our residual fine-stage scores equal MaxSim over the
         reference's own decompressed (normalized) embeddings."""
         nbits, embs, cent, cutoffs, weights, ref_codec = both
-        from ravqa_tpu.ops.residual import _compress_block
+        from ravqa_tpu.ops.residual import _compress_block, pack_records
         from ravqa_tpu.retrieval.coarse import _fine_stage
 
         t, dim = embs.shape
@@ -390,9 +390,10 @@ class TestResidualCodecParity:
             jnp.asarray(embs).reshape(n, ld, dim), mask,
             jnp.asarray(cent), jnp.asarray(cutoffs), jnp.asarray(weights),
             nbits=nbits)
+        records = pack_records(codes, scales.astype(jnp.bfloat16), packed)
         scores, rows = _fine_stage(
-            jnp.asarray(q), cand, None, mask, k=5, scales=scales,
-            codes=codes, residuals=packed, centroids=jnp.asarray(cent),
+            jnp.asarray(q), cand, None, mask, k=5,
+            records=records, centroids=jnp.asarray(cent),
             bucket_weights=jnp.asarray(weights), nbits=nbits)
 
         ref_comp = ref_codec.compress(torch.tensor(embs))

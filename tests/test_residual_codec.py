@@ -262,37 +262,6 @@ def test_load_rejects_legacy_residual_layout(clustered, tmp_path):
         load_index(path, dtype=jnp.float32)
 
 
-def test_batched_and_perquery_fine_stage_agree(monkeypatch):
-    """The gated fully-batched residual fine stage must rank identically
-    to the default per-query path (same math, different shape policy —
-    coarse._FINE_BATCH_BUDGET)."""
-    from ravqa_tpu.retrieval import coarse
-    rng = np.random.default_rng(9)
-    toks = rng.standard_normal((192, 8, DIM)).astype(np.float32)
-    toks /= np.linalg.norm(toks, axis=-1, keepdims=True)
-    mask = np.ones((192, 8), np.int8)
-    idx = build_index_from_embeddings(toks, mask, pad_multiple=64,
-                                      dtype=jnp.float32)
-    idx.build_summaries(n_summary=2)
-    idx.quantize_residual(n_centroids=32, nbits=2)
-    q = jnp.asarray(toks[:6, :6])
-
-    outs = {}
-    for name, budget in (("perq", 0), ("batched", 1 << 40)):
-        monkeypatch.setattr(coarse, "_FINE_BATCH_BUDGET", budget)
-        s = LateInteractionSearcher(idx, mode="two_stage",
-                                    use_pallas=False, n_candidates=64)
-        sc, rows = s.search_device(q, k=5)
-        # distinct jit cache keys: n_candidates is static but the budget
-        # is baked at trace time -> force retrace via differing k? No:
-        # two_stage_search is jitted on shapes only, so clear caches.
-        coarse.two_stage_search.clear_cache()
-        outs[name] = (np.asarray(sc), np.asarray(rows))
-    np.testing.assert_array_equal(outs["perq"][1], outs["batched"][1])
-    np.testing.assert_allclose(outs["perq"][0], outs["batched"][0],
-                               rtol=2e-3, atol=1e-3)
-
-
 def test_load_migrates_legacy_separate_array_save(clustered, tmp_path):
     """Round-2 saves stored codes/residuals/scales as SEPARATE npz
     arrays; load_index must repack them into record rows and search
