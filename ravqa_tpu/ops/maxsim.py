@@ -192,6 +192,116 @@ def maxsim_search_pallas(q: jax.Array, index_tokens: jax.Array,
     return out.T  # (B, N)
 
 
+def _coarse_sweep_kernel(q_ref, d_ref, out_ref, *, s: int, lq: int,
+                         qc: int):
+    """One grid step: MaxSim of all queries against TILE_N docs' summary
+    vectors (all summaries valid — padded docs are suppressed by the
+    caller's doc_valid mask AFTER the coarse stage).
+
+    q_ref: (B*Lq, dim) VMEM; d_ref: (S, TILE_N, dim) VMEM — summary-
+    slot-major so the max over S is S-1 aligned elementwise maximums of
+    (TILE_N, qc) matmul outputs, never a strided sublane reduce (the
+    (TILE_N*S, dim) interleaved variant ran ~2x slower at S=4);
+    out_ref: (TILE_N, B) VMEM. Query columns are processed in chunks of
+    `qc` so the f32 score block stays a few MB of VMEM.
+    """
+    parts = []
+    for c in range(q_ref.shape[0] // qc):        # static chunk loop
+        qblk = q_ref[c * qc:(c + 1) * qc, :]     # (qc, dim)
+        m = jax.lax.dot_general(
+            d_ref[0], qblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (TILE_N, qc)
+        for si in range(1, s):
+            m = jnp.maximum(m, jax.lax.dot_general(
+                d_ref[si], qblk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        # sum each query's Lq columns via a block-diagonal 0/1 selector
+        # matmul (Mosaic cannot shape-cast the lane dim qc -> (nq, Lq))
+        row = jax.lax.broadcasted_iota(jnp.int32, (qc, qc // lq), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (qc, qc // lq), 1)
+        sel = (row // lq == col).astype(jnp.float32)
+        parts.append(jax.lax.dot_general(
+            m, sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))  # (TILE_N, qc/Lq)
+    out_ref[:] = parts[0] if len(parts) == 1 \
+        else jnp.concatenate(parts, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "queries_per_chunk"))
+def coarse_sweep_pallas(q: jax.Array, summaries_t: jax.Array,
+                        tile_n: int = 1024,
+                        queries_per_chunk: int = 32) -> jax.Array:
+    """Fused coarse summary sweep: (B, Lq, dim) x (S, N, dim) -> (B, N)
+    approximate MaxSim scores (every summary vector treated as valid).
+
+    Replaces coarse_scores' XLA einsum on TPU for LARGE N: XLA cannot
+    reassociate the einsum -> max-over-S -> sum-over-Lq chain into the
+    matmul, so it materializes the (N, S, B, Lq) f32 intermediate in HBM
+    (~16-33 GiB of traffic at 1M docs — the entire two-stage 1M cost:
+    41-59 ms/batch vs 9.1 ms (S=4) / 15.0 ms (S=8) here, within 1.4-1.7x
+    of the bf16 compute roofline; scripts/exp_coarse_kernel.py).
+
+    summaries_t: summary vectors in SLOT-MAJOR layout (S, N, dim) —
+    jnp.swapaxes(summaries, 0, 1) of the (N, S, dim) build layout,
+    transposed ONCE at searcher construction (TokenIndex layout is
+    unchanged; hierarchical block gathers need doc-major).
+    tile_n: docs per grid step; queries_per_chunk: query-column chunk =
+    queries_per_chunk * Lq lanes (both robust +/-5% across 256-1024).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, lq, dim = q.shape
+    s, n, dim2 = summaries_t.shape
+    assert dim == dim2
+    while n % tile_n:
+        tile_n //= 2
+    qc = min(queries_per_chunk, b) * lq
+    while (b * lq) % qc:
+        qc -= lq
+
+    # shrink tile_n until the per-step VMEM footprint fits the ~16 MiB
+    # scoped limit (double-buffered summary block + resident q + f32
+    # score block + selector + out). Matters for f32 summaries — the
+    # bf16 defaults fit, f32 at tile_n=1024 overflows by ~0.6 MiB.
+    isz = summaries_t.dtype.itemsize
+    def _vmem(tn):
+        # two live f32 score blocks when s > 1: the running-max
+        # accumulator plus the fresh dot result (measured: f32 summaries
+        # at tile_n=1024 need 16.57 MiB, exactly this model's 16.8)
+        return (2 * s * tn * dim * isz          # summary block (dbuf)
+                + b * lq * dim * isz            # q (resident)
+                + (2 if s > 1 else 1) * tn * qc * 4   # score blocks
+                + qc * (qc // lq) * 4           # selector
+                + tn * b * 4)                   # out tile
+    while tile_n > 8 and _vmem(tile_n) > 12 * 2 ** 20:
+        tile_n //= 2
+
+    q_flat = q.reshape(b * lq, dim).astype(summaries_t.dtype)
+    kernel = functools.partial(_coarse_sweep_kernel, s=s, lq=lq, qc=qc)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec((b * lq, dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, tile_n, dim), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, b), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, b), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * s * b * lq * dim,
+            bytes_accessed=(summaries_t.size * summaries_t.dtype.itemsize
+                            + q_flat.size * q_flat.dtype.itemsize
+                            + n * b * 4),
+            transcendentals=0,
+        ),
+    )(q_flat, summaries_t)
+    return out.T  # (B, N)
+
+
 def maxsim_search(q: jax.Array, index_tokens: jax.Array,
                   index_mask: jax.Array,
                   q_mask: jax.Array | None = None,

@@ -217,12 +217,19 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
                      centroids: Optional[jax.Array] = None,
                      bucket_weights: Optional[jax.Array] = None,
                      nbits: int = 0,
-                     group_size: int = 0):
+                     group_size: int = 0,
+                     summaries_t: Optional[jax.Array] = None):
     """Returns (scores (B, k), rows (B, k)) — exact scores on the coarse
     stage's top `n_candidates` docs.
 
-    use_pallas_coarse: run the coarse summary sweep through the fused
-    Pallas MaxSim kernel (TPU) instead of the XLA einsum.
+    use_pallas_coarse: run the coarse summary sweep through a fused
+    Pallas kernel (TPU) instead of the XLA einsum. Pass `summaries_t` —
+    the summaries transposed to slot-major (S, N, dim), once, at
+    searcher/bench setup — to use the fast chunked sweep kernel
+    (ops.maxsim.coarse_sweep_pallas: 4.5-6.5x over the XLA einsum at 1M
+    docs, which materializes the (N, S, B, Lq) f32 intermediate in HBM);
+    without it the generic doc-major MaxSim kernel is used (slower, but
+    still avoids the XLA blow-up).
     use_pallas_residual: re-score residual-codec candidates with the fused
     decompress+MaxSim Pallas kernel (TPU; ops.residual).
     scales: per-token f32 scales when `tokens` is an int8-quantized index
@@ -233,7 +240,11 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
     [codes|scales|residual bytes] rows; candidates decompress inside the
     fine stage, nothing ever materializes at full precision.
     """
-    if use_pallas_coarse:
+    if use_pallas_coarse and summaries_t is not None:
+        from ..ops.maxsim import coarse_sweep_pallas
+        qc = q if coarse_query_len is None else q[:, :coarse_query_len]
+        approx = coarse_sweep_pallas(qc, summaries_t)
+    elif use_pallas_coarse:
         from ..ops.maxsim import maxsim_search_pallas
         qc = q if coarse_query_len is None else q[:, :coarse_query_len]
         ones = jnp.ones(summaries.shape[:2], jnp.float32)

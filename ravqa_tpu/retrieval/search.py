@@ -22,7 +22,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.maxsim import maxsim_search_pallas, maxsim_search_xla
 from ..ops.quant import maxsim_search_int8_xla
@@ -81,7 +81,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                         block_size: int = 64,
                         coarse_query_len: Optional[int] = None,
                         residual_nbits: int = 0,
-                        group_size: int = 0):
+                        group_size: int = 0,
+                        use_summ_t: bool = False):
     """Build a jitted collective search fn over `mesh`.
 
     Returned fn(q, tokens, mask[, summaries[, block_summaries]][, scales])
@@ -121,23 +122,27 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
         s, i = jax.lax.top_k(scores, k_local)
         return _merge(q, s, i)
 
-    def _local_two_stage(q, tok, msk, summ):
-        # use_pallas routes the coarse sweep through the fused Pallas MaxSim
-        # kernel: the XLA einsum materializes an (N_local, S, B, Lq) f32
-        # intermediate that OOMs a shard at 1M+ docs (see scripts/bench_1m.py)
+    def _local_two_stage(q, tok, msk, summ, summ_t=None):
+        # use_pallas routes the coarse sweep through a fused Pallas kernel:
+        # the XLA einsum materializes an (N_local, S, B, Lq) f32
+        # intermediate that OOMs a shard at 1M+ docs (see scripts/bench_1m.py).
+        # summ_t (slot-major, sharded on its DOC dim) selects the fast
+        # chunked sweep kernel (ops.maxsim.coarse_sweep_pallas).
         s, i = two_stage_search(q, tok, msk, summ, k=k_local,
                                 n_candidates=c_local,
                                 coarse_query_len=coarse_query_len,
                                 use_pallas_coarse=use_pallas,
-                                group_size=group_size)
+                                group_size=group_size,
+                                summaries_t=summ_t)
         return _merge(q, s, i)
 
-    def _local_two_stage_int8(q, tok, msk, summ, scl):
+    def _local_two_stage_int8(q, tok, msk, summ, scl, summ_t=None):
         s, i = two_stage_search(q, tok, msk, summ, k=k_local,
                                 n_candidates=c_local, scales=scl,
                                 coarse_query_len=coarse_query_len,
                                 use_pallas_coarse=use_pallas,
-                                group_size=group_size)
+                                group_size=group_size,
+                                summaries_t=summ_t)
         return _merge(q, s, i)
 
     def _local_hier(q, tok, msk, summ, bsum, scl=None):
@@ -150,14 +155,15 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
 
     # residual-codec variants: per-doc arrays (packed records) shard over
     # `axis`; the small codec tables (centroids / bucket weights) replicate
-    def _local_two_stage_res(q, msk, summ, recs, cent, bw):
+    def _local_two_stage_res(q, msk, summ, recs, cent, bw, summ_t=None):
         s, i = two_stage_search(q, None, msk, summ, k=k_local,
                                 n_candidates=c_local,
                                 coarse_query_len=coarse_query_len,
                                 use_pallas_coarse=use_pallas,
                                 use_pallas_residual=use_pallas,
                                 records=recs, centroids=cent,
-                                bucket_weights=bw, nbits=residual_nbits)
+                                bucket_weights=bw, nbits=residual_nbits,
+                                summaries_t=summ_t)
         return _merge(q, s, i)
 
     def _local_hier_res(q, msk, summ, bsum, recs, cent, bw):
@@ -177,10 +183,11 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                       out_specs=(P(), P()))
         return jax.jit(f)
     if residual_nbits and two_stage:
+        specs = (P(), P(axis), P(axis), P(axis), P(), P())
+        if use_summ_t:
+            specs += (P(None, axis),)
         f = shard_map(_local_two_stage_res, mesh,
-                      in_specs=(P(), P(axis), P(axis), P(axis),
-                                P(), P()),
-                      out_specs=(P(), P()))
+                      in_specs=specs, out_specs=(P(), P()))
         return jax.jit(f)
     if hierarchical and quantized:
         f = shard_map(_local_hier, mesh,
@@ -195,14 +202,18 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                       out_specs=(P(), P()))
         return jax.jit(f)
     if two_stage and quantized:
+        specs = (P(), P(axis), P(axis), P(axis), P(axis))
+        if use_summ_t:
+            specs += (P(None, axis),)
         f = shard_map(_local_two_stage_int8, mesh,
-                      in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
-                      out_specs=(P(), P()))
+                      in_specs=specs, out_specs=(P(), P()))
         return jax.jit(f)
     if two_stage:
+        specs = (P(), P(axis), P(axis), P(axis))
+        if use_summ_t:
+            specs += (P(None, axis),)
         f = shard_map(_local_two_stage, mesh,
-                      in_specs=(P(), P(axis), P(axis), P(axis)),
-                      out_specs=(P(), P()))
+                      in_specs=specs, out_specs=(P(), P()))
         return jax.jit(f)
     if quantized:
         f = shard_map(lambda q, t, m, s: _local(q, t, m, s), mesh,
@@ -260,6 +271,23 @@ class LateInteractionSearcher:
         self.coarse_query_len = coarse_query_len
         # fine-stage query-group size (0 = auto; coarse._resolve_group)
         self.group_size = group_size
+        # ONE-TIME slot-major (S, N, dim) summary copy for the fast
+        # chunked coarse-sweep kernel (ops.maxsim.coarse_sweep_pallas;
+        # 4.5-6.5x over the XLA einsum at 1M docs). Costs one extra
+        # summaries-sized HBM buffer; only built for the TPU two-stage
+        # path that uses it (hierarchical needs doc-major for its block
+        # gathers and keeps the original layout).
+        self._summ_t = None
+        if mode == "two_stage" and self.use_pallas \
+                and index.summaries is not None:
+            # bf16: coarse scores are approximate, and the kernel's f32
+            # VMEM footprint halves (f32 summaries force tile_n=512)
+            st = jax.jit(lambda s: jnp.swapaxes(s, 0, 1)
+                         .astype(jnp.bfloat16))(index.summaries)
+            if mesh is not None:
+                st = jax.device_put(st, NamedSharding(mesh,
+                                                      P(None, axis)))
+            self._summ_t = st
         if mode == "two_stage":
             assert index.summaries is not None, \
                 "call index.build_summaries() first"
@@ -302,7 +330,8 @@ class LateInteractionSearcher:
                 block_size=self.index.block_size,
                 coarse_query_len=self.coarse_query_len,
                 residual_nbits=self.index.nbits,
-                group_size=self.group_size)
+                group_size=self.group_size,
+                use_summ_t=self._summ_t is not None)
         return self._sharded_fns[k]
 
     def search_device(self, q: jax.Array, k: int):
@@ -316,6 +345,8 @@ class LateInteractionSearcher:
                     args += (idx.block_summaries,)
                 args += (idx.records, idx.codec_centroids,
                          idx.codec_weights)
+                if self._summ_t is not None:
+                    args += (self._summ_t,)
                 return fn(*args)
             args = (q, idx.tokens, idx.mask)
             if self.mode in ("two_stage", "hierarchical"):
@@ -324,6 +355,8 @@ class LateInteractionSearcher:
                 args += (idx.block_summaries,)
             if idx.scales is not None:
                 args += (idx.scales,)
+            if self._summ_t is not None:
+                args += (self._summ_t,)
             return fn(*args)
         if self.mode == "hierarchical":
             from .coarse import hierarchical_search
@@ -351,7 +384,8 @@ class LateInteractionSearcher:
                 records=idx.records,
                 centroids=idx.codec_centroids,
                 bucket_weights=idx.codec_weights, nbits=idx.nbits,
-                group_size=self.group_size)
+                group_size=self.group_size,
+                summaries_t=self._summ_t)
         return search_single_device(
             q, idx.tokens, idx.mask, idx.scales, k=k,
             use_pallas=self.use_pallas, tile_d=self.tile_d)

@@ -239,3 +239,26 @@ def test_multipod_2d_mesh_sharded_search():
                        for a, b in zip(np.asarray(rows_t),
                                        np.asarray(rows1))])
     assert overlap >= 0.8
+
+
+def test_two_stage_searcher_pallas_interpret(corpus, queries):
+    """Integrated two_stage searcher with use_pallas=True (interpret
+    mode): builds the one-time slot-major bf16 summary copy and routes
+    the coarse sweep through coarse_sweep_pallas; ranking must match the
+    use_pallas=False searcher on the same index."""
+    from jax.experimental.pallas import tpu as pltpu
+    embs, masks = corpus
+    idx = build_index_from_embeddings(embs, masks, pad_multiple=64,
+                                      dtype=jnp.float32)
+    idx.build_summaries(n_summary=2)
+    ref = LateInteractionSearcher(idx, mode="two_stage", use_pallas=False,
+                                  n_candidates=64)
+    _, want = ref.search_device(jnp.asarray(queries), k=5)
+    with pltpu.force_tpu_interpret_mode():
+        s = LateInteractionSearcher(idx, mode="two_stage", use_pallas=True,
+                                    n_candidates=64)
+        assert s._summ_t is not None
+        assert s._summ_t.shape == (2, idx.n_pad, embs.shape[-1])
+        assert s._summ_t.dtype == jnp.bfloat16
+        _, got = s.search_device(jnp.asarray(queries), k=5)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
