@@ -192,47 +192,56 @@ def maxsim_search_pallas(q: jax.Array, index_tokens: jax.Array,
     return out.T  # (B, N)
 
 
-def _coarse_sweep_kernel(q_ref, d_ref, out_ref, *, s: int, lq: int,
+def _coarse_sweep_kernel(q_ref, d_ref, v_ref, out_ref, *, s: int, lq: int,
                          qc: int):
     """One grid step: MaxSim of all queries against TILE_N docs' summary
-    vectors (all summaries valid — padded docs are suppressed by the
-    caller's doc_valid mask AFTER the coarse stage).
+    vectors, written DIRECTLY in (B, TILE_N) layout with padded docs
+    masked to NEG_INF in-kernel. (The earlier (TILE_N, B) variant forced
+    the caller to transpose + mask the (B, N) scores on the host side of
+    the custom call — a ~7 ms/batch materialization at 1M docs that
+    dwarfed the downstream approx_max_k cut.)
 
     q_ref: (B*Lq, dim) VMEM; d_ref: (S, TILE_N, dim) VMEM — summary-
     slot-major so the max over S is S-1 aligned elementwise maximums of
-    (TILE_N, qc) matmul outputs, never a strided sublane reduce (the
+    (qc, TILE_N) matmul outputs, never a strided sublane reduce (the
     (TILE_N*S, dim) interleaved variant ran ~2x slower at S=4);
-    out_ref: (TILE_N, B) VMEM. Query columns are processed in chunks of
-    `qc` so the f32 score block stays a few MB of VMEM.
+    v_ref: (1, TILE_N) f32 doc validity; out_ref: (B, TILE_N) VMEM.
+    Query columns are processed in chunks of `qc` rows so the f32 score
+    block stays a few MB of VMEM.
     """
     parts = []
     for c in range(q_ref.shape[0] // qc):        # static chunk loop
         qblk = q_ref[c * qc:(c + 1) * qc, :]     # (qc, dim)
         m = jax.lax.dot_general(
-            d_ref[0], qblk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (TILE_N, qc)
+            qblk, d_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (qc, TILE_N)
         for si in range(1, s):
             m = jnp.maximum(m, jax.lax.dot_general(
-                d_ref[si], qblk, (((1,), (1,)), ((), ())),
+                qblk, d_ref[si], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32))
-        # sum each query's Lq columns via a block-diagonal 0/1 selector
-        # matmul (Mosaic cannot shape-cast the lane dim qc -> (nq, Lq))
-        row = jax.lax.broadcasted_iota(jnp.int32, (qc, qc // lq), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (qc, qc // lq), 1)
-        sel = (row // lq == col).astype(jnp.float32)
+        # sum each query's Lq rows via a block-diagonal 0/1 selector
+        # matmul (Mosaic cannot shape-cast qc -> (nq, Lq) and a strided
+        # sublane reduce would be slow anyway)
+        row = jax.lax.broadcasted_iota(jnp.int32, (qc // lq, qc), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (qc // lq, qc), 1)
+        sel = (col // lq == row).astype(jnp.float32)
         parts.append(jax.lax.dot_general(
-            m, sel, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))  # (TILE_N, qc/Lq)
-    out_ref[:] = parts[0] if len(parts) == 1 \
-        else jnp.concatenate(parts, axis=1)
+            sel, m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))  # (qc/Lq, TILE_N)
+    out = parts[0] if len(parts) == 1 \
+        else jnp.concatenate(parts, axis=0)      # (B, TILE_N)
+    out_ref[:] = jnp.where(v_ref[0][None, :] > 0, out, NEG_INF)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "queries_per_chunk"))
 def coarse_sweep_pallas(q: jax.Array, summaries_t: jax.Array,
+                        valid: jax.Array | None = None,
                         tile_n: int = 1024,
                         queries_per_chunk: int = 32) -> jax.Array:
     """Fused coarse summary sweep: (B, Lq, dim) x (S, N, dim) -> (B, N)
-    approximate MaxSim scores (every summary vector treated as valid).
+    approximate MaxSim scores. `valid` ((N,) bool/float, optional): docs
+    whose entry is falsy score NEG_INF — masked in-kernel, so no (B, N)
+    where-pass materializes after the sweep.
 
     Replaces coarse_scores' XLA einsum on TPU for LARGE N: XLA cannot
     reassociate the einsum -> max-over-S -> sum-over-Lq chain into the
@@ -278,8 +287,12 @@ def coarse_sweep_pallas(q: jax.Array, summaries_t: jax.Array,
         tile_n //= 2
 
     q_flat = q.reshape(b * lq, dim).astype(summaries_t.dtype)
+    if valid is None:
+        valid_row = jnp.ones((1, n), jnp.float32)
+    else:
+        valid_row = (valid != 0).astype(jnp.float32).reshape(1, n)
     kernel = functools.partial(_coarse_sweep_kernel, s=s, lq=lq, qc=qc)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(n // tile_n,),
         in_specs=[
@@ -287,10 +300,12 @@ def coarse_sweep_pallas(q: jax.Array, summaries_t: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((s, tile_n, dim), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_n, b), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((b, tile_n), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, b), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * s * b * lq * dim,
             bytes_accessed=(summaries_t.size * summaries_t.dtype.itemsize
@@ -298,8 +313,7 @@ def coarse_sweep_pallas(q: jax.Array, summaries_t: jax.Array,
                             + n * b * 4),
             transcendentals=0,
         ),
-    )(q_flat, summaries_t)
-    return out.T  # (B, N)
+    )(q_flat, summaries_t, valid_row)  # (B, N)
 
 
 def maxsim_search(q: jax.Array, index_tokens: jax.Array,

@@ -204,7 +204,7 @@ def _fine_stage(q, cand, tokens, mask, *, k: int,
                                              "coarse_query_len",
                                              "use_pallas_coarse",
                                              "use_pallas_residual", "nbits",
-                                             "group_size"))
+                                             "group_size", "approx_topk"))
 def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
                      mask: jax.Array,
                      summaries: jax.Array, *, k: int,
@@ -218,7 +218,8 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
                      bucket_weights: Optional[jax.Array] = None,
                      nbits: int = 0,
                      group_size: int = 0,
-                     summaries_t: Optional[jax.Array] = None):
+                     summaries_t: Optional[jax.Array] = None,
+                     approx_topk: bool = False):
     """Returns (scores (B, k), rows (B, k)) — exact scores on the coarse
     stage's top `n_candidates` docs.
 
@@ -239,12 +240,34 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
     (ops.residual; tokens=None) — `records` holds the packed per-doc
     [codes|scales|residual bytes] rows; candidates decompress inside the
     fine stage, nothing ever materializes at full precision.
+    approx_topk: cut candidates with jax.lax.approx_max_k (the TPU
+    PartialReduce unit) instead of exact top_k. At 1M docs the exact
+    (B, N) top_k costs 27-100+ ms/batch and dwarfs the coarse matmul;
+    approx_max_k does the same cut in ~8 ms at recall_target=0.95
+    (measured top-10-containment in the top-1024 candidates: see
+    scripts/exp_coarse_kernel.py). The fine stage re-scores exactly, so
+    this only perturbs the candidate tail — same approximation class as
+    the summary pruning itself (and as the reference's IVF candidate
+    generation, candidate_generation.py).
     """
     if use_pallas_coarse and summaries_t is not None:
         from ..ops.maxsim import coarse_sweep_pallas
         qc = q if coarse_query_len is None else q[:, :coarse_query_len]
-        approx = coarse_sweep_pallas(qc, summaries_t)
-    elif use_pallas_coarse:
+        # validity folds into the kernel: a host-side where over the
+        # (B, N) scores costs ~7 ms/batch at 1M (it materializes the
+        # custom-call output an extra time)
+        approx = coarse_sweep_pallas(qc, summaries_t,
+                                     jnp.any(mask != 0, axis=1))
+        if approx_topk:
+            _, cand = jax.lax.approx_max_k(approx, n_candidates)
+        else:
+            _, cand = jax.lax.top_k(approx, n_candidates)
+        return _fine_stage(q, cand, tokens, mask, k=k, scales=scales,
+                           records=records, centroids=centroids,
+                           bucket_weights=bucket_weights, nbits=nbits,
+                           use_pallas_residual=use_pallas_residual,
+                           group_size=group_size)
+    if use_pallas_coarse:
         from ..ops.maxsim import maxsim_search_pallas
         qc = q if coarse_query_len is None else q[:, :coarse_query_len]
         ones = jnp.ones(summaries.shape[:2], jnp.float32)
@@ -256,7 +279,10 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
     # candidate slots — mask them to NEG_INF
     doc_valid = jnp.any(mask != 0, axis=1)                   # (N,)
     approx = jnp.where(doc_valid[None, :], approx, NEG_INF)
-    _, cand = jax.lax.top_k(approx, n_candidates)            # (B, C)
+    if approx_topk:
+        _, cand = jax.lax.approx_max_k(approx, n_candidates)  # (B, C)
+    else:
+        _, cand = jax.lax.top_k(approx, n_candidates)        # (B, C)
 
     return _fine_stage(q, cand, tokens, mask, k=k, scales=scales,
                        records=records, centroids=centroids,
@@ -287,7 +313,7 @@ def block_summaries(summaries: jax.Array, block_size: int = 64,
                                              "block_size",
                                              "coarse_query_len",
                                              "use_pallas_residual", "nbits",
-                                             "group_size"))
+                                             "group_size", "approx_topk"))
 def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
                         mask: jax.Array,
                         summaries: jax.Array, block_summ: jax.Array, *,
@@ -300,7 +326,8 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
                         centroids: Optional[jax.Array] = None,
                         bucket_weights: Optional[jax.Array] = None,
                         nbits: int = 0,
-                        group_size: int = 0):
+                        group_size: int = 0,
+                        approx_topk: bool = False):
     """3-stage search: block summaries -> doc summaries -> exact MaxSim.
 
     Cuts the dominant coarse matmul by ~block_size/n_blocks-fold vs
@@ -323,7 +350,10 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
     # stage 0: dense over block summaries (small); fully-padded blocks out
     s0 = coarse_scores(q, block_summ, coarse_query_len)  # (B, nb)
     s0 = jnp.where(jnp.any(doc_valid_blocks, axis=1)[None, :], s0, NEG_INF)
-    _, blk = jax.lax.top_k(s0, n_blocks)              # (B, n_blocks)
+    # pruning cuts may use the TPU PartialReduce unit (see two_stage_
+    # search's approx_topk doc); the final exact top_k(k) stays exact
+    _cut = jax.lax.approx_max_k if approx_topk else jax.lax.top_k
+    _, blk = _cut(s0, n_blocks)                       # (B, n_blocks)
 
     if records is None:
         # token (bf16/int8) index: stages 1+2 MERGED into one grouped
@@ -350,7 +380,7 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
             valid = jnp.take(doc_valid_blocks, blk_i, axis=0) \
                 .reshape(g, -1)
             approx = jnp.where(valid, approx, NEG_INF)
-            _, loc = jax.lax.top_k(approx, n_candidates)
+            _, loc = _cut(approx, n_candidates)
             cand_i = jnp.take_along_axis(blk_i, loc // block_size, axis=1) \
                 * block_size + (loc % block_size)      # (g, n_candidates)
             sc = _score_group_tokens(qi, cand_i, tokens, mask, scales)
@@ -375,7 +405,7 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
         approx = jnp.sum(per_tok, axis=-1).reshape(-1)  # (n_blocks*bs,)
         valid = jnp.take(doc_valid_blocks, blk_i, axis=0).reshape(-1)
         approx = jnp.where(valid, approx, NEG_INF)
-        _, loc = jax.lax.top_k(approx, n_candidates)
+        _, loc = _cut(approx, n_candidates)
         return blk_i[loc // block_size] * block_size \
             + (loc % block_size)                      # (n_candidates,)
 

@@ -82,7 +82,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                         coarse_query_len: Optional[int] = None,
                         residual_nbits: int = 0,
                         group_size: int = 0,
-                        use_summ_t: bool = False):
+                        use_summ_t: bool = False,
+                        approx_topk: bool = False):
     """Build a jitted collective search fn over `mesh`.
 
     Returned fn(q, tokens, mask[, summaries[, block_summaries]][, scales])
@@ -133,7 +134,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                 coarse_query_len=coarse_query_len,
                                 use_pallas_coarse=use_pallas,
                                 group_size=group_size,
-                                summaries_t=summ_t)
+                                summaries_t=summ_t,
+                                approx_topk=approx_topk)
         return _merge(q, s, i)
 
     def _local_two_stage_int8(q, tok, msk, summ, scl, summ_t=None):
@@ -142,7 +144,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                 coarse_query_len=coarse_query_len,
                                 use_pallas_coarse=use_pallas,
                                 group_size=group_size,
-                                summaries_t=summ_t)
+                                summaries_t=summ_t,
+                                approx_topk=approx_topk)
         return _merge(q, s, i)
 
     def _local_hier(q, tok, msk, summ, bsum, scl=None):
@@ -150,7 +153,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                    n_blocks=b_local, n_candidates=c_local,
                                    block_size=block_size, scales=scl,
                                    coarse_query_len=coarse_query_len,
-                                   group_size=group_size)
+                                   group_size=group_size,
+                                   approx_topk=approx_topk)
         return _merge(q, s, i)
 
     # residual-codec variants: per-doc arrays (packed records) shard over
@@ -163,7 +167,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                 use_pallas_residual=use_pallas,
                                 records=recs, centroids=cent,
                                 bucket_weights=bw, nbits=residual_nbits,
-                                summaries_t=summ_t)
+                                summaries_t=summ_t,
+                                approx_topk=approx_topk)
         return _merge(q, s, i)
 
     def _local_hier_res(q, msk, summ, bsum, recs, cent, bw):
@@ -173,7 +178,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                    coarse_query_len=coarse_query_len,
                                    use_pallas_residual=use_pallas,
                                    records=recs, centroids=cent,
-                                   bucket_weights=bw, nbits=residual_nbits)
+                                   bucket_weights=bw, nbits=residual_nbits,
+                                   approx_topk=approx_topk)
         return _merge(q, s, i)
 
     if residual_nbits and hierarchical:
@@ -239,7 +245,8 @@ class LateInteractionSearcher:
                  n_candidates: Optional[int] = None,
                  n_blocks: Optional[int] = None,
                  coarse_query_len: Optional[int] = None,
-                 group_size: int = 0):
+                 group_size: int = 0,
+                 approx_topk: Optional[bool] = None):
         """mode: "exact" (exhaustive MaxSim), "two_stage" (coarse over
         index.summaries -> exact re-score of top n_candidates; requires
         index.build_summaries()), or "hierarchical" (block summaries ->
@@ -251,7 +258,12 @@ class LateInteractionSearcher:
         candidate-generation truncation, index_storage.py:68-77).
         n_candidates None -> k-dependent auto preset mirroring the
         reference's ndocs rule (searcher.py:91-118): 1024 for k <= 100,
-        max(4k, 4096) above."""
+        max(4k, 4096) above.
+        approx_topk: cut pruning-stage candidates with lax.approx_max_k
+        (TPU PartialReduce) instead of exact top_k — None = on for TPU
+        backends (where the exact (B, N) top_k costs 27-100+ ms/batch at
+        1M docs, dominating the whole search), off elsewhere. The final
+        exact re-score top_k(k) is never approximated."""
         self.index = index
         self.mesh = mesh
         self.axis = axis
@@ -271,6 +283,9 @@ class LateInteractionSearcher:
         self.coarse_query_len = coarse_query_len
         # fine-stage query-group size (0 = auto; coarse._resolve_group)
         self.group_size = group_size
+        if approx_topk is None:
+            approx_topk = jax.default_backend() == "tpu"
+        self.approx_topk = approx_topk
         # ONE-TIME slot-major (S, N, dim) summary copy for the fast
         # chunked coarse-sweep kernel (ops.maxsim.coarse_sweep_pallas;
         # 4.5-6.5x over the XLA einsum at 1M docs). Costs one extra
@@ -331,7 +346,8 @@ class LateInteractionSearcher:
                 coarse_query_len=self.coarse_query_len,
                 residual_nbits=self.index.nbits,
                 group_size=self.group_size,
-                use_summ_t=self._summ_t is not None)
+                use_summ_t=self._summ_t is not None,
+                approx_topk=self.approx_topk)
         return self._sharded_fns[k]
 
     def search_device(self, q: jax.Array, k: int):
@@ -372,7 +388,8 @@ class LateInteractionSearcher:
                 records=idx.records,
                 centroids=idx.codec_centroids,
                 bucket_weights=idx.codec_weights, nbits=idx.nbits,
-                group_size=self.group_size)
+                group_size=self.group_size,
+                approx_topk=self.approx_topk)
         if self.mode == "two_stage":
             from .coarse import two_stage_search
             return two_stage_search(
@@ -380,12 +397,14 @@ class LateInteractionSearcher:
                 n_candidates=min(self.resolve_candidates(k), idx.n_pad),
                 scales=idx.scales,
                 coarse_query_len=self.coarse_query_len,
+                use_pallas_coarse=self.use_pallas,
                 use_pallas_residual=self.use_pallas,
                 records=idx.records,
                 centroids=idx.codec_centroids,
                 bucket_weights=idx.codec_weights, nbits=idx.nbits,
                 group_size=self.group_size,
-                summaries_t=self._summ_t)
+                summaries_t=self._summ_t,
+                approx_topk=self.approx_topk)
         return search_single_device(
             q, idx.tokens, idx.mask, idx.scales, k=k,
             use_pallas=self.use_pallas, tile_d=self.tile_d)

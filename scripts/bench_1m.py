@@ -103,9 +103,13 @@ def make_queries(key, index8, scales):
 q = make_queries(jax.random.PRNGKey(1), index8, scales)
 qidx = jnp.arange(B)
 # XLA coarse would materialize an (N, S, B*Lq) f32 intermediate (~33 GiB
-# at 1M docs); the fused Pallas coarse kernel keeps it in VMEM.
+# at 1M docs); the chunked slot-major Pallas sweep keeps the score block
+# in VMEM (ops.maxsim.coarse_sweep_pallas — 15.0 ms at this S=8 shape vs
+# 59 ms XLA / ~100+ ms generic doc-major kernel).
+summ_t = jax.block_until_ready(jax.jit(lambda s: jnp.swapaxes(s, 0, 1))(summ))
 s, rows = two_stage_search(q, index8, mask, summ, k=K, n_candidates=1024,
-                           scales=scales, use_pallas_coarse=True)
+                           scales=scales, use_pallas_coarse=True, approx_topk=True,
+                           summaries_t=summ_t)
 rows = np.asarray(rows)
 top1 = float(np.mean(rows[:, 0] == np.asarray(qidx)))
 print(f"self-retrieval top-1 (noisy query -> its own doc among 1M): "
@@ -114,17 +118,18 @@ print(f"self-retrieval top-1 (noisy query -> its own doc among 1M): "
 
 def timeit(name, n_candidates, iters=32):
     @jax.jit
-    def run(q, idx, m, sm, sc):
+    def run(q, idx, m, sm, sc, smt):
         def body(qq, _):
             s, _ = two_stage_search(qq, idx, m, sm, k=K,
                                     n_candidates=n_candidates, scales=sc,
-                                    use_pallas_coarse=True)
+                                    use_pallas_coarse=True, approx_topk=True,
+                                    summaries_t=smt)
             return qq + (s[:, 0] * 1e-9).astype(qq.dtype)[:, None, None], ()
         qq, _ = jax.lax.scan(body, q, None, length=iters)
         return qq[:1, :1, :1]
-    _ = np.asarray(run(q, index8, mask, summ, scales))
+    _ = np.asarray(run(q, index8, mask, summ, scales, summ_t))
     t0 = time.perf_counter()
-    _ = np.asarray(run(q, index8, mask, summ, scales))
+    _ = np.asarray(run(q, index8, mask, summ, scales, summ_t))
     dt_s = time.perf_counter() - t0
     print(f"{name}: {B * iters / dt_s:.0f} QPS/chip "
           f"({dt_s / iters * 1e3:.2f} ms/batch)", flush=True)

@@ -146,8 +146,12 @@ def make_queries(qkey, key, topics):
 q = make_queries(jax.random.PRNGKey(1), key, topics)
 qidx = np.arange(B)
 
+# slot-major summary copy for the chunked coarse-sweep kernel (9.1 ms
+# at this S=4 shape vs 41-59 ms for the XLA einsum, which materializes
+# the (N, S, B, Lq) f32 intermediate in HBM)
+summ_t = jax.block_until_ready(jax.jit(lambda s: jnp.swapaxes(s, 0, 1))(summ))
 s, rows = two_stage_search(q, None, mask, summ, k=K, n_candidates=1024,
-                           use_pallas_coarse=False,
+                           use_pallas_coarse=True, approx_topk=True, summaries_t=summ_t,
                            use_pallas_residual=N_CENT <= 1024,
                            records=records, centroids=centroids,
                            bucket_weights=weights, nbits=NBITS)
@@ -174,7 +178,7 @@ def timeit(name, fn, args, iters=32):
           f"({dt_s / iters * 1e3:.2f} ms/batch)", flush=True)
 
 
-TS_ARGS = (mask, summ, records, centroids, weights)
+TS_ARGS = (mask, summ, records, centroids, weights, summ_t)
 # the fused Pallas residual kernel is auto-gated to codebooks <= 1024
 # centroids (_fine_stage; its in-VMEM one-hot centroid matmul scales with
 # N_CENT) — at this bench's N_CENT the fused flag would silently time the
@@ -187,15 +191,15 @@ for fused in FUSED_MODES:
     tag = "fused" if fused else "xla"
     for nc in (1024, 256):
         timeit(f"two_stage_1M_residual_C{nc}_{tag}",
-               lambda qq, m, sm, recs, cent, bw, nc=nc,
+               lambda qq, m, sm, recs, cent, bw, smt, nc=nc,
                fused=fused: two_stage_search(
                    qq, None, m, sm, k=K, n_candidates=nc,
-                   # XLA coarse measured faster than the Pallas sweep at
-                   # this (1M x 4 summaries, B=32, Lq=32) shape: 41-59 ms
-                   # vs 58-149 ms/batch (and the Pallas path shows a C=256
-                   # scheduling anomaly); hierarchical stage-0 already
-                   # uses the XLA path
-                   use_pallas_coarse=False, use_pallas_residual=fused,
+                   # chunked slot-major sweep (coarse_sweep_pallas):
+                   # 9.1 ms at this (1M x 4 summaries, B=32, Lq=32)
+                   # shape vs 41-59 ms XLA einsum / 58-149 ms generic
+                   # doc-major Pallas kernel
+                   use_pallas_coarse=True, approx_topk=True, summaries_t=smt,
+                   use_pallas_residual=fused,
                    records=recs, centroids=cent,
                    bucket_weights=bw, nbits=NBITS), TS_ARGS)
 

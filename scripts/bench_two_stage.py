@@ -54,15 +54,21 @@ summ = jax.block_until_ready(summ)
 _ = np.asarray(summ[:1])
 print(f"setup ok; summaries in {time.time() - t0:.1f}s", flush=True)
 
+summ_t = jax.block_until_ready(jax.jit(lambda s: jnp.swapaxes(s, 0, 1))(summ))
 exact = np.asarray(maxsim_search_pallas(q, index, mask, tile_d=16))
 exact_top = np.argsort(-exact, 1)[:, :k]
 for C in (256, 1024):
-    _, r2 = two_stage_search(q, index, mask, summ, k=k, n_candidates=C)
-    r2 = np.asarray(r2)
-    rec = np.mean([len(set(r2[i]) & set(exact_top[i])) / k
-                   for i in range(b)])
-    print(f"C={C}: recall@{k} vs exact = {rec:.3f}, top1 = "
-          f"{np.mean(r2[:, 0] == exact_top[:, 0]):.2f}", flush=True)
+    for tag, kw in (("xla+topk", {}),
+                    ("kernel+approx", dict(use_pallas_coarse=True,
+                                           approx_topk=True,
+                                           summaries_t=summ_t))):
+        _, r2 = two_stage_search(q, index, mask, summ, k=k,
+                                 n_candidates=C, **kw)
+        r2 = np.asarray(r2)
+        rec = np.mean([len(set(r2[i]) & set(exact_top[i])) / k
+                       for i in range(b)])
+        print(f"C={C} {tag}: recall@{k} vs exact = {rec:.3f}, top1 = "
+              f"{np.mean(r2[:, 0] == exact_top[:, 0]):.2f}", flush=True)
 
 
 def timeit(name, fn, args, iters=8):
@@ -85,11 +91,14 @@ def timeit(name, fn, args, iters=8):
           f"({dt_s / iters * 1e3:.2f} ms/batch)", flush=True)
 
 
-timeit("two_stage_C1024",
-       lambda qq, idx, m, sm: two_stage_search(qq, idx, m, sm, k=k,
-                                               n_candidates=1024)[0],
-       (index, mask, summ))
-timeit("two_stage_C256",
-       lambda qq, idx, m, sm: two_stage_search(qq, idx, m, sm, k=k,
-                                               n_candidates=256)[0],
-       (index, mask, summ))
+for C in (1024, 256):
+    timeit(f"two_stage_C{C}_xla_topk",
+           lambda qq, idx, m, sm, C=C: two_stage_search(
+               qq, idx, m, sm, k=k, n_candidates=C)[0],
+           (index, mask, summ))
+    timeit(f"two_stage_C{C}_kernel_approx",
+           lambda qq, idx, m, sm, smt, C=C: two_stage_search(
+               qq, idx, m, sm, k=k, n_candidates=C,
+               use_pallas_coarse=True, approx_topk=True,
+               summaries_t=smt)[0],
+           (index, mask, summ, summ_t))

@@ -44,7 +44,8 @@ def build(n, s, key):
             keepdims=True) + 1e-9).astype(dt)
         q = jax.random.normal(k2, (B, LQ, DIM), jnp.float32)
         q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
-        return sm, q.astype(dt)
+        # slot-major (S, N, dim) copy for the sweep kernel's layout
+        return sm, jnp.swapaxes(sm, 0, 1), q.astype(dt)
     return jax.block_until_ready(go(key))
 
 
@@ -66,19 +67,38 @@ def timeit(name, fn, q, args, iters=16):
 for S in (4, 8):
     N = 1_000_448
     print(f"--- N={N} S={S} ---", flush=True)
-    summ, q = build(N, S, jax.random.PRNGKey(S))
+    summ, summ_t, q = build(N, S, jax.random.PRNGKey(S))
     if os.environ.get("EXP_XLA", "0") == "1":
         timeit("coarse_xla", coarse_scores, q, (summ,), iters=4)
     for tile_n in (256, 512, 1024):
         for qpc in (4, 8):
             try:
                 timeit(f"sweep_t{tile_n}_q{qpc}",
-                       lambda qq, sm, t=tile_n, c=qpc: coarse_sweep_pallas(
-                           qq, sm, tile_n=t, queries_per_chunk=c),
-                       q, (summ,))
+                       lambda qq, smt, t=tile_n, c=qpc: coarse_sweep_pallas(
+                           qq, smt, tile_n=t, queries_per_chunk=c),
+                       q, (summ_t,))
             except Exception as e:
                 print(f"sweep_t{tile_n}_q{qpc} FAILED: {type(e).__name__}:"
                       f" {str(e)[:200]}", flush=True)
+    # candidate cuts over the (B, N) coarse scores: exact top_k vs the
+    # TPU PartialReduce approx_max_k (what two_stage_search(approx_topk=
+    # True) uses); at 1M docs the exact cut dominates the whole search
+    scores = jax.block_until_ready(
+        coarse_sweep_pallas(q, summ_t, tile_n=512))
+    for C in (256, 1024):
+        timeit(f"cut_topk_C{C}",
+               lambda _q, sc, C=C: jax.lax.top_k(sc, C)[0],
+               q, (scores,))
+        timeit(f"cut_approx_C{C}",
+               lambda _q, sc, C=C: jax.lax.approx_max_k(sc, C)[0],
+               q, (scores,))
+        ex = np.asarray(jax.lax.top_k(scores, 10)[1])
+        ap = np.asarray(jax.lax.approx_max_k(scores, C)[1])
+        cont = np.mean([len(set(ex[i]) & set(ap[i])) / 10
+                        for i in range(ex.shape[0])])
+        print(f"  top-10 containment in approx top-{C}: {cont:.4f}",
+              flush=True)
+    del scores
     # old generic kernel, best-known tile
     ones = jnp.ones(summ.shape[:2], jnp.float32)
     try:
@@ -88,12 +108,12 @@ for S in (4, 8):
                q, (summ, ones))
     except Exception as e:
         print(f"generic_pallas FAILED: {str(e)[:200]}", flush=True)
-    del summ, ones
+    del summ, summ_t, ones
 
 # numeric agreement at a small shape (vs the XLA reference path)
-summ, q = build(4096, 4, jax.random.PRNGKey(0))
+summ, summ_t, q = build(4096, 4, jax.random.PRNGKey(0))
 a = np.asarray(coarse_scores(q, summ))
-b = np.asarray(coarse_sweep_pallas(q, summ, tile_n=256))
+b = np.asarray(coarse_sweep_pallas(q, summ_t, tile_n=256))
 err = np.max(np.abs(a - b) / (np.abs(a) + 1e-6))
 print("xla-vs-sweep max rel err:", float(err), flush=True)
 assert err < 5e-3

@@ -106,20 +106,23 @@ def test_search_pallas_interpret_matches_xla():
 
 def test_coarse_sweep_pallas_interpret_matches_numpy():
     """Chunked slot-major coarse-sweep kernel (interpreter mode) == the
-    hand-computed max-over-slots / sum-over-query-tokens reference."""
-    from ravqa_tpu.ops.maxsim import coarse_sweep_pallas
+    hand-computed max-over-slots / sum-over-query-tokens reference,
+    including the in-kernel doc-validity mask."""
+    from ravqa_tpu.ops.maxsim import NEG_INF, coarse_sweep_pallas
     rng = np.random.default_rng(7)
     b, lq, n, s, dim = 6, 8, 512, 4, 128
     q = rng.normal(size=(b, lq, dim)).astype(np.float32)
     summ = rng.normal(size=(n, s, dim)).astype(np.float32)
+    valid = (rng.random(n) > 0.1)
 
     from jax.experimental.pallas import tpu as pltpu
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(coarse_sweep_pallas(
             jnp.array(q), jnp.swapaxes(jnp.array(summ), 0, 1),
-            tile_n=128, queries_per_chunk=3))
+            jnp.array(valid), tile_n=128, queries_per_chunk=3))
     sc = np.einsum("nsd,bqd->nsbq", summ, q)
     want = sc.max(axis=1).sum(axis=-1).T                  # (b, n)
+    want = np.where(valid[None, :], want, float(NEG_INF))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-2)
     # ranking must agree exactly on well-separated random data
     np.testing.assert_array_equal(np.argsort(-got, axis=1)[:, :10],

@@ -262,3 +262,33 @@ def test_two_stage_searcher_pallas_interpret(corpus, queries):
         assert s._summ_t.dtype == jnp.bfloat16
         _, got = s.search_device(jnp.asarray(queries), k=5)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_two_stage_searcher_summ_t_interpret(corpus, queries):
+    """Sharded two_stage searcher with use_pallas=True: the slot-major
+    summary copy shards on its DOC dim (P(None, axis)) and the extra
+    shard_map operand reaches coarse_sweep_pallas inside every shard;
+    ranking must match the unsharded use_pallas=False searcher."""
+    from jax.experimental.pallas import tpu as pltpu
+    embs, masks = corpus
+    mesh = Mesh(np.array(jax.devices()), ("index",))
+    idx = build_index_from_embeddings(embs, masks, pad_multiple=64,
+                                      dtype=jnp.float32, mesh=mesh)
+    idx.build_summaries(n_summary=2, mesh=mesh)
+    # baseline: the SAME sharded program with the XLA coarse stage (the
+    # per-shard candidate split makes unsharded results incomparable;
+    # the bf16 summ_t copy can flip near-tie candidates at the per-shard
+    # cut, so assert top-1 equality + high overlap, not full equality)
+    ref = LateInteractionSearcher(idx, mesh=mesh, mode="two_stage",
+                                  use_pallas=False, n_candidates=128)
+    _, want = ref.search_device(jnp.asarray(queries), k=5)
+    with pltpu.force_tpu_interpret_mode():
+        s = LateInteractionSearcher(idx, mesh=mesh, mode="two_stage",
+                                    use_pallas=True, n_candidates=128)
+        assert s._summ_t is not None
+        _, got = s.search_device(jnp.asarray(queries), k=5)
+    got, want = np.asarray(got), np.asarray(want)
+    np.testing.assert_array_equal(got[:, 0], want[:, 0])
+    overlap = np.mean([len(set(a.tolist()) & set(b.tolist())) / 5
+                       for a, b in zip(got, want)])
+    assert overlap >= 0.9, overlap
