@@ -350,8 +350,12 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
     # stage 0: dense over block summaries (small); fully-padded blocks out
     s0 = coarse_scores(q, block_summ, coarse_query_len)  # (B, nb)
     s0 = jnp.where(jnp.any(doc_valid_blocks, axis=1)[None, :], s0, NEG_INF)
-    # pruning cuts may use the TPU PartialReduce unit (see two_stage_
-    # search's approx_topk doc); the final exact top_k(k) stays exact
+    # approx_topk applies ONLY to this stage-0 (B, nb) cut (see two_
+    # stage_search's doc). The stage-1 cuts inside the lax.map bodies
+    # stay exact: their arrays are just n_blocks*block_size (<= ~8k)
+    # elements where PartialReduce buys nothing, and approx_max_k nested
+    # in lax.map stalls the TPU compiler (>40 min, observed on the 1M
+    # residual bench; compiles in <1 s on CPU).
     _cut = jax.lax.approx_max_k if approx_topk else jax.lax.top_k
     _, blk = _cut(s0, n_blocks)                       # (B, n_blocks)
 
@@ -380,7 +384,7 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
             valid = jnp.take(doc_valid_blocks, blk_i, axis=0) \
                 .reshape(g, -1)
             approx = jnp.where(valid, approx, NEG_INF)
-            _, loc = _cut(approx, n_candidates)
+            _, loc = jax.lax.top_k(approx, n_candidates)
             cand_i = jnp.take_along_axis(blk_i, loc // block_size, axis=1) \
                 * block_size + (loc % block_size)      # (g, n_candidates)
             sc = _score_group_tokens(qi, cand_i, tokens, mask, scales)
@@ -405,7 +409,7 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
         approx = jnp.sum(per_tok, axis=-1).reshape(-1)  # (n_blocks*bs,)
         valid = jnp.take(doc_valid_blocks, blk_i, axis=0).reshape(-1)
         approx = jnp.where(valid, approx, NEG_INF)
-        _, loc = _cut(approx, n_candidates)
+        _, loc = jax.lax.top_k(approx, n_candidates)
         return blk_i[loc // block_size] * block_size \
             + (loc % block_size)                      # (n_candidates,)
 

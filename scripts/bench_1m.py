@@ -138,6 +138,11 @@ def timeit(name, n_candidates, iters=32):
 timeit("two_stage_1M_int8_C1024", 1024)
 timeit("two_stage_1M_int8_C256", 256)
 
+# free the slot-major copy before the hierarchical section (it is only
+# used by the two-stage coarse sweep; 1.9 GiB of the 16 GiB HBM)
+summ_t.delete()
+del summ_t
+
 
 # ---- hierarchical 3-stage over the cluster-ordered index -------------------
 from ravqa_tpu.retrieval.coarse import block_summaries, hierarchical_search
@@ -149,7 +154,8 @@ print(f"block summaries: {bsum.shape}", flush=True)
 
 _, hrows = hierarchical_search(q, index8, mask, summ, bsum, k=K,
                                n_blocks=128, n_candidates=1024,
-                               block_size=BLOCK, scales=scales)
+                               block_size=BLOCK, scales=scales,
+                               approx_topk=True)
 htop1 = float(np.mean(np.asarray(hrows)[:, 0] == np.asarray(qidx)))
 print(f"hierarchical self-retrieval top-1: {htop1:.2f}", flush=True)
 
@@ -161,7 +167,8 @@ def timeit_hier(name, n_blocks, n_candidates, iters=32):
             s, _ = hierarchical_search(qq, idx, m, sm, bm, k=K,
                                        n_blocks=n_blocks,
                                        n_candidates=n_candidates,
-                                       block_size=BLOCK, scales=sc)
+                                       block_size=BLOCK, scales=sc,
+                                       approx_topk=True)
             return qq + (s[:, 0] * 1e-9).astype(qq.dtype)[:, None, None], ()
         qq, _ = jax.lax.scan(body, q, None, length=iters)
         return qq[:1, :1, :1]

@@ -16,8 +16,12 @@ Search quality is reported as self-retrieval top-1 (noisy query -> its own
 doc among 1M) for both pruned modes, matching scripts/bench_1m.py's metric.
 
 Run: python scripts/bench_1m_residual.py
+Capacity configuration (4M docs on one 16 GiB v5e chip, ~10.5 GiB:
+records 8.59 GiB + S=2 summaries 1.91 GiB):
+    BENCH_N=4001792 BENCH_NSUMM=2 python scripts/bench_1m_residual.py
 """
 
+import os
 import sys
 import time
 
@@ -32,10 +36,12 @@ from ravqa_tpu.ops.residual import _kmeans, compress_flat, pack_records, record_
 from ravqa_tpu.retrieval.coarse import (block_summaries, hierarchical_search,
                                         summarize_docs, two_stage_search)
 
-N, LD, DIM = 1_000_448, 64, 128
+N, LD, DIM = int(os.environ.get("BENCH_N", 1_000_448)), 64, 128
+S_SUMM = int(os.environ.get("BENCH_NSUMM", 4))
 B, LQ, K = 32, 32, 10
 N_TOPICS = 8192
 SLAB = 62_528
+assert N % SLAB == 0
 NBITS = 2
 N_CENT = 8192
 dt = jnp.bfloat16
@@ -112,14 +118,14 @@ def build_index(key, topics, centroids, cutoffs, weights_d):
                            scale.reshape(SLAB, LD).astype(jnp.bfloat16),
                            pk.reshape(SLAB, LD, -1))
         sm = summarize_docs(tn, jnp.ones((SLAB, LD), jnp.int8),
-                            n_summary=4, iters=2).astype(dt)
+                            n_summary=S_SUMM, iters=2).astype(dt)
         start = i * SLAB
         records = jax.lax.dynamic_update_slice(records, rec, (start, 0))
         smm = jax.lax.dynamic_update_slice(smm, sm, (start, 0, 0))
         return records, smm
 
     init = (jnp.zeros((N, REC), jnp.uint8),
-            jnp.zeros((N, 4, DIM), dt))
+            jnp.zeros((N, S_SUMM, DIM), dt))
     return jax.lax.fori_loop(0, N // SLAB, body, init)
 
 
@@ -128,7 +134,7 @@ records, summ = build_index(key, topics, centroids, cutoffs, weights)
 records = jax.block_until_ready(records)
 mask = jnp.ones((N, LD), jnp.int8)
 gib = (records.size + summ.size * 2) / 2 ** 30
-print(f"1M residual index built: {gib:.2f} GiB total "
+print(f"{N} residual index built: {gib:.2f} GiB total "
       f"(records {records.size / 2**30:.2f} (uint16 codes + bf16 scales "
       f"+ nbits={NBITS} bytes) + summaries {summ.size * 2 / 2**30:.2f})"
       f" in {time.time() - t0:.0f}s", flush=True)
@@ -203,6 +209,11 @@ for fused in FUSED_MODES:
                    records=recs, centroids=cent,
                    bucket_weights=bw, nbits=NBITS), TS_ARGS)
 
+# free the slot-major copy before the hierarchical section (only the
+# two-stage coarse sweep reads it; residual HBM is tighter than int8's)
+summ_t.delete()
+del summ_t, TS_ARGS
+
 BLOCK = 64
 bsum = block_summaries(summ, block_size=BLOCK, n_block_summary=4).astype(dt)
 bsum = jax.block_until_ready(bsum)
@@ -212,7 +223,8 @@ _, hrows = hierarchical_search(q, None, mask, summ, bsum, k=K,
                                block_size=BLOCK,
                                use_pallas_residual=N_CENT <= 1024,
                                records=records, centroids=centroids,
-                               bucket_weights=weights, nbits=NBITS)
+                               bucket_weights=weights, nbits=NBITS,
+                               approx_topk=True)
 htop1 = float(np.mean(np.asarray(hrows)[:, 0] == qidx))
 print(f"hierarchical self-retrieval top-1: {htop1:.2f}", flush=True)
 
@@ -226,4 +238,5 @@ for fused in FUSED_MODES:
                    qq, None, m, sm, bm, k=K, n_blocks=nb_, n_candidates=nc,
                    block_size=BLOCK, use_pallas_residual=fused,
                    records=recs, centroids=cent,
-                   bucket_weights=bw, nbits=NBITS), H_ARGS)
+                   bucket_weights=bw, nbits=NBITS,
+                   approx_topk=True), H_ARGS)
