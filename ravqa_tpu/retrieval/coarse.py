@@ -309,6 +309,20 @@ def block_summaries(summaries: jax.Array, block_size: int = 64,
                           iters=iters)
 
 
+def block_summaries_t(block_summ: jax.Array,
+                      pad_multiple: int = 1024) -> jax.Array:
+    """Slot-major (S, NB_pad, dim) copy of (NB, S, dim) block summaries
+    for hierarchical_search's stage-0 coarse-sweep kernel, zero-padded on
+    the block dim so the kernel tiles well (NB is rarely a nice power of
+    two — 1M/64 = 15632 = 16*977 would force a 16-wide tile). Padded
+    blocks are suppressed in-kernel via the validity row."""
+    bt = jnp.swapaxes(block_summ, 0, 1)
+    pad = (-bt.shape[1]) % pad_multiple
+    if pad:
+        bt = jnp.pad(bt, ((0, 0), (0, pad), (0, 0)))
+    return bt
+
+
 @functools.partial(jax.jit, static_argnames=("k", "n_blocks", "n_candidates",
                                              "block_size",
                                              "coarse_query_len",
@@ -327,7 +341,8 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
                         bucket_weights: Optional[jax.Array] = None,
                         nbits: int = 0,
                         group_size: int = 0,
-                        approx_topk: bool = False):
+                        approx_topk: bool = False,
+                        block_summ_t: Optional[jax.Array] = None):
     """3-stage search: block summaries -> doc summaries -> exact MaxSim.
 
     Cuts the dominant coarse matmul by ~block_size/n_blocks-fold vs
@@ -338,6 +353,11 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
     coarse_query_len: only the first L query tokens drive stages 0-1, full Q
     scores stage 2 (the reference's candidate-generation truncation,
     index_storage.py:68-77).
+    block_summ_t: optional slot-major (S, NB_pad, dim) copy of block_summ
+    (block_summaries_t) — stage 0 then uses the coarse-sweep Pallas
+    kernel instead of the XLA einsum (which materializes the
+    (NB, S, B, Lq) f32 intermediate in HBM — ~1 GiB/batch at 1M docs,
+    B=128).
     Returns (scores (B, k), rows (B, k)).
     """
     n, s, d = summaries.shape
@@ -346,10 +366,19 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
     # per-doc validity, blocked — pad rows' zero summaries must not win
     # coarse slots (see two_stage_search)
     doc_valid_blocks = jnp.any(mask != 0, axis=1).reshape(nb, block_size)
+    blk_valid = jnp.any(doc_valid_blocks, axis=1)        # (nb,)
 
-    # stage 0: dense over block summaries (small); fully-padded blocks out
-    s0 = coarse_scores(q, block_summ, coarse_query_len)  # (B, nb)
-    s0 = jnp.where(jnp.any(doc_valid_blocks, axis=1)[None, :], s0, NEG_INF)
+    # stage 0: dense over block summaries; fully-padded blocks out
+    if block_summ_t is not None:
+        from ..ops.maxsim import coarse_sweep_pallas
+        qc = q if coarse_query_len is None else q[:, :coarse_query_len]
+        nb_pad = block_summ_t.shape[1]
+        v = blk_valid if nb_pad == nb \
+            else jnp.pad(blk_valid, (0, nb_pad - nb))
+        s0 = coarse_sweep_pallas(qc, block_summ_t, v)    # (B, nb_pad)
+    else:
+        s0 = coarse_scores(q, block_summ, coarse_query_len)  # (B, nb)
+        s0 = jnp.where(blk_valid[None, :], s0, NEG_INF)
     # approx_topk applies ONLY to this stage-0 (B, nb) cut (see two_
     # stage_search's doc). The stage-1 cuts inside the lax.map bodies
     # stay exact: their arrays are just n_blocks*block_size (<= ~8k)
@@ -358,6 +387,10 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
     # residual bench; compiles in <1 s on CPU).
     _cut = jax.lax.approx_max_k if approx_topk else jax.lax.top_k
     _, blk = _cut(s0, n_blocks)                       # (B, n_blocks)
+    # padded stage-0 columns are NEG_INF and can only surface when
+    # n_blocks exceeds the valid-block count; clamp so the stage-1
+    # gathers stay in range (duplicate losing blocks are harmless)
+    blk = jnp.minimum(blk, nb - 1)
 
     if records is None:
         # token (bf16/int8) index: stages 1+2 MERGED into one grouped

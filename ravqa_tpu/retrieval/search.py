@@ -303,6 +303,16 @@ class LateInteractionSearcher:
                 st = jax.device_put(st, NamedSharding(mesh,
                                                       P(None, axis)))
             self._summ_t = st
+        # same trick for hierarchical stage 0 (block summaries), single-
+        # device only: per-shard block counts tile poorly and stage 0 is
+        # already a small fraction of the sharded program
+        self._bsum_t = None
+        if mode == "hierarchical" and self.use_pallas and mesh is None \
+                and index.block_summaries is not None:
+            from .coarse import block_summaries_t
+            self._bsum_t = jax.jit(functools.partial(
+                block_summaries_t, pad_multiple=1024))(
+                index.block_summaries.astype(jnp.bfloat16))
         if mode == "two_stage":
             assert index.summaries is not None, \
                 "call index.build_summaries() first"
@@ -389,7 +399,8 @@ class LateInteractionSearcher:
                 centroids=idx.codec_centroids,
                 bucket_weights=idx.codec_weights, nbits=idx.nbits,
                 group_size=self.group_size,
-                approx_topk=self.approx_topk)
+                approx_topk=self.approx_topk,
+                block_summ_t=self._bsum_t)
         if self.mode == "two_stage":
             from .coarse import two_stage_search
             return two_stage_search(

@@ -145,36 +145,40 @@ del summ_t
 
 
 # ---- hierarchical 3-stage over the cluster-ordered index -------------------
-from ravqa_tpu.retrieval.coarse import block_summaries, hierarchical_search
+from ravqa_tpu.retrieval.coarse import (block_summaries, block_summaries_t,
+                                        hierarchical_search)
 
 BLOCK = 64
 bsum = block_summaries(summ, block_size=BLOCK, n_block_summary=4).astype(dt)
 bsum = jax.block_until_ready(bsum)
-print(f"block summaries: {bsum.shape}", flush=True)
+# slot-major padded copy: stage 0 rides the coarse-sweep kernel
+bsum_t = jax.block_until_ready(jax.jit(block_summaries_t)(bsum))
+print(f"block summaries: {bsum.shape} (+ slot-major {bsum_t.shape})",
+      flush=True)
 
 _, hrows = hierarchical_search(q, index8, mask, summ, bsum, k=K,
                                n_blocks=128, n_candidates=1024,
                                block_size=BLOCK, scales=scales,
-                               approx_topk=True)
+                               approx_topk=True, block_summ_t=bsum_t)
 htop1 = float(np.mean(np.asarray(hrows)[:, 0] == np.asarray(qidx)))
 print(f"hierarchical self-retrieval top-1: {htop1:.2f}", flush=True)
 
 
 def timeit_hier(name, n_blocks, n_candidates, iters=32):
     @jax.jit
-    def run(q, idx, m, sm, bm, sc):
+    def run(q, idx, m, sm, bm, bmt, sc):
         def body(qq, _):
             s, _ = hierarchical_search(qq, idx, m, sm, bm, k=K,
                                        n_blocks=n_blocks,
                                        n_candidates=n_candidates,
                                        block_size=BLOCK, scales=sc,
-                                       approx_topk=True)
+                                       approx_topk=True, block_summ_t=bmt)
             return qq + (s[:, 0] * 1e-9).astype(qq.dtype)[:, None, None], ()
         qq, _ = jax.lax.scan(body, q, None, length=iters)
         return qq[:1, :1, :1]
-    _ = np.asarray(run(q, index8, mask, summ, bsum, scales))
+    _ = np.asarray(run(q, index8, mask, summ, bsum, bsum_t, scales))
     t0 = time.perf_counter()
-    _ = np.asarray(run(q, index8, mask, summ, bsum, scales))
+    _ = np.asarray(run(q, index8, mask, summ, bsum, bsum_t, scales))
     dt_s = time.perf_counter() - t0
     print(f"{name}: {B * iters / dt_s:.0f} QPS/chip "
           f"({dt_s / iters * 1e3:.2f} ms/batch)", flush=True)

@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 
 from ravqa_tpu.ops.residual import _kmeans, compress_flat, pack_records, record_bytes
-from ravqa_tpu.retrieval.coarse import (block_summaries, hierarchical_search,
+from ravqa_tpu.retrieval.coarse import (block_summaries, block_summaries_t,
+                                        hierarchical_search,
                                         summarize_docs, two_stage_search)
 
 N, LD, DIM = int(os.environ.get("BENCH_N", 1_000_448)), 64, 128
@@ -217,6 +218,7 @@ del summ_t, TS_ARGS
 BLOCK = 64
 bsum = block_summaries(summ, block_size=BLOCK, n_block_summary=4).astype(dt)
 bsum = jax.block_until_ready(bsum)
+bsum_t = jax.block_until_ready(jax.jit(block_summaries_t)(bsum))
 
 _, hrows = hierarchical_search(q, None, mask, summ, bsum, k=K,
                                n_blocks=128, n_candidates=1024,
@@ -224,19 +226,19 @@ _, hrows = hierarchical_search(q, None, mask, summ, bsum, k=K,
                                use_pallas_residual=N_CENT <= 1024,
                                records=records, centroids=centroids,
                                bucket_weights=weights, nbits=NBITS,
-                               approx_topk=True)
+                               approx_topk=True, block_summ_t=bsum_t)
 htop1 = float(np.mean(np.asarray(hrows)[:, 0] == qidx))
 print(f"hierarchical self-retrieval top-1: {htop1:.2f}", flush=True)
 
-H_ARGS = (mask, summ, bsum, records, centroids, weights)
+H_ARGS = (mask, summ, bsum, bsum_t, records, centroids, weights)
 for fused in FUSED_MODES:
     tag = "fused" if fused else "xla"
     for nb_, nc in ((128, 1024), (64, 256)):
         timeit(f"hier_1M_residual_B{nb_}_C{nc}_{tag}",
-               lambda qq, m, sm, bm, recs, cent, bw, nb_=nb_,
+               lambda qq, m, sm, bm, bmt, recs, cent, bw, nb_=nb_,
                nc=nc, fused=fused: hierarchical_search(
                    qq, None, m, sm, bm, k=K, n_blocks=nb_, n_candidates=nc,
                    block_size=BLOCK, use_pallas_residual=fused,
                    records=recs, centroids=cent,
                    bucket_weights=bw, nbits=NBITS,
-                   approx_topk=True), H_ARGS)
+                   approx_topk=True, block_summ_t=bmt), H_ARGS)

@@ -285,3 +285,73 @@ def test_searcher_hierarchical_int8_sharded():
                                 use_pallas=False)
     scores, pids = s.search(q, k=5)
     assert (pids[:, 0] == qsrc).all()
+
+
+def test_hierarchical_block_summ_t_kernel_stage0_matches_xla():
+    """Stage 0 via the coarse-sweep Pallas kernel (slot-major padded
+    block_summ_t, interpret mode) must rank identically to the XLA
+    einsum stage 0, including block-dim padding suppression."""
+    from jax.experimental.pallas import tpu as pltpu
+    from ravqa_tpu.retrieval.coarse import (block_summaries,
+                                            block_summaries_t,
+                                            cluster_order,
+                                            hierarchical_search)
+    rng = np.random.default_rng(3)
+    n, ld, dim, S = 512, 16, 128, 4
+    toks, mask, _, _ = make_clustered_corpus(rng, n_docs=n, ld=ld, dim=dim,
+                                             n_topics=24)
+    # a fully-padded tail block exercises the validity mask end-to-end
+    mask[-32:] = 0
+    qidx = rng.integers(n - 32, size=8)
+    q = normed(toks[qidx, :8] + 0.05 * rng.normal(size=(8, 8, dim))
+               ).astype(np.float32)
+    summ = summarize_docs(jnp.array(toks), jnp.array(mask), n_summary=S,
+                          iters=4)
+    perm = np.asarray(cluster_order(summ, n_clusters=16, iters=4,
+                                    chunk=128))
+    toks_o, mask_o = toks[perm], mask[perm]
+    summ_o = jnp.array(np.asarray(summ)[perm])
+    bs = block_summaries(summ_o, block_size=32, n_block_summary=4)
+    # pad 16 blocks -> 24 on the block dim (any multiple works)
+    bst = block_summaries_t(bs, pad_multiple=24)
+    assert bst.shape == (4, 24, dim)
+    args = (jnp.array(q), jnp.array(toks_o), jnp.array(mask_o), summ_o, bs)
+    kw = dict(k=5, n_blocks=8, n_candidates=64, block_size=32)
+    _, want = hierarchical_search(*args, **kw)
+    with pltpu.force_tpu_interpret_mode():
+        _, got = hierarchical_search(*args, **kw, block_summ_t=bst)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_searcher_hierarchical_bsum_t_interpret():
+    """Single-device hierarchical searcher with use_pallas=True builds the
+    bf16 slot-major block-summary copy and ranks like use_pallas=False
+    (top-1 must hold; bf16 stage-0 can flip far-tail candidates)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from ravqa_tpu.retrieval import (LateInteractionSearcher,
+                                     build_index_from_embeddings)
+    from ravqa_tpu.retrieval.coarse import cluster_order, summarize_docs
+    rng = np.random.default_rng(11)
+    toks, mask, _, _ = make_clustered_corpus(rng, n_docs=256, ld=16,
+                                             dim=128, n_topics=16)
+    summ = summarize_docs(jnp.array(toks), jnp.array(mask), n_summary=4,
+                          iters=4)
+    perm = np.asarray(cluster_order(summ, n_clusters=8, iters=4, chunk=128))
+    toks, mask = toks[perm], mask[perm]
+    qsrc = rng.integers(256, size=4)
+    q = normed(toks[qsrc, :8] + 0.05 * rng.normal(size=(4, 8, 128))
+               ).astype(np.float32)
+    idx = build_index_from_embeddings(toks, mask, pad_multiple=8,
+                                      dtype=jnp.float32)
+    idx.build_summaries(n_summary=4, iters=4)
+    idx.build_block_summaries(block_size=32, n_block_summary=4)
+    ref = LateInteractionSearcher(idx, mode="hierarchical", n_candidates=64,
+                                  use_pallas=False)
+    _, want = ref.search(q, k=5)
+    with pltpu.force_tpu_interpret_mode():
+        s = LateInteractionSearcher(idx, mode="hierarchical",
+                                    n_candidates=64, use_pallas=True)
+        assert s._bsum_t is not None
+        assert s._bsum_t.dtype == jnp.bfloat16
+        _, got = s.search(q, k=5)
+    np.testing.assert_array_equal(got[:, 0], want[:, 0])
