@@ -204,7 +204,8 @@ def _fine_stage(q, cand, tokens, mask, *, k: int,
                                              "coarse_query_len",
                                              "use_pallas_coarse",
                                              "use_pallas_residual", "nbits",
-                                             "group_size", "approx_topk"))
+                                             "group_size", "approx_topk",
+                                             "approx_recall"))
 def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
                      mask: jax.Array,
                      summaries: jax.Array, *, k: int,
@@ -219,7 +220,8 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
                      nbits: int = 0,
                      group_size: int = 0,
                      summaries_t: Optional[jax.Array] = None,
-                     approx_topk: bool = False):
+                     approx_topk: bool = False,
+                     approx_recall: float = 0.95):
     """Returns (scores (B, k), rows (B, k)) — exact scores on the coarse
     stage's top `n_candidates` docs.
 
@@ -248,8 +250,12 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
     scripts/exp_coarse_kernel.py). The fine stage re-scores exactly, so
     this only perturbs the candidate tail — same approximation class as
     the summary pruning itself (and as the reference's IVF candidate
-    generation, candidate_generation.py).
+    generation, candidate_generation.py). approx_recall: approx_max_k
+    recall_target — raise toward 1.0 for a stricter (slower) cut.
     """
+    _cut = (functools.partial(jax.lax.approx_max_k,
+                              recall_target=approx_recall)
+            if approx_topk else jax.lax.top_k)
     if use_pallas_coarse and summaries_t is not None:
         from ..ops.maxsim import coarse_sweep_pallas
         qc = q if coarse_query_len is None else q[:, :coarse_query_len]
@@ -258,10 +264,7 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
         # custom-call output an extra time)
         approx = coarse_sweep_pallas(qc, summaries_t,
                                      jnp.any(mask != 0, axis=1))
-        if approx_topk:
-            _, cand = jax.lax.approx_max_k(approx, n_candidates)
-        else:
-            _, cand = jax.lax.top_k(approx, n_candidates)
+        _, cand = _cut(approx, n_candidates)
         return _fine_stage(q, cand, tokens, mask, k=k, scales=scales,
                            records=records, centroids=centroids,
                            bucket_weights=bucket_weights, nbits=nbits,
@@ -279,10 +282,7 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
     # candidate slots — mask them to NEG_INF
     doc_valid = jnp.any(mask != 0, axis=1)                   # (N,)
     approx = jnp.where(doc_valid[None, :], approx, NEG_INF)
-    if approx_topk:
-        _, cand = jax.lax.approx_max_k(approx, n_candidates)  # (B, C)
-    else:
-        _, cand = jax.lax.top_k(approx, n_candidates)        # (B, C)
+    _, cand = _cut(approx, n_candidates)                     # (B, C)
 
     return _fine_stage(q, cand, tokens, mask, k=k, scales=scales,
                        records=records, centroids=centroids,
@@ -327,7 +327,8 @@ def block_summaries_t(block_summ: jax.Array,
                                              "block_size",
                                              "coarse_query_len",
                                              "use_pallas_residual", "nbits",
-                                             "group_size", "approx_topk"))
+                                             "group_size", "approx_topk",
+                                             "approx_recall"))
 def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
                         mask: jax.Array,
                         summaries: jax.Array, block_summ: jax.Array, *,
@@ -342,6 +343,7 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
                         nbits: int = 0,
                         group_size: int = 0,
                         approx_topk: bool = False,
+                        approx_recall: float = 0.95,
                         block_summ_t: Optional[jax.Array] = None):
     """3-stage search: block summaries -> doc summaries -> exact MaxSim.
 
@@ -385,7 +387,9 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
     # elements where PartialReduce buys nothing, and approx_max_k nested
     # in lax.map stalls the TPU compiler (>40 min, observed on the 1M
     # residual bench; compiles in <1 s on CPU).
-    _cut = jax.lax.approx_max_k if approx_topk else jax.lax.top_k
+    _cut = (functools.partial(jax.lax.approx_max_k,
+                              recall_target=approx_recall)
+            if approx_topk else jax.lax.top_k)
     _, blk = _cut(s0, n_blocks)                       # (B, n_blocks)
     # padded stage-0 columns are NEG_INF and can only surface when
     # n_blocks exceeds the valid-block count; clamp so the stage-1

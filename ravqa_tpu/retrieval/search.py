@@ -83,7 +83,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                         residual_nbits: int = 0,
                         group_size: int = 0,
                         use_summ_t: bool = False,
-                        approx_topk: bool = False):
+                        approx_topk: bool = False,
+                        approx_recall: float = 0.95):
     """Build a jitted collective search fn over `mesh`.
 
     Returned fn(q, tokens, mask[, summaries[, block_summaries]][, scales])
@@ -135,7 +136,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                 use_pallas_coarse=use_pallas,
                                 group_size=group_size,
                                 summaries_t=summ_t,
-                                approx_topk=approx_topk)
+                                approx_topk=approx_topk,
+                                approx_recall=approx_recall)
         return _merge(q, s, i)
 
     def _local_two_stage_int8(q, tok, msk, summ, scl, summ_t=None):
@@ -145,7 +147,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                 use_pallas_coarse=use_pallas,
                                 group_size=group_size,
                                 summaries_t=summ_t,
-                                approx_topk=approx_topk)
+                                approx_topk=approx_topk,
+                                approx_recall=approx_recall)
         return _merge(q, s, i)
 
     def _local_hier(q, tok, msk, summ, bsum, scl=None):
@@ -154,7 +157,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                    block_size=block_size, scales=scl,
                                    coarse_query_len=coarse_query_len,
                                    group_size=group_size,
-                                   approx_topk=approx_topk)
+                                   approx_topk=approx_topk,
+                                   approx_recall=approx_recall)
         return _merge(q, s, i)
 
     # residual-codec variants: per-doc arrays (packed records) shard over
@@ -168,7 +172,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                 records=recs, centroids=cent,
                                 bucket_weights=bw, nbits=residual_nbits,
                                 summaries_t=summ_t,
-                                approx_topk=approx_topk)
+                                approx_topk=approx_topk,
+                                approx_recall=approx_recall)
         return _merge(q, s, i)
 
     def _local_hier_res(q, msk, summ, bsum, recs, cent, bw):
@@ -179,7 +184,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                    use_pallas_residual=use_pallas,
                                    records=recs, centroids=cent,
                                    bucket_weights=bw, nbits=residual_nbits,
-                                   approx_topk=approx_topk)
+                                   approx_topk=approx_topk,
+                                   approx_recall=approx_recall)
         return _merge(q, s, i)
 
     if residual_nbits and hierarchical:
@@ -246,7 +252,8 @@ class LateInteractionSearcher:
                  n_blocks: Optional[int] = None,
                  coarse_query_len: Optional[int] = None,
                  group_size: int = 0,
-                 approx_topk: Optional[bool] = None):
+                 approx_topk: Optional[bool] = None,
+                 approx_recall: float = 0.95):
         """mode: "exact" (exhaustive MaxSim), "two_stage" (coarse over
         index.summaries -> exact re-score of top n_candidates; requires
         index.build_summaries()), or "hierarchical" (block summaries ->
@@ -286,6 +293,9 @@ class LateInteractionSearcher:
         if approx_topk is None:
             approx_topk = jax.default_backend() == "tpu"
         self.approx_topk = approx_topk
+        # approx_max_k recall_target for the pruning cuts (higher =
+        # stricter = slower); only meaningful when approx_topk
+        self.approx_recall = approx_recall
         # ONE-TIME slot-major (S, N, dim) summary copy for the fast
         # chunked coarse-sweep kernel (ops.maxsim.coarse_sweep_pallas;
         # 4.5-6.5x over the XLA einsum at 1M docs). Costs one extra
@@ -357,7 +367,8 @@ class LateInteractionSearcher:
                 residual_nbits=self.index.nbits,
                 group_size=self.group_size,
                 use_summ_t=self._summ_t is not None,
-                approx_topk=self.approx_topk)
+                approx_topk=self.approx_topk,
+                approx_recall=self.approx_recall)
         return self._sharded_fns[k]
 
     def search_device(self, q: jax.Array, k: int):
@@ -400,6 +411,7 @@ class LateInteractionSearcher:
                 bucket_weights=idx.codec_weights, nbits=idx.nbits,
                 group_size=self.group_size,
                 approx_topk=self.approx_topk,
+                approx_recall=self.approx_recall,
                 block_summ_t=self._bsum_t)
         if self.mode == "two_stage":
             from .coarse import two_stage_search
@@ -415,7 +427,8 @@ class LateInteractionSearcher:
                 bucket_weights=idx.codec_weights, nbits=idx.nbits,
                 group_size=self.group_size,
                 summaries_t=self._summ_t,
-                approx_topk=self.approx_topk)
+                approx_topk=self.approx_topk,
+                approx_recall=self.approx_recall)
         return search_single_device(
             q, idx.tokens, idx.mask, idx.scales, k=k,
             use_pallas=self.use_pallas, tile_d=self.tile_d)
