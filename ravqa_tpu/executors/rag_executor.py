@@ -55,6 +55,9 @@ class RagConfig:
     search_mode: str = "exact"            # | "two_stage" | "hierarchical"
     n_candidates: Optional[int] = None    # pruned-mode candidate count
     #   (None -> searcher's k-dependent auto preset)
+    approx_topk: Optional[bool] = None    # approx_max_k pruning cuts
+    #   (None -> on for TPU backends; see LateInteractionSearcher)
+    approx_recall: float = 0.95           # approx_max_k recall_target
     # published-config behaviors (reference rag_model_blip.py):
     n_docs_in_training: Optional[int] = None  # num_knowledge_passages_in_
     #   training (:552-557): randomly subsample this many of the top n_docs
@@ -85,7 +88,9 @@ def _make_searcher(index: TokenIndex, mesh, rag_cfg: "RagConfig"):
     return LateInteractionSearcher(
         index, mesh=mesh, axis=axis,
         use_pallas=jax.default_backend() == "tpu",
-        mode=mode, n_candidates=rag_cfg.n_candidates)
+        mode=mode, n_candidates=rag_cfg.n_candidates,
+        approx_topk=rag_cfg.approx_topk,
+        approx_recall=rag_cfg.approx_recall)
 
 
 class RagExecutor(BaseExecutor):

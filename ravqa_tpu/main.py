@@ -461,7 +461,11 @@ def build_server(cfg, data, mesh, log_dir: str):
         index.build_summaries(n_summary=sv.get("n_summary", 8))
     if mode == "hierarchical":
         index.build_block_summaries(block_size=sv.get("block_size", 64))
-    searcher = LateInteractionSearcher(index, mode=mode)
+    searcher = LateInteractionSearcher(
+        index, mode=mode,
+        n_candidates=sv.get("n_candidates"),
+        approx_topk=sv.get("approx_topk"),        # None -> on for TPU
+        approx_recall=sv.get("approx_recall", 0.95))
     id2content = {i: c for i, c in enumerate(corpus.contents)}
     # in-graph-vision retrievers take raw pixels per request (a zeroed
     # image_features vector would silently bypass the trained ViT)
