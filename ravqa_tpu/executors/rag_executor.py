@@ -58,6 +58,9 @@ class RagConfig:
     approx_topk: Optional[bool] = None    # approx_max_k pruning cuts
     #   (None -> on for TPU backends; see LateInteractionSearcher)
     approx_recall: float = 0.95           # approx_max_k recall_target
+    centroid_prune: Optional[int] = None  # residual fine stage: PLAID-style
+    #   centroid-only intermediate cut (None -> searcher auto: C//4 when
+    #   the codebook has >= 4096 centroids, else off; 0 = always off)
     # published-config behaviors (reference rag_model_blip.py):
     n_docs_in_training: Optional[int] = None  # num_knowledge_passages_in_
     #   training (:552-557): randomly subsample this many of the top n_docs
@@ -90,7 +93,8 @@ def _make_searcher(index: TokenIndex, mesh, rag_cfg: "RagConfig"):
         use_pallas=jax.default_backend() == "tpu",
         mode=mode, n_candidates=rag_cfg.n_candidates,
         approx_topk=rag_cfg.approx_topk,
-        approx_recall=rag_cfg.approx_recall)
+        approx_recall=rag_cfg.approx_recall,
+        centroid_prune=rag_cfg.centroid_prune)
 
 
 class RagExecutor(BaseExecutor):

@@ -465,7 +465,8 @@ def build_server(cfg, data, mesh, log_dir: str):
         index, mode=mode,
         n_candidates=sv.get("n_candidates"),
         approx_topk=sv.get("approx_topk"),        # None -> on for TPU
-        approx_recall=sv.get("approx_recall", 0.95))
+        approx_recall=sv.get("approx_recall", 0.95),
+        centroid_prune=sv.get("centroid_prune"))  # None -> auto (residual)
     id2content = {i: c for i, c in enumerate(corpus.contents)}
     # in-graph-vision retrievers take raw pixels per request (a zeroed
     # image_features vector would silently bypass the trained ViT)

@@ -127,13 +127,20 @@ def _fine_stage(q, cand, tokens, mask, *, k: int,
                 scales=None, records=None, centroids=None,
                 bucket_weights=None, nbits: int = 0,
                 use_pallas_residual: bool = False,
-                group_size: int = 0):
+                group_size: int = 0, centroid_prune: int = 0):
     """Exact re-score of per-query candidate sets -> (scores (B,k), rows).
 
     Shared by two_stage_search (fine stage) and hierarchical_search
     (stage 2). q: (B, Lq, dim); cand: (B, C) candidate rows. Residual
     indexes pass `records` — the packed per-doc [codes|scales|residual
-    bytes] rows (ops.residual.pack_records).
+    bytes] rows (ops.residual.pack_records). centroid_prune (residual
+    indexes only): PLAID-style intermediate cut — score all C candidates
+    from their centroid ids alone (a (B, K, Lq) q@centroidsᵀ table +
+    per-token lookups; no residual decompress), keep the top
+    `centroid_prune`, and decompress only the survivors. Mirrors the
+    reference's approximate scoring stage (IndexScorer.score_pids ranks
+    by centroid scores before decompressing residuals,
+    third_party/ColBERT/colbert/search/index_storage.py:141-171).
     """
     if records is not None:
         # residual codec. ONE wide-row gather of the packed records
@@ -147,6 +154,38 @@ def _fine_stage(q, cand, tokens, mask, *, k: int,
         rg = jnp.take(records, cand, axis=0)                 # (B, C, RB)
         cg, sg, pg = split_records(rg, ld)
         mg = jnp.take(mask, cand, axis=0)
+
+        cp = min(centroid_prune, c) if centroid_prune else 0
+        if cp and cp < c:
+            # centroid-only approximate scores: tok ≈ centroid[code], so
+            # score ≈ sum_q max_d scale * (centroid[code_d] · q). The
+            # q@centroidsᵀ table is one small matmul; per candidate token
+            # the score column is a row lookup. bf16 throughout — the
+            # cut only has to rank, the survivors re-score exactly.
+            table = jnp.einsum("bqd,kd->bkq", q.astype(jnp.float32),
+                               centroids,
+                               preferred_element_type=jnp.float32) \
+                .astype(jnp.bfloat16)                        # (B, K, Lq)
+
+            def prune_one(args):
+                ti, cgi, sgi, mgi = args
+                s = jnp.take(ti, cgi.reshape(-1), axis=0) \
+                    .reshape(c, ld, -1)                      # (C, Ld, Lq)
+                s = s * sgi.astype(jnp.bfloat16)[:, :, None]
+                s = jnp.where(mgi.astype(bool)[:, :, None], s,
+                              jnp.bfloat16(NEG_INF))
+                sc = jnp.sum(jnp.max(s, axis=1).astype(jnp.float32),
+                             axis=-1)                        # (C,)
+                _, sel = jax.lax.top_k(sc, cp)
+                return sel
+
+            sel = jax.lax.map(prune_one, (table, cg, sg, mg))  # (B, cp)
+            cand = jnp.take_along_axis(cand, sel, axis=1)
+            cg = jnp.take_along_axis(cg, sel[:, :, None], axis=1)
+            sg = jnp.take_along_axis(sg, sel[:, :, None], axis=1)
+            mg = jnp.take_along_axis(mg, sel[:, :, None], axis=1)
+            pg = jnp.take_along_axis(pg, sel[:, :, None, None], axis=1)
+            c = cp
 
         if use_pallas_residual and centroids.shape[0] <= 1024:
             # fused decompress+MaxSim kernel: candidates stay packed all
@@ -205,7 +244,8 @@ def _fine_stage(q, cand, tokens, mask, *, k: int,
                                              "use_pallas_coarse",
                                              "use_pallas_residual", "nbits",
                                              "group_size", "approx_topk",
-                                             "approx_recall"))
+                                             "approx_recall",
+                                             "centroid_prune"))
 def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
                      mask: jax.Array,
                      summaries: jax.Array, *, k: int,
@@ -221,7 +261,8 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
                      group_size: int = 0,
                      summaries_t: Optional[jax.Array] = None,
                      approx_topk: bool = False,
-                     approx_recall: float = 0.95):
+                     approx_recall: float = 0.95,
+                     centroid_prune: int = 0):
     """Returns (scores (B, k), rows (B, k)) — exact scores on the coarse
     stage's top `n_candidates` docs.
 
@@ -252,6 +293,10 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
     the summary pruning itself (and as the reference's IVF candidate
     generation, candidate_generation.py). approx_recall: approx_max_k
     recall_target — raise toward 1.0 for a stricter (slower) cut.
+    centroid_prune (residual indexes): intermediate PLAID-style cut of
+    the fine stage — candidates are first ranked by centroid-only scores
+    (no residual decompress) and only the top `centroid_prune` are
+    decompressed + scored exactly (see _fine_stage). 0 = off.
     """
     _cut = (functools.partial(jax.lax.approx_max_k,
                               recall_target=approx_recall)
@@ -269,7 +314,8 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
                            records=records, centroids=centroids,
                            bucket_weights=bucket_weights, nbits=nbits,
                            use_pallas_residual=use_pallas_residual,
-                           group_size=group_size)
+                           group_size=group_size,
+                           centroid_prune=centroid_prune)
     if use_pallas_coarse:
         from ..ops.maxsim import maxsim_search_pallas
         qc = q if coarse_query_len is None else q[:, :coarse_query_len]
@@ -288,7 +334,8 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
                        records=records, centroids=centroids,
                        bucket_weights=bucket_weights, nbits=nbits,
                        use_pallas_residual=use_pallas_residual,
-                       group_size=group_size)
+                       group_size=group_size,
+                       centroid_prune=centroid_prune)
 
 
 # ---------------------------------------------------------------------------
@@ -328,7 +375,8 @@ def block_summaries_t(block_summ: jax.Array,
                                              "coarse_query_len",
                                              "use_pallas_residual", "nbits",
                                              "group_size", "approx_topk",
-                                             "approx_recall"))
+                                             "approx_recall",
+                                             "centroid_prune"))
 def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
                         mask: jax.Array,
                         summaries: jax.Array, block_summ: jax.Array, *,
@@ -344,7 +392,8 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
                         group_size: int = 0,
                         approx_topk: bool = False,
                         approx_recall: float = 0.95,
-                        block_summ_t: Optional[jax.Array] = None):
+                        block_summ_t: Optional[jax.Array] = None,
+                        centroid_prune: int = 0):
     """3-stage search: block summaries -> doc summaries -> exact MaxSim.
 
     Cuts the dominant coarse matmul by ~block_size/n_blocks-fold vs
@@ -360,6 +409,9 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
     kernel instead of the XLA einsum (which materializes the
     (NB, S, B, Lq) f32 intermediate in HBM — ~1 GiB/batch at 1M docs,
     B=128).
+    centroid_prune (residual indexes): intermediate PLAID-style cut of
+    stage 2 — candidates ranked by centroid-only scores first, only the
+    top `centroid_prune` decompressed + scored exactly (_fine_stage).
     Returns (scores (B, k), rows (B, k)).
     """
     n, s, d = summaries.shape
@@ -455,7 +507,8 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
     return _fine_stage(q, cand, tokens, mask, k=k, scales=scales,
                        records=records, centroids=centroids,
                        bucket_weights=bucket_weights, nbits=nbits,
-                       use_pallas_residual=use_pallas_residual)
+                       use_pallas_residual=use_pallas_residual,
+                       centroid_prune=centroid_prune)
 
 
 @functools.partial(jax.jit, static_argnames=("n_clusters", "iters",

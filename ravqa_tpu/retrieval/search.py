@@ -28,6 +28,11 @@ from ..ops.maxsim import maxsim_search_pallas, maxsim_search_xla
 from ..ops.quant import maxsim_search_int8_xla
 from .index import TokenIndex
 
+# resolve_centroid_prune auto-enables the centroid-only fine-stage cut
+# only above this codebook size (see its docstring)
+CENTROID_PRUNE_MIN_CODEBOOK = 4096
+
+
 def mesh_axis_size(mesh, axis) -> int:
     """Total shard count over `axis`, which may be one mesh axis name or a
     tuple of names (e.g. ("dcn", "ici") for a multi-pod sharded index —
@@ -84,7 +89,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                         group_size: int = 0,
                         use_summ_t: bool = False,
                         approx_topk: bool = False,
-                        approx_recall: float = 0.95):
+                        approx_recall: float = 0.95,
+                        centroid_prune: int = 0):
     """Build a jitted collective search fn over `mesh`.
 
     Returned fn(q, tokens, mask[, summaries[, block_summaries]][, scales])
@@ -101,6 +107,12 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
     n_local = n_pad // nshards
     k_local = min(k, n_local)
     c_local = min(max(n_candidates // nshards, k_local), n_local)
+    # residual centroid-only cut scales with the per-shard candidate
+    # count (same rule as c_local); disabled when it would not cut
+    cp_local = min(max(centroid_prune // nshards, k_local), c_local) \
+        if centroid_prune else 0
+    if cp_local >= c_local:
+        cp_local = 0
     if hierarchical:
         nb_local = n_local // block_size
         if n_blocks is None:
@@ -173,7 +185,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                 bucket_weights=bw, nbits=residual_nbits,
                                 summaries_t=summ_t,
                                 approx_topk=approx_topk,
-                                approx_recall=approx_recall)
+                                approx_recall=approx_recall,
+                                centroid_prune=cp_local)
         return _merge(q, s, i)
 
     def _local_hier_res(q, msk, summ, bsum, recs, cent, bw):
@@ -185,7 +198,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                    records=recs, centroids=cent,
                                    bucket_weights=bw, nbits=residual_nbits,
                                    approx_topk=approx_topk,
-                                   approx_recall=approx_recall)
+                                   approx_recall=approx_recall,
+                                   centroid_prune=cp_local)
         return _merge(q, s, i)
 
     if residual_nbits and hierarchical:
@@ -253,7 +267,8 @@ class LateInteractionSearcher:
                  coarse_query_len: Optional[int] = None,
                  group_size: int = 0,
                  approx_topk: Optional[bool] = None,
-                 approx_recall: float = 0.95):
+                 approx_recall: float = 0.95,
+                 centroid_prune: Optional[int] = None):
         """mode: "exact" (exhaustive MaxSim), "two_stage" (coarse over
         index.summaries -> exact re-score of top n_candidates; requires
         index.build_summaries()), or "hierarchical" (block summaries ->
@@ -296,6 +311,13 @@ class LateInteractionSearcher:
         # approx_max_k recall_target for the pruning cuts (higher =
         # stricter = slower); only meaningful when approx_topk
         self.approx_recall = approx_recall
+        # residual fine stage: PLAID-style centroid-only intermediate cut
+        # (coarse._fine_stage). None = auto (resolve_centroid_prune):
+        # C//4 (>= 4k) when the index is residual-compressed — the
+        # decompress+score stage dominates the residual search cost, and
+        # ranking the cut by centroid-only scores needs no decompress.
+        # 0 disables.
+        self.centroid_prune = centroid_prune
         # ONE-TIME slot-major (S, N, dim) summary copy for the fast
         # chunked coarse-sweep kernel (ops.maxsim.coarse_sweep_pallas;
         # 4.5-6.5x over the XLA einsum at 1M docs). Costs one extra
@@ -349,6 +371,30 @@ class LateInteractionSearcher:
             return self.n_blocks
         return max(self.resolve_candidates(k) // 2, 1)
 
+    def resolve_centroid_prune(self, k: int, n_candidates: int) -> int:
+        """Intermediate candidate count for the residual fine stage's
+        centroid-only cut (0 = off). Auto: C//4, floored at 4k (the
+        survivors still re-score exactly, so k is always safe) — but only
+        when the codebook is big enough for centroid scores to rank
+        (CENTROID_PRUNE_MIN_CODEBOOK): with a small codebook, same-cluster
+        docs share identical code sequences and the cut shuffles near-ties
+        (the tight-cluster worst case of tests/test_recall_gate.py).
+        Production-scale indexes (the reference's 2^⌊log2(16√E)⌋ partition
+        rule, collection_indexer.py:85-116) are far above the threshold.
+        Off for non-residual indexes and when it would not actually cut;
+        an explicit `centroid_prune` always wins."""
+        if self.index.nbits == 0:
+            return 0
+        cp = self.centroid_prune
+        if cp is None:
+            cents = self.index.codec_centroids
+            if cents is None or \
+                    cents.shape[0] < CENTROID_PRUNE_MIN_CODEBOOK:
+                return 0
+            cp = max(4 * k, n_candidates // 4)
+        cp = min(cp, n_candidates)
+        return 0 if cp >= n_candidates else cp
+
     def _search_fn(self, k: int):
         if self.mesh is None:
             return None
@@ -368,7 +414,9 @@ class LateInteractionSearcher:
                 group_size=self.group_size,
                 use_summ_t=self._summ_t is not None,
                 approx_topk=self.approx_topk,
-                approx_recall=self.approx_recall)
+                approx_recall=self.approx_recall,
+                centroid_prune=self.resolve_centroid_prune(
+                    k, self.resolve_candidates(k)))
         return self._sharded_fns[k]
 
     def search_device(self, q: jax.Array, k: int):
@@ -412,7 +460,9 @@ class LateInteractionSearcher:
                 group_size=self.group_size,
                 approx_topk=self.approx_topk,
                 approx_recall=self.approx_recall,
-                block_summ_t=self._bsum_t)
+                block_summ_t=self._bsum_t,
+                centroid_prune=self.resolve_centroid_prune(
+                    k, min(self.resolve_candidates(k), idx.n_pad)))
         if self.mode == "two_stage":
             from .coarse import two_stage_search
             return two_stage_search(
@@ -428,7 +478,9 @@ class LateInteractionSearcher:
                 group_size=self.group_size,
                 summaries_t=self._summ_t,
                 approx_topk=self.approx_topk,
-                approx_recall=self.approx_recall)
+                approx_recall=self.approx_recall,
+                centroid_prune=self.resolve_centroid_prune(
+                    k, min(self.resolve_candidates(k), idx.n_pad)))
         return search_single_device(
             q, idx.tokens, idx.mask, idx.scales, k=k,
             use_pallas=self.use_pallas, tile_d=self.tile_d)

@@ -164,6 +164,15 @@ s, rows = two_stage_search(q, None, mask, summ, k=K, n_candidates=1024,
                            bucket_weights=weights, nbits=NBITS)
 top1 = float(np.mean(np.asarray(rows)[:, 0] == qidx))
 print(f"two-stage self-retrieval top-1: {top1:.2f}", flush=True)
+_, rows_cp = two_stage_search(q, None, mask, summ, k=K, n_candidates=1024,
+                              use_pallas_coarse=True, approx_topk=True,
+                              summaries_t=summ_t, centroid_prune=256,
+                              use_pallas_residual=N_CENT <= 1024,
+                              records=records, centroids=centroids,
+                              bucket_weights=weights, nbits=NBITS)
+top1_cp = float(np.mean(np.asarray(rows_cp)[:, 0] == qidx))
+print(f"two-stage self-retrieval top-1 (centroid_prune=256): "
+      f"{top1_cp:.2f}", flush=True)
 
 
 def timeit(name, fn, args, iters=32):
@@ -196,9 +205,10 @@ if N_CENT > 1024:
           "timing the XLA fine stage only", flush=True)
 for fused in FUSED_MODES:
     tag = "fused" if fused else "xla"
-    for nc in (1024, 256):
-        timeit(f"two_stage_1M_residual_C{nc}_{tag}",
-               lambda qq, m, sm, recs, cent, bw, smt, nc=nc,
+    # cp = PLAID-style centroid-only fine-stage cut (searcher auto: C//4)
+    for nc, cp in ((1024, 0), (1024, 256), (256, 0), (256, 64)):
+        timeit(f"two_stage_1M_residual_C{nc}_cp{cp}_{tag}",
+               lambda qq, m, sm, recs, cent, bw, smt, nc=nc, cp=cp,
                fused=fused: two_stage_search(
                    qq, None, m, sm, k=K, n_candidates=nc,
                    # chunked slot-major sweep (coarse_sweep_pallas):
@@ -206,7 +216,7 @@ for fused in FUSED_MODES:
                    # shape vs 41-59 ms XLA einsum / 58-149 ms generic
                    # doc-major Pallas kernel
                    use_pallas_coarse=True, approx_topk=True, summaries_t=smt,
-                   use_pallas_residual=fused,
+                   use_pallas_residual=fused, centroid_prune=cp,
                    records=recs, centroids=cent,
                    bucket_weights=bw, nbits=NBITS), TS_ARGS)
 
@@ -229,16 +239,27 @@ _, hrows = hierarchical_search(q, None, mask, summ, bsum, k=K,
                                approx_topk=True, block_summ_t=bsum_t)
 htop1 = float(np.mean(np.asarray(hrows)[:, 0] == qidx))
 print(f"hierarchical self-retrieval top-1: {htop1:.2f}", flush=True)
+_, hrows_cp = hierarchical_search(q, None, mask, summ, bsum, k=K,
+                                  n_blocks=128, n_candidates=1024,
+                                  block_size=BLOCK, centroid_prune=256,
+                                  use_pallas_residual=N_CENT <= 1024,
+                                  records=records, centroids=centroids,
+                                  bucket_weights=weights, nbits=NBITS,
+                                  approx_topk=True, block_summ_t=bsum_t)
+htop1_cp = float(np.mean(np.asarray(hrows_cp)[:, 0] == qidx))
+print(f"hierarchical self-retrieval top-1 (centroid_prune=256): "
+      f"{htop1_cp:.2f}", flush=True)
 
 H_ARGS = (mask, summ, bsum, bsum_t, records, centroids, weights)
 for fused in FUSED_MODES:
     tag = "fused" if fused else "xla"
-    for nb_, nc in ((128, 1024), (64, 256)):
-        timeit(f"hier_1M_residual_B{nb_}_C{nc}_{tag}",
+    for nb_, nc, cp in ((128, 1024, 0), (128, 1024, 256),
+                        (64, 256, 0), (64, 256, 64)):
+        timeit(f"hier_1M_residual_B{nb_}_C{nc}_cp{cp}_{tag}",
                lambda qq, m, sm, bm, bmt, recs, cent, bw, nb_=nb_,
-               nc=nc, fused=fused: hierarchical_search(
+               nc=nc, cp=cp, fused=fused: hierarchical_search(
                    qq, None, m, sm, bm, k=K, n_blocks=nb_, n_candidates=nc,
                    block_size=BLOCK, use_pallas_residual=fused,
-                   records=recs, centroids=cent,
+                   records=recs, centroids=cent, centroid_prune=cp,
                    bucket_weights=bw, nbits=NBITS,
                    approx_topk=True, block_summ_t=bmt), H_ARGS)
