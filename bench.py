@@ -31,6 +31,7 @@ def main():
     import jax.numpy as jnp
     from ravqa_tpu.ops import maxsim_search_pallas, maxsim_search_xla
     from ravqa_tpu.retrieval.coarse import (block_summaries,
+                                            block_summaries_t,
                                             hierarchical_search,
                                             summarize_docs, two_stage_search)
 
@@ -82,6 +83,14 @@ def main():
     bsum = block_summaries(summ, block_size=block,
                            n_block_summary=4).astype(dt)
     bsum = jax.block_until_ready(bsum)
+    # the searcher's TPU-default fast path: slot-major summary copies for
+    # the coarse-sweep kernel + approx_max_k pruning cuts (the final
+    # exact top_k(k) after re-scoring is never approximated)
+    summ_t = jax.block_until_ready(
+        jax.jit(lambda x: jnp.swapaxes(x, 0, 1))(summ)) if on_tpu else None
+    bsum_t = jax.block_until_ready(
+        jax.jit(block_summaries_t)(bsum)) if on_tpu else None
+    approx = on_tpu
 
     def exact_fn(qq, idx, m):
         if on_tpu:
@@ -94,7 +103,8 @@ def main():
     _, rows = hierarchical_search(q, index, mask, summ, bsum, k=k,
                                   n_blocks=n_blocks,
                                   n_candidates=n_candidates,
-                                  block_size=block)
+                                  block_size=block, approx_topk=approx,
+                                  block_summ_t=bsum_t)
     rows = np.asarray(rows)
     recall = float(np.mean([len(set(rows[i]) & set(exact_top[i])) / k
                             for i in range(b)]))
@@ -116,14 +126,17 @@ def main():
 
     dt_exact = timeit(exact_fn, (index, mask))
     dt_two = timeit(
-        lambda qq, idx, m, sm: two_stage_search(
-            qq, idx, m, sm, k=k, n_candidates=n_candidates)[0],
-        (index, mask, summ))
+        lambda qq, idx, m, sm, smt: two_stage_search(
+            qq, idx, m, sm, k=k, n_candidates=n_candidates,
+            use_pallas_coarse=on_tpu, summaries_t=smt,
+            approx_topk=approx)[0],
+        (index, mask, summ, summ_t))
     dt_hier = timeit(
-        lambda qq, idx, m, sm, bm: hierarchical_search(
+        lambda qq, idx, m, sm, bm, bmt: hierarchical_search(
             qq, idx, m, sm, bm, k=k, n_blocks=n_blocks,
-            n_candidates=n_candidates, block_size=block)[0],
-        (index, mask, summ, bsum))
+            n_candidates=n_candidates, block_size=block,
+            approx_topk=approx, block_summ_t=bmt)[0],
+        (index, mask, summ, bsum, bsum_t))
 
     qps_exact = b * iters / dt_exact
     qps_two = b * iters / dt_two
