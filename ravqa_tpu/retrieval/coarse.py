@@ -484,25 +484,32 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
                                    (grp(q.astype(jnp.float32)), grp(blk)))
         return top_s.reshape(-1, k), top_r.reshape(-1, k)
 
-    # stage 1: doc summaries of the selected blocks, per query via lax.map.
-    # The block gather stays PER-QUERY: block rows are large contiguous
-    # slices (bs*S*d bf16, ~64 KiB) so the gather is bandwidth- not
-    # overhead-bound.
-    def per_q(args):
-        qi, blk_i = args                              # (Lq, d), (n_blocks,)
-        qc = qi if coarse_query_len is None else qi[:coarse_query_len]
-        sg = jnp.take(summ_blocks, blk_i, axis=0)     # (n_blocks, bs, S, d)
-        s1 = jnp.einsum("nbsd,qd->nbsq", sg.astype(jnp.float32), qc,
+    # stage 1: doc summaries of the selected blocks, GROUPED lax.map
+    # (g queries per iteration, _resolve_group) — the same einsum+top_k
+    # grouping the merged token path uses; only stage 2 stays per-query
+    # for residual indexes (grouping its decompress crashes the TPU
+    # worker at C=1024, scripts/exp_group_sweep.py). Per-group math is
+    # per-query-identical, so results match the ungrouped path.
+    g = _resolve_group(group_size, q.shape[0])
+    grp = lambda x: x.reshape((x.shape[0] // g, g) + x.shape[1:])
+
+    def per_group_s1(args):
+        qi, blk_i = args                 # (g, Lq, d) f32, (g, n_blocks)
+        qc = qi if coarse_query_len is None else qi[:, :coarse_query_len]
+        sg = jnp.take(summ_blocks, blk_i, axis=0)  # (g, nb, bs, S, d)
+        s1 = jnp.einsum("gnbsd,gqd->gnbsq", sg.astype(jnp.float32), qc,
                         preferred_element_type=jnp.float32)
-        per_tok = jnp.max(s1, axis=2)                 # (n_blocks, bs, Lq)
-        approx = jnp.sum(per_tok, axis=-1).reshape(-1)  # (n_blocks*bs,)
-        valid = jnp.take(doc_valid_blocks, blk_i, axis=0).reshape(-1)
+        approx = jnp.sum(jnp.max(s1, axis=3), axis=-1) \
+            .reshape(g, n_blocks * block_size)
+        valid = jnp.take(doc_valid_blocks, blk_i, axis=0).reshape(g, -1)
         approx = jnp.where(valid, approx, NEG_INF)
         _, loc = jax.lax.top_k(approx, n_candidates)
-        return blk_i[loc // block_size] * block_size \
-            + (loc % block_size)                      # (n_candidates,)
+        return jnp.take_along_axis(blk_i, loc // block_size, axis=1) \
+            * block_size + (loc % block_size)      # (g, n_candidates)
 
-    cand = jax.lax.map(per_q, (q.astype(jnp.float32), blk))  # (B, C)
+    cand = jax.lax.map(per_group_s1,
+                       (grp(q.astype(jnp.float32)), grp(blk)))
+    cand = cand.reshape(-1, n_candidates)                     # (B, C)
     # stage 2: exact on gathered candidates (full query)
     return _fine_stage(q, cand, tokens, mask, k=k, scales=scales,
                        records=records, centroids=centroids,
