@@ -225,6 +225,38 @@ def test_nbits8_end_to_end():
     assert float(np.mean(np.asarray(rows)[:, 0] == np.arange(6))) == 1.0
 
 
+def test_hierarchical_stage1_grouping_is_exact(clustered):
+    """The grouped stage-1 sweep (g queries per lax.map iteration) is a
+    pure reshape of the per-query math — results must be bit-identical
+    across group sizes, with and without the centroid-prune cut."""
+    from ravqa_tpu.retrieval.coarse import (block_summaries,
+                                            hierarchical_search,
+                                            summarize_docs)
+    toks, mask, q, _, _ = clustered
+    codec_idx = build_index_from_embeddings(toks, mask, pad_multiple=64,
+                                            dtype=jnp.float32)
+    codec_idx.build_summaries(n_summary=2)
+    codec_idx.quantize_residual(n_centroids=64, nbits=4)
+    summ = codec_idx.summaries
+    bsum = block_summaries(summ, block_size=16, n_block_summary=2)
+    kw = dict(k=5, n_blocks=8, n_candidates=32, block_size=16,
+              records=codec_idx.records, centroids=codec_idx.codec_centroids,
+              bucket_weights=codec_idx.codec_weights, nbits=4)
+    qj = jnp.asarray(q)
+    base_s, base_r = hierarchical_search(qj, None, codec_idx.mask, summ,
+                                         bsum, group_size=1, **kw)
+    for gs in (2, 3, 8):
+        s, r = hierarchical_search(qj, None, codec_idx.mask, summ, bsum,
+                                   group_size=gs, **kw)
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(base_r))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(base_s),
+                                   rtol=1e-6)
+    # composes with the centroid-prune fine-stage cut
+    _, r_cp = hierarchical_search(qj, None, codec_idx.mask, summ, bsum,
+                                  group_size=2, centroid_prune=16, **kw)
+    assert np.asarray(r_cp).shape == (q.shape[0], 5)
+
+
 def test_quantize_residual_tiny_corpus():
     """train_codec must not crash when the corpus has fewer valid tokens
     than the default heldout split (2^14) — small CLI/test corpora."""
