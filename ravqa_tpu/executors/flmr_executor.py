@@ -110,6 +110,7 @@ class FLMRExecutor(BaseExecutor):
         search_mode: str = "exact",
         n_candidates: "int | None" = None,
         add_null_document: bool = False,
+        coarse_query_len: "int | None" = None,
     ) -> dict:
         """Full reference eval loop (evaluate_outputs, FLMR_executor:722-973).
 
@@ -137,7 +138,8 @@ class FLMRExecutor(BaseExecutor):
             index, mesh=self.mesh,
             axis="data" if self.mesh is not None else "index",
             use_pallas=jax.default_backend() == "tpu",
-            mode=search_mode, n_candidates=n_candidates)
+            mode=search_mode, n_candidates=n_candidates,
+            coarse_query_len=coarse_query_len)
         q = self.encode_queries(query_batches)
         k = max(ks)
         _, rows = searcher.search(q, k=min(k, index.num_docs))

@@ -61,6 +61,9 @@ class RagConfig:
     centroid_prune: Optional[int] = None  # residual fine stage: PLAID-style
     #   centroid-only intermediate cut (None -> searcher auto: C//4 when
     #   the codebook has >= 4096 centroids, else off; 0 = always off)
+    coarse_query_len: Optional[int] = None  # only the first L query rows
+    #   drive the pruning stages (the reference's candidate-generation
+    #   truncation, index_storage.py:68-77); the fine stage scores full Q
     # published-config behaviors (reference rag_model_blip.py):
     n_docs_in_training: Optional[int] = None  # num_knowledge_passages_in_
     #   training (:552-557): randomly subsample this many of the top n_docs
@@ -94,7 +97,8 @@ def _make_searcher(index: TokenIndex, mesh, rag_cfg: "RagConfig"):
         mode=mode, n_candidates=rag_cfg.n_candidates,
         approx_topk=rag_cfg.approx_topk,
         approx_recall=rag_cfg.approx_recall,
-        centroid_prune=rag_cfg.centroid_prune)
+        centroid_prune=rag_cfg.centroid_prune,
+        coarse_query_len=rag_cfg.coarse_query_len)
 
 
 class RagExecutor(BaseExecutor):

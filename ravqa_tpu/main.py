@@ -466,7 +466,8 @@ def build_server(cfg, data, mesh, log_dir: str):
         n_candidates=sv.get("n_candidates"),
         approx_topk=sv.get("approx_topk"),        # None -> on for TPU
         approx_recall=sv.get("approx_recall", 0.95),
-        centroid_prune=sv.get("centroid_prune"))  # None -> auto (residual)
+        centroid_prune=sv.get("centroid_prune"),  # None -> auto (residual)
+        coarse_query_len=sv.get("coarse_query_len"))
     id2content = {i: c for i, c in enumerate(corpus.contents)}
     # in-graph-vision retrievers take raw pixels per request (a zeroed
     # image_features vector would silently bypass the trained ViT)
