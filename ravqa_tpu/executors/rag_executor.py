@@ -64,6 +64,9 @@ class RagConfig:
     coarse_query_len: Optional[int] = None  # only the first L query rows
     #   drive the pruning stages (the reference's candidate-generation
     #   truncation, index_storage.py:68-77); the fine stage scores full Q
+    coarse_int8: bool = False             # int8-quantize the coarse-sweep
+    #   summary copies (MXU int8 = 2x bf16 throughput; candidate
+    #   generation only — the fine stages are untouched)
     # published-config behaviors (reference rag_model_blip.py):
     n_docs_in_training: Optional[int] = None  # num_knowledge_passages_in_
     #   training (:552-557): randomly subsample this many of the top n_docs
@@ -98,7 +101,8 @@ def _make_searcher(index: TokenIndex, mesh, rag_cfg: "RagConfig"):
         approx_topk=rag_cfg.approx_topk,
         approx_recall=rag_cfg.approx_recall,
         centroid_prune=rag_cfg.centroid_prune,
-        coarse_query_len=rag_cfg.coarse_query_len)
+        coarse_query_len=rag_cfg.coarse_query_len,
+        coarse_int8=rag_cfg.coarse_int8)
 
 
 class RagExecutor(BaseExecutor):

@@ -466,6 +466,7 @@ def build_server(cfg, data, mesh, log_dir: str):
         n_candidates=sv.get("n_candidates"),
         approx_topk=sv.get("approx_topk"),        # None -> on for TPU
         approx_recall=sv.get("approx_recall", 0.95),
+        coarse_int8=sv.get("coarse_int8", False),
         centroid_prune=sv.get("centroid_prune"),  # None -> auto (residual)
         coarse_query_len=sv.get("coarse_query_len"))
     id2content = {i: c for i, c in enumerate(corpus.contents)}

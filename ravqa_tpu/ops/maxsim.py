@@ -233,11 +233,55 @@ def _coarse_sweep_kernel(q_ref, d_ref, v_ref, out_ref, *, s: int, lq: int,
     out_ref[:] = jnp.where(v_ref[0][None, :] > 0, out, NEG_INF)
 
 
+def _coarse_sweep_int8_kernel(q_ref, qs_ref, d_ref, ds_ref, v_ref, out_ref,
+                              *, s: int, lq: int, qc: int):
+    """int8 variant of _coarse_sweep_kernel: the (qc, TILE_N) score blocks
+    ride the MXU's int8 path (2x bf16 throughput on v5e, int32
+    accumulation). Scale handling exploits that the sweep's output only
+    feeds per-query top-k cuts:
+
+      - the GLOBAL summary scale is ranking-invariant and dropped;
+      - PER-DOC scales (constant across the S slots, so the int32 max
+        over S stays order-correct) multiply the f32-converted block as
+        one (1, TILE_N) broadcast;
+      - PER-QUERY-TOKEN scales fold into the Lq-sum selector matmul —
+        the 0/1 block-diagonal selector's entries become the token's
+        scale, so the sum over Lq applies them for free.
+
+    q_ref (B*Lq, dim) int8; qs_ref (1, B*Lq) f32 query-token scales;
+    d_ref (S, TILE_N, dim) int8; ds_ref (1, TILE_N) f32 per-doc scales;
+    v_ref (1, TILE_N) f32 validity; out_ref (B, TILE_N) f32.
+    """
+    dsc = ds_ref[0][None, :]                     # (1, TILE_N)
+    parts = []
+    for c in range(q_ref.shape[0] // qc):        # static chunk loop
+        qblk = q_ref[c * qc:(c + 1) * qc, :]     # (qc, dim) int8
+        m = jax.lax.dot_general(
+            qblk, d_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)    # (qc, TILE_N) int32
+        for si in range(1, s):
+            m = jnp.maximum(m, jax.lax.dot_general(
+                qblk, d_ref[si], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32))
+        mf = m.astype(jnp.float32) * dsc         # per-doc scale, post-max
+        row = jax.lax.broadcasted_iota(jnp.int32, (qc // lq, qc), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (qc // lq, qc), 1)
+        sel = (col // lq == row).astype(jnp.float32) \
+            * qs_ref[0, c * qc:(c + 1) * qc][None, :]
+        parts.append(jax.lax.dot_general(
+            sel, mf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))  # (qc/Lq, TILE_N)
+    out = parts[0] if len(parts) == 1 \
+        else jnp.concatenate(parts, axis=0)      # (B, TILE_N)
+    out_ref[:] = jnp.where(v_ref[0][None, :] > 0, out, NEG_INF)
+
+
 @functools.partial(jax.jit, static_argnames=("tile_n", "queries_per_chunk"))
 def coarse_sweep_pallas(q: jax.Array, summaries_t: jax.Array,
                         valid: jax.Array | None = None,
                         tile_n: int = 1024,
-                        queries_per_chunk: int = 32) -> jax.Array:
+                        queries_per_chunk: int = 32,
+                        dscale: jax.Array | None = None) -> jax.Array:
     """Fused coarse summary sweep: (B, Lq, dim) x (S, N, dim) -> (B, N)
     approximate MaxSim scores. `valid` ((N,) bool/float, optional): docs
     whose entry is falsy score NEG_INF — masked in-kernel, so no (B, N)
@@ -256,6 +300,13 @@ def coarse_sweep_pallas(q: jax.Array, summaries_t: jax.Array,
     unchanged; hierarchical block gathers need doc-major).
     tile_n: docs per grid step; queries_per_chunk: query-column chunk =
     queries_per_chunk * Lq lanes (both robust +/-5% across 256-1024).
+    dscale: (N,) f32 per-doc summary scales — REQUIRED when summaries_t
+    is int8 (ops.quant.quantize_summaries_t_int8). The int8 path rides
+    the MXU's 2x int8 throughput and halves the sweep's HBM traffic;
+    queries are quantized per-token on entry. Output scores then equal
+    the dequantized sweep up to int8 rounding AND a dropped global
+    factor — ranking-equivalent per query, which is all the candidate
+    cuts consume.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -263,6 +314,9 @@ def coarse_sweep_pallas(q: jax.Array, summaries_t: jax.Array,
     b, lq, dim = q.shape
     s, n, dim2 = summaries_t.shape
     assert dim == dim2
+    int8_path = summaries_t.dtype == jnp.int8
+    if int8_path:
+        assert dscale is not None, "int8 summaries_t requires dscale"
     while n % tile_n:
         tile_n //= 2
     qc = min(queries_per_chunk, b) * lq
@@ -277,42 +331,77 @@ def coarse_sweep_pallas(q: jax.Array, summaries_t: jax.Array,
     def _vmem(tn):
         # two live f32 score blocks when s > 1: the running-max
         # accumulator plus the fresh dot result (measured: f32 summaries
-        # at tile_n=1024 need 16.57 MiB, exactly this model's 16.8)
+        # at tile_n=1024 need 16.57 MiB, exactly this model's 16.8).
+        # int8: int32 accumulator pair + the f32 converted block.
+        nblk = (2 if s > 1 else 1) + (1 if int8_path else 0)
         return (2 * s * tn * dim * isz          # summary block (dbuf)
                 + b * lq * dim * isz            # q (resident)
-                + (2 if s > 1 else 1) * tn * qc * 4   # score blocks
+                + nblk * tn * qc * 4            # score blocks
                 + qc * (qc // lq) * 4           # selector
                 + tn * b * 4)                   # out tile
     while tile_n > 8 and _vmem(tile_n) > 12 * 2 ** 20:
         tile_n //= 2
 
-    q_flat = q.reshape(b * lq, dim).astype(summaries_t.dtype)
     if valid is None:
         valid_row = jnp.ones((1, n), jnp.float32)
     else:
         valid_row = (valid != 0).astype(jnp.float32).reshape(1, n)
+
+    q_common = [
+        pl.BlockSpec((b * lq, dim), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    tail_specs = [
+        pl.BlockSpec((s, tile_n, dim), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_n), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    cost = pl.CostEstimate(
+        flops=2 * n * s * b * lq * dim,
+        bytes_accessed=(summaries_t.size * summaries_t.dtype.itemsize
+                        + b * lq * dim * isz + n * b * 4),
+        transcendentals=0,
+    )
+
+    if int8_path:
+        # per-token symmetric query quantization (zero rows stay zero,
+        # scale eps — they contribute ~0, matching the float path)
+        q32 = q.reshape(b * lq, dim).astype(jnp.float32)
+        qmax = jnp.max(jnp.abs(q32), axis=-1, keepdims=True)
+        qsc = jnp.maximum(qmax, 1e-8) / 127.0
+        q_flat = jnp.round(q32 / qsc).astype(jnp.int8)
+        qs_row = qsc.reshape(1, b * lq)
+        ds_row = dscale.astype(jnp.float32).reshape(1, n)
+        kernel = functools.partial(_coarse_sweep_int8_kernel, s=s, lq=lq,
+                                   qc=qc)
+        return pl.pallas_call(
+            kernel,
+            grid=(n // tile_n,),
+            in_specs=q_common + [
+                pl.BlockSpec((1, b * lq), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                tail_specs[0],
+                pl.BlockSpec((1, tile_n), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                tail_specs[1],
+            ],
+            out_specs=pl.BlockSpec((b, tile_n), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+            cost_estimate=cost,
+        )(q_flat, qs_row, summaries_t, ds_row, valid_row)  # (B, N)
+
+    q_flat = q.reshape(b * lq, dim).astype(summaries_t.dtype)
     kernel = functools.partial(_coarse_sweep_kernel, s=s, lq=lq, qc=qc)
     return pl.pallas_call(
         kernel,
         grid=(n // tile_n,),
-        in_specs=[
-            pl.BlockSpec((b * lq, dim), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, tile_n, dim), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=q_common + tail_specs,
         out_specs=pl.BlockSpec((b, tile_n), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n * s * b * lq * dim,
-            bytes_accessed=(summaries_t.size * summaries_t.dtype.itemsize
-                            + q_flat.size * q_flat.dtype.itemsize
-                            + n * b * 4),
-            transcendentals=0,
-        ),
+        cost_estimate=cost,
     )(q_flat, summaries_t, valid_row)  # (B, N)
 
 

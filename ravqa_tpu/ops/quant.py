@@ -42,6 +42,25 @@ def dequantize_int8(q: jax.Array, scales: jax.Array) -> jax.Array:
     return q.astype(jnp.float32) * scales[..., None]
 
 
+@jax.jit
+def quantize_summaries_t_int8(summaries_t: jax.Array):
+    """Slot-major summaries (S, N, dim) float -> (int8 (S, N, dim),
+    (N,) f32 per-doc scales) for the coarse-sweep kernel's int8 path
+    (ops.maxsim.coarse_sweep_pallas with dscale=...).
+
+    The scale is per DOC (shared by the doc's S slots), so the kernel's
+    int32 max over slots stays order-correct; it is applied AFTER the
+    max as one row broadcast. Padded docs (all-zero summaries) get an
+    eps scale and all-zero codes — they score ~0 and are NEG_INF-masked
+    by the validity row anyway.
+    """
+    s32 = summaries_t.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(s32), axis=(0, 2))              # (N,)
+    scales = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.round(s32 / scales[None, :, None]).astype(jnp.int8)
+    return q, scales
+
+
 def quantize_queries_int8(q: jax.Array):
     """(B, Lq, dim) float -> (int8, (B, Lq) f32 scales). Zero rows stay 0."""
     absmax = jnp.max(jnp.abs(q), axis=-1)

@@ -262,7 +262,8 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
                      summaries_t: Optional[jax.Array] = None,
                      approx_topk: bool = False,
                      approx_recall: float = 0.95,
-                     centroid_prune: int = 0):
+                     centroid_prune: int = 0,
+                     summaries_t_scale: Optional[jax.Array] = None):
     """Returns (scores (B, k), rows (B, k)) — exact scores on the coarse
     stage's top `n_candidates` docs.
 
@@ -297,6 +298,10 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
     the fine stage — candidates are first ranked by centroid-only scores
     (no residual decompress) and only the top `centroid_prune` are
     decompressed + scored exactly (see _fine_stage). 0 = off.
+    summaries_t_scale: (N,) f32 per-doc scales when summaries_t is int8
+    (ops.quant.quantize_summaries_t_int8) — the sweep then rides the
+    MXU's 2x int8 throughput; its scores are ranking-equivalent per
+    query, which is all the candidate cut consumes.
     """
     _cut = (functools.partial(jax.lax.approx_max_k,
                               recall_target=approx_recall)
@@ -308,7 +313,8 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
         # (B, N) scores costs ~7 ms/batch at 1M (it materializes the
         # custom-call output an extra time)
         approx = coarse_sweep_pallas(qc, summaries_t,
-                                     jnp.any(mask != 0, axis=1))
+                                     jnp.any(mask != 0, axis=1),
+                                     dscale=summaries_t_scale)
         _, cand = _cut(approx, n_candidates)
         return _fine_stage(q, cand, tokens, mask, k=k, scales=scales,
                            records=records, centroids=centroids,
@@ -393,7 +399,8 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
                         approx_topk: bool = False,
                         approx_recall: float = 0.95,
                         block_summ_t: Optional[jax.Array] = None,
-                        centroid_prune: int = 0):
+                        centroid_prune: int = 0,
+                        block_summ_t_scale: Optional[jax.Array] = None):
     """3-stage search: block summaries -> doc summaries -> exact MaxSim.
 
     Cuts the dominant coarse matmul by ~block_size/n_blocks-fold vs
@@ -412,6 +419,9 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
     centroid_prune (residual indexes): intermediate PLAID-style cut of
     stage 2 — candidates ranked by centroid-only scores first, only the
     top `centroid_prune` decompressed + scored exactly (_fine_stage).
+    block_summ_t_scale: (NB_pad,) f32 per-block scales when block_summ_t
+    is int8 (quantize_summaries_t_int8 on the padded slot-major copy) —
+    stage 0 then rides the MXU int8 path (see two_stage_search).
     Returns (scores (B, k), rows (B, k)).
     """
     n, s, d = summaries.shape
@@ -429,7 +439,8 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
         nb_pad = block_summ_t.shape[1]
         v = blk_valid if nb_pad == nb \
             else jnp.pad(blk_valid, (0, nb_pad - nb))
-        s0 = coarse_sweep_pallas(qc, block_summ_t, v)    # (B, nb_pad)
+        s0 = coarse_sweep_pallas(qc, block_summ_t, v,    # (B, nb_pad)
+                                 dscale=block_summ_t_scale)
     else:
         s0 = coarse_scores(q, block_summ, coarse_query_len)  # (B, nb)
         s0 = jnp.where(blk_valid[None, :], s0, NEG_INF)

@@ -88,6 +88,7 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                         residual_nbits: int = 0,
                         group_size: int = 0,
                         use_summ_t: bool = False,
+                        use_summ_t_scale: bool = False,
                         approx_topk: bool = False,
                         approx_recall: float = 0.95,
                         centroid_prune: int = 0):
@@ -136,29 +137,33 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
         s, i = jax.lax.top_k(scores, k_local)
         return _merge(q, s, i)
 
-    def _local_two_stage(q, tok, msk, summ, summ_t=None):
+    def _local_two_stage(q, tok, msk, summ, summ_t=None, summ_ts=None):
         # use_pallas routes the coarse sweep through a fused Pallas kernel:
         # the XLA einsum materializes an (N_local, S, B, Lq) f32
         # intermediate that OOMs a shard at 1M+ docs (see scripts/bench_1m.py).
         # summ_t (slot-major, sharded on its DOC dim) selects the fast
-        # chunked sweep kernel (ops.maxsim.coarse_sweep_pallas).
+        # chunked sweep kernel (ops.maxsim.coarse_sweep_pallas);
+        # summ_ts — its per-doc scales when summ_t is int8-quantized.
         s, i = two_stage_search(q, tok, msk, summ, k=k_local,
                                 n_candidates=c_local,
                                 coarse_query_len=coarse_query_len,
                                 use_pallas_coarse=use_pallas,
                                 group_size=group_size,
                                 summaries_t=summ_t,
+                                summaries_t_scale=summ_ts,
                                 approx_topk=approx_topk,
                                 approx_recall=approx_recall)
         return _merge(q, s, i)
 
-    def _local_two_stage_int8(q, tok, msk, summ, scl, summ_t=None):
+    def _local_two_stage_int8(q, tok, msk, summ, scl, summ_t=None,
+                              summ_ts=None):
         s, i = two_stage_search(q, tok, msk, summ, k=k_local,
                                 n_candidates=c_local, scales=scl,
                                 coarse_query_len=coarse_query_len,
                                 use_pallas_coarse=use_pallas,
                                 group_size=group_size,
                                 summaries_t=summ_t,
+                                summaries_t_scale=summ_ts,
                                 approx_topk=approx_topk,
                                 approx_recall=approx_recall)
         return _merge(q, s, i)
@@ -175,7 +180,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
 
     # residual-codec variants: per-doc arrays (packed records) shard over
     # `axis`; the small codec tables (centroids / bucket weights) replicate
-    def _local_two_stage_res(q, msk, summ, recs, cent, bw, summ_t=None):
+    def _local_two_stage_res(q, msk, summ, recs, cent, bw, summ_t=None,
+                             summ_ts=None):
         s, i = two_stage_search(q, None, msk, summ, k=k_local,
                                 n_candidates=c_local,
                                 coarse_query_len=coarse_query_len,
@@ -184,6 +190,7 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                 records=recs, centroids=cent,
                                 bucket_weights=bw, nbits=residual_nbits,
                                 summaries_t=summ_t,
+                                summaries_t_scale=summ_ts,
                                 approx_topk=approx_topk,
                                 approx_recall=approx_recall,
                                 centroid_prune=cp_local)
@@ -212,6 +219,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
         specs = (P(), P(axis), P(axis), P(axis), P(), P())
         if use_summ_t:
             specs += (P(None, axis),)
+            if use_summ_t_scale:
+                specs += (P(axis),)
         f = shard_map(_local_two_stage_res, mesh,
                       in_specs=specs, out_specs=(P(), P()))
         return jax.jit(f)
@@ -231,6 +240,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
         specs = (P(), P(axis), P(axis), P(axis), P(axis))
         if use_summ_t:
             specs += (P(None, axis),)
+            if use_summ_t_scale:
+                specs += (P(axis),)
         f = shard_map(_local_two_stage_int8, mesh,
                       in_specs=specs, out_specs=(P(), P()))
         return jax.jit(f)
@@ -238,6 +249,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
         specs = (P(), P(axis), P(axis), P(axis))
         if use_summ_t:
             specs += (P(None, axis),)
+            if use_summ_t_scale:
+                specs += (P(axis),)
         f = shard_map(_local_two_stage, mesh,
                       in_specs=specs, out_specs=(P(), P()))
         return jax.jit(f)
@@ -268,7 +281,8 @@ class LateInteractionSearcher:
                  group_size: int = 0,
                  approx_topk: Optional[bool] = None,
                  approx_recall: float = 0.95,
-                 centroid_prune: Optional[int] = None):
+                 centroid_prune: Optional[int] = None,
+                 coarse_int8: bool = False):
         """mode: "exact" (exhaustive MaxSim), "two_stage" (coarse over
         index.summaries -> exact re-score of top n_candidates; requires
         index.build_summaries()), or "hierarchical" (block summaries ->
@@ -324,27 +338,47 @@ class LateInteractionSearcher:
         # summaries-sized HBM buffer; only built for the TPU two-stage
         # path that uses it (hierarchical needs doc-major for its block
         # gathers and keeps the original layout).
+        # coarse_int8: int8-quantize the slot-major summary copies so the
+        # coarse sweep rides the MXU int8 path (2x bf16 throughput,
+        # half the HBM traffic; ops.maxsim.coarse_sweep_pallas int8
+        # branch). Candidate generation only — the fine stages are
+        # untouched — and gated by the same recall tests as the sweep.
+        self.coarse_int8 = coarse_int8
         self._summ_t = None
+        self._summ_t_scale = None
         if mode == "two_stage" and self.use_pallas \
                 and index.summaries is not None:
             # bf16: coarse scores are approximate, and the kernel's f32
             # VMEM footprint halves (f32 summaries force tile_n=512)
             st = jax.jit(lambda s: jnp.swapaxes(s, 0, 1)
                          .astype(jnp.bfloat16))(index.summaries)
+            sts = None
+            if coarse_int8:
+                from ..ops.quant import quantize_summaries_t_int8
+                st, sts = quantize_summaries_t_int8(st)
             if mesh is not None:
                 st = jax.device_put(st, NamedSharding(mesh,
                                                       P(None, axis)))
+                if sts is not None:
+                    sts = jax.device_put(sts, NamedSharding(mesh,
+                                                            P(axis)))
             self._summ_t = st
+            self._summ_t_scale = sts
         # same trick for hierarchical stage 0 (block summaries), single-
         # device only: per-shard block counts tile poorly and stage 0 is
         # already a small fraction of the sharded program
         self._bsum_t = None
+        self._bsum_t_scale = None
         if mode == "hierarchical" and self.use_pallas and mesh is None \
                 and index.block_summaries is not None:
             from .coarse import block_summaries_t
-            self._bsum_t = jax.jit(functools.partial(
+            bt = jax.jit(functools.partial(
                 block_summaries_t, pad_multiple=1024))(
                 index.block_summaries.astype(jnp.bfloat16))
+            if coarse_int8:
+                from ..ops.quant import quantize_summaries_t_int8
+                bt, self._bsum_t_scale = quantize_summaries_t_int8(bt)
+            self._bsum_t = bt
         if mode == "two_stage":
             assert index.summaries is not None, \
                 "call index.build_summaries() first"
@@ -413,6 +447,7 @@ class LateInteractionSearcher:
                 residual_nbits=self.index.nbits,
                 group_size=self.group_size,
                 use_summ_t=self._summ_t is not None,
+                use_summ_t_scale=self._summ_t_scale is not None,
                 approx_topk=self.approx_topk,
                 approx_recall=self.approx_recall,
                 centroid_prune=self.resolve_centroid_prune(
@@ -432,6 +467,8 @@ class LateInteractionSearcher:
                          idx.codec_weights)
                 if self._summ_t is not None:
                     args += (self._summ_t,)
+                    if self._summ_t_scale is not None:
+                        args += (self._summ_t_scale,)
                 return fn(*args)
             args = (q, idx.tokens, idx.mask)
             if self.mode in ("two_stage", "hierarchical"):
@@ -442,6 +479,8 @@ class LateInteractionSearcher:
                 args += (idx.scales,)
             if self._summ_t is not None:
                 args += (self._summ_t,)
+                if self._summ_t_scale is not None:
+                    args += (self._summ_t_scale,)
             return fn(*args)
         if self.mode == "hierarchical":
             from .coarse import hierarchical_search
@@ -461,6 +500,7 @@ class LateInteractionSearcher:
                 approx_topk=self.approx_topk,
                 approx_recall=self.approx_recall,
                 block_summ_t=self._bsum_t,
+                block_summ_t_scale=self._bsum_t_scale,
                 centroid_prune=self.resolve_centroid_prune(
                     k, min(self.resolve_candidates(k), idx.n_pad)))
         if self.mode == "two_stage":
@@ -477,6 +517,7 @@ class LateInteractionSearcher:
                 bucket_weights=idx.codec_weights, nbits=idx.nbits,
                 group_size=self.group_size,
                 summaries_t=self._summ_t,
+                summaries_t_scale=self._summ_t_scale,
                 approx_topk=self.approx_topk,
                 approx_recall=self.approx_recall,
                 centroid_prune=self.resolve_centroid_prune(

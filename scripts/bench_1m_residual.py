@@ -220,6 +220,36 @@ for fused in FUSED_MODES:
                    records=recs, centroids=cent,
                    bucket_weights=bw, nbits=NBITS), TS_ARGS)
 
+# int8 coarse sweep (ops.quant.quantize_summaries_t_int8 + the kernel's
+# MXU int8 branch: 2x bf16 matmul throughput, half the HBM read).
+# Candidate generation only — the fine stage is identical.
+from ravqa_tpu.ops.quant import quantize_summaries_t_int8
+
+st8, dsc = jax.block_until_ready(quantize_summaries_t_int8(summ_t))
+_, rows_i8 = two_stage_search(q, None, mask, summ, k=K, n_candidates=1024,
+                              use_pallas_coarse=True, approx_topk=True,
+                              summaries_t=st8, summaries_t_scale=dsc,
+                              use_pallas_residual=False,
+                              records=records, centroids=centroids,
+                              bucket_weights=weights, nbits=NBITS)
+top1_i8 = float(np.mean(np.asarray(rows_i8)[:, 0] == qidx))
+print(f"two-stage self-retrieval top-1 (int8 coarse): {top1_i8:.2f}",
+      flush=True)
+I8_ARGS = (mask, summ, records, centroids, weights, st8, dsc)
+for nc, cp in ((1024, 0), (1024, 256), (256, 0), (256, 64)):
+    timeit(f"two_stage_1M_residual_C{nc}_cp{cp}_int8coarse",
+           lambda qq, m, sm, recs, cent, bw, smt, ds, nc=nc, cp=cp:
+           two_stage_search(
+               qq, None, m, sm, k=K, n_candidates=nc,
+               use_pallas_coarse=True, approx_topk=True,
+               summaries_t=smt, summaries_t_scale=ds,
+               use_pallas_residual=False, centroid_prune=cp,
+               records=recs, centroids=cent,
+               bucket_weights=bw, nbits=NBITS), I8_ARGS)
+st8.delete()
+dsc.delete()
+del st8, dsc, I8_ARGS
+
 # free the slot-major copy before the hierarchical section (only the
 # two-stage coarse sweep reads it; residual HBM is tighter than int8's)
 summ_t.delete()
@@ -263,3 +293,30 @@ for fused in FUSED_MODES:
                    records=recs, centroids=cent, centroid_prune=cp,
                    bucket_weights=bw, nbits=NBITS,
                    approx_topk=True, block_summ_t=bmt), H_ARGS)
+
+# hierarchical stage 0 through the int8 sweep branch (the padded
+# slot-major block-summary copy is tiny — 16k blocks — so this mainly
+# buys at much larger corpora; measure anyway for the record)
+bst8, bdsc = jax.block_until_ready(quantize_summaries_t_int8(bsum_t))
+_, hrows_i8 = hierarchical_search(q, None, mask, summ, bsum, k=K,
+                                  n_blocks=128, n_candidates=1024,
+                                  block_size=BLOCK,
+                                  use_pallas_residual=False,
+                                  records=records, centroids=centroids,
+                                  bucket_weights=weights, nbits=NBITS,
+                                  approx_topk=True, block_summ_t=bst8,
+                                  block_summ_t_scale=bdsc)
+htop1_i8 = float(np.mean(np.asarray(hrows_i8)[:, 0] == qidx))
+print(f"hierarchical self-retrieval top-1 (int8 stage 0): {htop1_i8:.2f}",
+      flush=True)
+HI8_ARGS = (mask, summ, bsum, bst8, bdsc, records, centroids, weights)
+for nb_, nc in ((128, 1024), (64, 256)):
+    timeit(f"hier_1M_residual_B{nb_}_C{nc}_int8stage0",
+           lambda qq, m, sm, bm, bmt, ds, recs, cent, bw, nb_=nb_, nc=nc:
+           hierarchical_search(
+               qq, None, m, sm, bm, k=K, n_blocks=nb_, n_candidates=nc,
+               block_size=BLOCK, use_pallas_residual=False,
+               records=recs, centroids=cent,
+               bucket_weights=bw, nbits=NBITS,
+               approx_topk=True, block_summ_t=bmt,
+               block_summ_t_scale=ds), HI8_ARGS)

@@ -99,6 +99,29 @@ for S in (4, 8):
         print(f"  top-10 containment in approx top-{C}: {cont:.4f}",
               flush=True)
     del scores
+    # int8 sweep branch (quantized summaries + queries; v5e MXU int8 =
+    # 2x bf16 throughput, half the HBM read). Candidate-gen-only path —
+    # check top-10 ranking containment vs the bf16 sweep alongside.
+    from ravqa_tpu.ops.quant import quantize_summaries_t_int8
+    st8, dsc = jax.block_until_ready(quantize_summaries_t_int8(summ_t))
+    for tile_n in (512, 1024, 2048):
+        try:
+            timeit(f"sweep_int8_t{tile_n}",
+                   lambda qq, smt, ds, t=tile_n: coarse_sweep_pallas(
+                       qq, smt, tile_n=t, dscale=ds),
+                   q, (st8, dsc))
+        except Exception as e:
+            print(f"sweep_int8_t{tile_n} FAILED: {type(e).__name__}:"
+                  f" {str(e)[:200]}", flush=True)
+    sc_bf = np.asarray(jax.lax.top_k(
+        coarse_sweep_pallas(q, summ_t, tile_n=512), 10)[1])
+    sc_i8 = np.asarray(jax.lax.top_k(
+        coarse_sweep_pallas(q, st8, tile_n=512, dscale=dsc), 1024)[1])
+    cont = np.mean([len(set(sc_bf[i]) & set(sc_i8[i])) / 10
+                    for i in range(sc_bf.shape[0])])
+    print(f"  bf16 top-10 containment in int8 top-1024: {cont:.4f}",
+          flush=True)
+    del st8, dsc, sc_bf, sc_i8
     # old generic kernel, best-known tile
     ones = jnp.ones(summ.shape[:2], jnp.float32)
     try:

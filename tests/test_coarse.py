@@ -323,6 +323,42 @@ def test_hierarchical_block_summ_t_kernel_stage0_matches_xla():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_searcher_hierarchical_coarse_int8_interpret():
+    """Hierarchical searcher with coarse_int8=True: stage 0 rides the
+    int8 branch of the coarse-sweep kernel over the quantized padded
+    block-summary copy; top-1 must match the float searcher."""
+    from jax.experimental.pallas import tpu as pltpu
+    from ravqa_tpu.retrieval import (LateInteractionSearcher,
+                                     build_index_from_embeddings)
+    from ravqa_tpu.retrieval.coarse import cluster_order, summarize_docs
+    rng = np.random.default_rng(13)
+    toks, mask, _, _ = make_clustered_corpus(rng, n_docs=256, ld=16,
+                                             dim=128, n_topics=16)
+    summ = summarize_docs(jnp.array(toks), jnp.array(mask), n_summary=4,
+                          iters=4)
+    perm = np.asarray(cluster_order(summ, n_clusters=8, iters=4, chunk=128))
+    toks, mask = toks[perm], mask[perm]
+    qsrc = rng.integers(256, size=4)
+    q = normed(toks[qsrc, :8] + 0.05 * rng.normal(size=(4, 8, 128))
+               ).astype(np.float32)
+    idx = build_index_from_embeddings(toks, mask, pad_multiple=8,
+                                      dtype=jnp.float32)
+    idx.build_summaries(n_summary=4, iters=4)
+    idx.build_block_summaries(block_size=32, n_block_summary=4)
+    ref = LateInteractionSearcher(idx, mode="hierarchical", n_candidates=64,
+                                  use_pallas=False)
+    _, want = ref.search(q, k=5)
+    with pltpu.force_tpu_interpret_mode():
+        s = LateInteractionSearcher(idx, mode="hierarchical",
+                                    n_candidates=64, use_pallas=True,
+                                    coarse_int8=True)
+        assert s._bsum_t is not None and s._bsum_t.dtype == jnp.int8
+        assert s._bsum_t_scale is not None
+        assert s._bsum_t_scale.shape == (s._bsum_t.shape[1],)
+        _, got = s.search(q, k=5)
+    np.testing.assert_array_equal(got[:, 0], want[:, 0])
+
+
 def test_searcher_hierarchical_bsum_t_interpret():
     """Single-device hierarchical searcher with use_pallas=True builds the
     bf16 slot-major block-summary copy and ranks like use_pallas=False

@@ -129,6 +129,55 @@ def test_coarse_sweep_pallas_interpret_matches_numpy():
                                   np.argsort(-want, axis=1)[:, :10])
 
 
+def test_coarse_sweep_pallas_int8_interpret_matches_numpy():
+    """int8 coarse-sweep kernel (interpreter mode) == the numpy
+    reconstruction of its quantized math: per-token query scales folded
+    into the Lq-sum selector, per-doc summary scales applied after the
+    int32 max over slots, global scale dropped (ranking-invariant)."""
+    from ravqa_tpu.ops.maxsim import NEG_INF, coarse_sweep_pallas
+    from ravqa_tpu.ops.quant import quantize_summaries_t_int8
+    rng = np.random.default_rng(17)
+    b, lq, n, s, dim = 4, 8, 256, 4, 128
+    q = rng.normal(size=(b, lq, dim)).astype(np.float32)
+    q[1, 5:] = 0.0                                  # masked query rows
+    summ = rng.normal(size=(n, s, dim)).astype(np.float32)
+    summ /= np.linalg.norm(summ, axis=-1, keepdims=True)
+    valid = (rng.random(n) > 0.1)
+    summ_t = np.swapaxes(summ, 0, 1).copy()         # (s, n, dim)
+
+    st8, dsc = quantize_summaries_t_int8(jnp.array(summ_t))
+    assert st8.dtype == jnp.int8 and dsc.shape == (n,)
+
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(coarse_sweep_pallas(
+            jnp.array(q), st8, jnp.array(valid), tile_n=64,
+            queries_per_chunk=2, dscale=dsc))
+
+    # numpy replay of the quantized math
+    q32 = q.reshape(b * lq, dim)
+    qs = np.maximum(np.abs(q32).max(-1, keepdims=True), 1e-8) / 127.0
+    q8 = np.round(q32 / qs).astype(np.int32)
+    d8 = np.asarray(st8).astype(np.int32)
+    m = np.einsum("qd,snd->sqn", q8, d8).max(axis=0)         # (b*lq, n)
+    mf = m.astype(np.float32) * np.asarray(dsc)[None, :]
+    want = (qs.astype(np.float32) * mf).reshape(b, lq, n).sum(axis=1)
+    want = np.where(valid[None, :], want, float(NEG_INF))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # ranking sanity vs the FLOAT sweep: int8 noise must not move top-1
+    # and must keep strong top-10 overlap on unit-norm random data
+    sc = np.einsum("nsd,bqd->nsbq", summ, q)
+    ref = sc.max(axis=1).sum(axis=-1).T
+    ref = np.where(valid[None, :], ref, float(NEG_INF))
+    got_top = np.argsort(-got, axis=1)
+    ref_top = np.argsort(-ref, axis=1)
+    np.testing.assert_array_equal(got_top[:, 0], ref_top[:, 0])
+    overlap = np.mean([len(set(got_top[i, :10]) & set(ref_top[i, :10]))
+                       for i in range(b)]) / 10
+    assert overlap >= 0.8, overlap
+
+
 def test_flipr_reduce():
     rng = np.random.default_rng(3)
     ld, lq = 7, 6

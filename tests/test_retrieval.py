@@ -264,6 +264,59 @@ def test_two_stage_searcher_pallas_interpret(corpus, queries):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_two_stage_searcher_coarse_int8_interpret(corpus, queries):
+    """coarse_int8=True quantizes the slot-major summary copy to int8
+    (+ per-doc scales) and routes the sweep through the kernel's MXU
+    int8 branch; ranking must match the float searcher (candidate
+    generation only — the fine stage re-scores exactly)."""
+    from jax.experimental.pallas import tpu as pltpu
+    embs, masks = corpus
+    idx = build_index_from_embeddings(embs, masks, pad_multiple=64,
+                                      dtype=jnp.float32)
+    idx.build_summaries(n_summary=2)
+    ref = LateInteractionSearcher(idx, mode="two_stage", use_pallas=False,
+                                  n_candidates=64)
+    _, want = ref.search_device(jnp.asarray(queries), k=5)
+    with pltpu.force_tpu_interpret_mode():
+        s = LateInteractionSearcher(idx, mode="two_stage", use_pallas=True,
+                                    n_candidates=64, coarse_int8=True)
+        assert s._summ_t is not None and s._summ_t.dtype == jnp.int8
+        assert s._summ_t_scale is not None
+        assert s._summ_t_scale.shape == (idx.n_pad,)
+        _, got = s.search_device(jnp.asarray(queries), k=5)
+    got, want = np.asarray(got), np.asarray(want)
+    np.testing.assert_array_equal(got[:, 0], want[:, 0])
+    overlap = np.mean([len(set(a.tolist()) & set(b.tolist())) / 5
+                       for a, b in zip(got, want)])
+    assert overlap >= 0.9, overlap
+
+
+def test_sharded_two_stage_searcher_coarse_int8_interpret(corpus, queries):
+    """Sharded coarse_int8 two_stage: the int8 summ_t copy shards
+    P(None, axis) and its per-doc scale row P(axis); ranking matches the
+    float sharded searcher."""
+    from jax.experimental.pallas import tpu as pltpu
+    embs, masks = corpus
+    mesh = Mesh(np.array(jax.devices()), ("index",))
+    idx = build_index_from_embeddings(embs, masks, pad_multiple=64,
+                                      dtype=jnp.float32, mesh=mesh)
+    idx.build_summaries(n_summary=2, mesh=mesh)
+    ref = LateInteractionSearcher(idx, mesh=mesh, mode="two_stage",
+                                  use_pallas=False, n_candidates=128)
+    _, want = ref.search_device(jnp.asarray(queries), k=5)
+    with pltpu.force_tpu_interpret_mode():
+        s = LateInteractionSearcher(idx, mesh=mesh, mode="two_stage",
+                                    use_pallas=True, n_candidates=128,
+                                    coarse_int8=True)
+        assert s._summ_t is not None and s._summ_t.dtype == jnp.int8
+        _, got = s.search_device(jnp.asarray(queries), k=5)
+    got, want = np.asarray(got), np.asarray(want)
+    np.testing.assert_array_equal(got[:, 0], want[:, 0])
+    overlap = np.mean([len(set(a.tolist()) & set(b.tolist())) / 5
+                       for a, b in zip(got, want)])
+    assert overlap >= 0.9, overlap
+
+
 def test_sharded_two_stage_searcher_summ_t_interpret(corpus, queries):
     """Sharded two_stage searcher with use_pallas=True: the slot-major
     summary copy shards on its DOC dim (P(None, axis)) and the extra
