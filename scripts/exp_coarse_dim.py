@@ -147,6 +147,28 @@ def topc(qq, st, c=min(1024, N)):
     return jax.lax.top_k(scores, c)[1]
 
 
+def timeit_i8(name, qq, st8, dsc, iters=32):
+    @jax.jit
+    def run(q0, st, ds, v):
+        def body(qc, _):
+            s = coarse_sweep_pallas(qc, st, v, dscale=ds)
+            return qc + (s[:, 0] * 1e-9).astype(qc.dtype)[:, None, None], ()
+        qc, _ = jax.lax.scan(body, q0, None, length=iters)
+        return qc[:1, :1, :1]
+    _ = np.asarray(run(qq, st8, dsc, valid))
+    t0 = time.perf_counter()
+    _ = np.asarray(run(qq, st8, dsc, valid))
+    ms = (time.perf_counter() - t0) / iters * 1e3
+    print(f"{name}: {ms:.2f} ms/batch", flush=True)
+    return ms
+
+
+@jax.jit
+def topc_i8(qq, st8, dsc, c=min(1024, N)):
+    scores = coarse_sweep_pallas(qq, st8, valid, dscale=dsc)
+    return jax.lax.top_k(scores, c)[1]
+
+
 dims = (128, 64, 32)
 cands = {}
 for d in dims:
@@ -166,4 +188,19 @@ for d in dims:
               f"self-doc contained {hit:.2f}", flush=True)
     else:
         print(f"dim={d}: self-doc contained {hit:.2f}", flush=True)
+    # int8 x PCA composition: quantize the PROJECTED summaries (the two
+    # cuts multiply only if the composed candidate set still holds)
+    if not INTERPRET:
+        from ravqa_tpu.ops.quant import quantize_summaries_t_int8
+        st8, dsc = jax.block_until_ready(quantize_summaries_t_int8(st))
+        timeit_i8(f"coarse_sweep dim={d} int8", qd, st8, dsc)
+        ci = np.asarray(topc_i8(qd, st8, dsc))
+        hit_i8 = float(np.mean([(i in set(ci[i])) for i in range(B)]))
+        keep_i8 = float(np.mean([len(set(ci[i]) & set(cands[DIM][i]))
+                                 / ci.shape[1] for i in range(B)]))
+        print(f"dim={d} int8: top-1024 overlap with dim-128 bf16 cut "
+              f"{keep_i8:.3f}, self-doc contained {hit_i8:.2f}", flush=True)
+        st8.delete()
+        dsc.delete()
+        del st8, dsc
     del st, sd
