@@ -149,6 +149,34 @@ def test_int8_recall_gate_100k(corpus, exact_rows):
     assert t1in10 >= 0.99, f"int8 exact-top1-in-top10 = {t1in10}"
 
 
+def test_int8_coarse_cut_gate_100k(corpus, exact_rows):
+    """Gate the int8 COARSE sweep's candidate generation at scale
+    (coarse_int8 / ops.maxsim coarse_sweep_pallas int8 branch): every
+    exact top-10 doc must survive the int8-quantized top-1024 cut. The
+    kernel itself is interpret-tested bit-for-bit elsewhere; this replays
+    its quantized math in XLA (dequantized f32 einsum is numerically the
+    integer dot x scales) so the 100k gate runs in CI without Mosaic."""
+    from ravqa_tpu.ops.quant import quantize_summaries_t_int8
+    index, q = corpus
+    st = jnp.swapaxes(index.summaries, 0, 1).astype(jnp.bfloat16)
+    st8, dsc = quantize_summaries_t_int8(st)
+    q32 = np.asarray(q, np.float32)
+    qs = np.maximum(np.abs(q32).max(-1, keepdims=True), 1e-8) / 127.0
+    q8 = np.round(q32 / qs)
+    deq = np.asarray(st8, np.float32) \
+        * np.asarray(dsc, np.float32)[None, :, None]      # (S, N, dim)
+    s = np.einsum("bqd,snd->bsnq", q8 * qs, deq)
+    scores = s.max(axis=1).sum(axis=-1)                    # (B, N)
+    valid = np.asarray(jnp.any(index.mask != 0, axis=1))
+    scores = np.where(valid[None, :], scores, -1e9)
+    cand = np.argsort(-scores, axis=1)[:, :1024]
+    containment = np.mean([len(set(e[:10].tolist())
+                               & set(c.tolist())) / 10
+                           for e, c in zip(exact_rows, cand)])
+    assert containment >= 0.99, \
+        f"exact top-10 containment in int8 top-1024 = {containment}"
+
+
 @pytest.mark.parametrize("nbits,floor,t1floor", [(2, 0.37, 0.3),
                                                  (8, 0.82, 0.99)])
 def test_residual_recall_gate_100k(corpus, exact_rows, nbits, floor,
