@@ -111,6 +111,7 @@ class FLMRExecutor(BaseExecutor):
         n_candidates: "int | None" = None,
         add_null_document: bool = False,
         coarse_query_len: "int | None" = None,
+        coarse_int8: bool = False,
     ) -> dict:
         """Full reference eval loop (evaluate_outputs, FLMR_executor:722-973).
 
@@ -139,7 +140,8 @@ class FLMRExecutor(BaseExecutor):
             axis="data" if self.mesh is not None else "index",
             use_pallas=jax.default_backend() == "tpu",
             mode=search_mode, n_candidates=n_candidates,
-            coarse_query_len=coarse_query_len)
+            coarse_query_len=coarse_query_len,
+            coarse_int8=coarse_int8)
         q = self.encode_queries(query_batches)
         k = max(ks)
         _, rows = searcher.search(q, k=min(k, index.num_docs))
