@@ -237,13 +237,12 @@ def _coarse_sweep_int8_kernel(q_ref, qs_ref, d_ref, ds_ref, v_ref, out_ref,
                               *, s: int, lq: int, qc: int):
     """int8 variant of _coarse_sweep_kernel: the (qc, TILE_N) score blocks
     ride the MXU's int8 path (2x bf16 throughput on v5e, int32
-    accumulation). Scale handling exploits that the sweep's output only
-    feeds per-query top-k cuts:
+    accumulation). The output is FULLY dequantized — it equals the float
+    sweep up to int8 rounding error — via two scale applications:
 
-      - the GLOBAL summary scale is ranking-invariant and dropped;
-      - PER-DOC scales (constant across the S slots, so the int32 max
-        over S stays order-correct) multiply the f32-converted block as
-        one (1, TILE_N) broadcast;
+      - PER-DOC summary scales (constant across the S slots, so the
+        int32 max over S stays order-correct) multiply the
+        f32-converted block as one (1, TILE_N) broadcast AFTER the max;
       - PER-QUERY-TOKEN scales fold into the Lq-sum selector matmul —
         the 0/1 block-diagonal selector's entries become the token's
         scale, so the sum over Lq applies them for free.
@@ -303,10 +302,9 @@ def coarse_sweep_pallas(q: jax.Array, summaries_t: jax.Array,
     dscale: (N,) f32 per-doc summary scales — REQUIRED when summaries_t
     is int8 (ops.quant.quantize_summaries_t_int8). The int8 path rides
     the MXU's 2x int8 throughput and halves the sweep's HBM traffic;
-    queries are quantized per-token on entry. Output scores then equal
-    the dequantized sweep up to int8 rounding AND a dropped global
-    factor — ranking-equivalent per query, which is all the candidate
-    cuts consume.
+    queries are quantized per-token on entry. Output scores are fully
+    dequantized — they equal the float sweep up to int8 rounding error
+    (well within what the downstream candidate cuts tolerate).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -366,11 +364,11 @@ def coarse_sweep_pallas(q: jax.Array, summaries_t: jax.Array,
 
     if int8_path:
         # per-token symmetric query quantization (zero rows stay zero,
-        # scale eps — they contribute ~0, matching the float path)
-        q32 = q.reshape(b * lq, dim).astype(jnp.float32)
-        qmax = jnp.max(jnp.abs(q32), axis=-1, keepdims=True)
-        qsc = jnp.maximum(qmax, 1e-8) / 127.0
-        q_flat = jnp.round(q32 / qsc).astype(jnp.int8)
+        # scale eps — they contribute ~0, matching the float path);
+        # lazy import: ops.quant imports NEG_INF from this module
+        from .quant import quantize_queries_int8
+        qi, qsc = quantize_queries_int8(q.astype(jnp.float32))
+        q_flat = qi.reshape(b * lq, dim)
         qs_row = qsc.reshape(1, b * lq)
         ds_row = dscale.astype(jnp.float32).reshape(1, n)
         kernel = functools.partial(_coarse_sweep_int8_kernel, s=s, lq=lq,

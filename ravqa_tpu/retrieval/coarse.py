@@ -300,8 +300,9 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
     decompressed + scored exactly (see _fine_stage). 0 = off.
     summaries_t_scale: (N,) f32 per-doc scales when summaries_t is int8
     (ops.quant.quantize_summaries_t_int8) — the sweep then rides the
-    MXU's 2x int8 throughput; its scores are ranking-equivalent per
-    query, which is all the candidate cut consumes.
+    MXU's 2x int8 throughput; its dequantized scores match the float
+    sweep up to int8 rounding, well within what the candidate cut
+    tolerates.
     """
     _cut = (functools.partial(jax.lax.approx_max_k,
                               recall_target=approx_recall)

@@ -348,14 +348,21 @@ class LateInteractionSearcher:
         self._summ_t_scale = None
         if mode == "two_stage" and self.use_pallas \
                 and index.summaries is not None:
-            # bf16: coarse scores are approximate, and the kernel's f32
-            # VMEM footprint halves (f32 summaries force tile_n=512)
-            st = jax.jit(lambda s: jnp.swapaxes(s, 0, 1)
-                         .astype(jnp.bfloat16))(index.summaries)
             sts = None
             if coarse_int8:
+                # quantize straight from the stored precision — a bf16
+                # pre-cast would only add rounding and a full-size
+                # transient (quantize upcasts to f32 internally anyway)
                 from ..ops.quant import quantize_summaries_t_int8
-                st, sts = quantize_summaries_t_int8(st)
+                st, sts = quantize_summaries_t_int8(
+                    jax.jit(lambda s: jnp.swapaxes(s, 0, 1))(
+                        index.summaries))
+            else:
+                # bf16: coarse scores are approximate, and the kernel's
+                # f32 VMEM footprint halves (f32 summaries force
+                # tile_n=512)
+                st = jax.jit(lambda s: jnp.swapaxes(s, 0, 1)
+                             .astype(jnp.bfloat16))(index.summaries)
             if mesh is not None:
                 st = jax.device_put(st, NamedSharding(mesh,
                                                       P(None, axis)))
@@ -372,13 +379,27 @@ class LateInteractionSearcher:
         if mode == "hierarchical" and self.use_pallas and mesh is None \
                 and index.block_summaries is not None:
             from .coarse import block_summaries_t
-            bt = jax.jit(functools.partial(
-                block_summaries_t, pad_multiple=1024))(
-                index.block_summaries.astype(jnp.bfloat16))
             if coarse_int8:
                 from ..ops.quant import quantize_summaries_t_int8
+                bt = jax.jit(functools.partial(
+                    block_summaries_t, pad_multiple=1024))(
+                    index.block_summaries)
                 bt, self._bsum_t_scale = quantize_summaries_t_int8(bt)
+            else:
+                bt = jax.jit(functools.partial(
+                    block_summaries_t, pad_multiple=1024))(
+                    index.block_summaries.astype(jnp.bfloat16))
             self._bsum_t = bt
+        if coarse_int8 and self._summ_t_scale is None \
+                and self._bsum_t_scale is None:
+            import warnings
+            warnings.warn(
+                "coarse_int8=True had no effect: the int8 coarse sweep "
+                "only exists on the Pallas (TPU) two_stage path and the "
+                "single-device hierarchical path with summaries built "
+                f"(mode={mode!r}, use_pallas={self.use_pallas}, "
+                f"mesh={'set' if mesh is not None else 'None'})",
+                stacklevel=2)
         if mode == "two_stage":
             assert index.summaries is not None, \
                 "call index.build_summaries() first"

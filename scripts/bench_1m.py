@@ -116,27 +116,32 @@ print(f"self-retrieval top-1 (noisy query -> its own doc among 1M): "
       f"{top1:.2f}", flush=True)
 
 
-def timeit(name, n_candidates, iters=32):
+def timeit(name, fn, args, iters=32):
+    """Generic scan-chained timer: fn(q, *args) -> (scores, rows). Index
+    arrays ride as jit ARGUMENTS (closure capture would serialize GiBs
+    into the HLO for the remote compiler — axon pitfall)."""
     @jax.jit
-    def run(q, idx, m, sm, sc, smt):
+    def run(qq0, *arrs):
         def body(qq, _):
-            s, _ = two_stage_search(qq, idx, m, sm, k=K,
-                                    n_candidates=n_candidates, scales=sc,
-                                    use_pallas_coarse=True, approx_topk=True,
-                                    summaries_t=smt)
+            s, _ = fn(qq, *arrs)
             return qq + (s[:, 0] * 1e-9).astype(qq.dtype)[:, None, None], ()
-        qq, _ = jax.lax.scan(body, q, None, length=iters)
+        qq, _ = jax.lax.scan(body, qq0, None, length=iters)
         return qq[:1, :1, :1]
-    _ = np.asarray(run(q, index8, mask, summ, scales, summ_t))
+    _ = np.asarray(run(q, *args))
     t0 = time.perf_counter()
-    _ = np.asarray(run(q, index8, mask, summ, scales, summ_t))
+    _ = np.asarray(run(q, *args))
     dt_s = time.perf_counter() - t0
     print(f"{name}: {B * iters / dt_s:.0f} QPS/chip "
           f"({dt_s / iters * 1e3:.2f} ms/batch)", flush=True)
 
 
-timeit("two_stage_1M_int8_C1024", 1024)
-timeit("two_stage_1M_int8_C256", 256)
+TS_ARGS = (index8, mask, summ, scales, summ_t)
+for nc in (1024, 256):
+    timeit(f"two_stage_1M_int8_C{nc}",
+           lambda qq, idx, m, sm, sc, smt, nc=nc: two_stage_search(
+               qq, idx, m, sm, k=K, n_candidates=nc, scales=sc,
+               use_pallas_coarse=True, approx_topk=True,
+               summaries_t=smt), TS_ARGS)
 
 # int8 coarse sweep (MXU int8 = 2x bf16 throughput, half the HBM read;
 # candidate generation only — the int8 fine stage is identical)
@@ -151,30 +156,16 @@ top1_i8 = float(np.mean(np.asarray(rows_i8)[:, 0] == np.asarray(qidx)))
 print(f"self-retrieval top-1 (int8 coarse): {top1_i8:.2f}", flush=True)
 
 
-def timeit_i8(name, n_candidates, iters=32):
-    @jax.jit
-    def run(q, idx, m, sm, sc, smt, ds):
-        def body(qq, _):
-            s, _ = two_stage_search(qq, idx, m, sm, k=K,
-                                    n_candidates=n_candidates, scales=sc,
-                                    use_pallas_coarse=True, approx_topk=True,
-                                    summaries_t=smt, summaries_t_scale=ds)
-            return qq + (s[:, 0] * 1e-9).astype(qq.dtype)[:, None, None], ()
-        qq, _ = jax.lax.scan(body, q, None, length=iters)
-        return qq[:1, :1, :1]
-    _ = np.asarray(run(q, index8, mask, summ, scales, st8, dsc))
-    t0 = time.perf_counter()
-    _ = np.asarray(run(q, index8, mask, summ, scales, st8, dsc))
-    dt_s = time.perf_counter() - t0
-    print(f"{name}: {B * iters / dt_s:.0f} QPS/chip "
-          f"({dt_s / iters * 1e3:.2f} ms/batch)", flush=True)
-
-
-timeit_i8("two_stage_1M_int8_C1024_int8coarse", 1024)
-timeit_i8("two_stage_1M_int8_C256_int8coarse", 256)
+I8_ARGS = (index8, mask, summ, scales, st8, dsc)
+for nc in (1024, 256):
+    timeit(f"two_stage_1M_int8_C{nc}_int8coarse",
+           lambda qq, idx, m, sm, sc, smt, ds, nc=nc: two_stage_search(
+               qq, idx, m, sm, k=K, n_candidates=nc, scales=sc,
+               use_pallas_coarse=True, approx_topk=True,
+               summaries_t=smt, summaries_t_scale=ds), I8_ARGS)
 st8.delete()
 dsc.delete()
-del st8, dsc
+del st8, dsc, I8_ARGS
 
 # free the slot-major copy before the hierarchical section (it is only
 # used by the two-stage coarse sweep; 1.9 GiB of the 16 GiB HBM)
@@ -202,26 +193,11 @@ htop1 = float(np.mean(np.asarray(hrows)[:, 0] == np.asarray(qidx)))
 print(f"hierarchical self-retrieval top-1: {htop1:.2f}", flush=True)
 
 
-def timeit_hier(name, n_blocks, n_candidates, iters=32):
-    @jax.jit
-    def run(q, idx, m, sm, bm, bmt, sc):
-        def body(qq, _):
-            s, _ = hierarchical_search(qq, idx, m, sm, bm, k=K,
-                                       n_blocks=n_blocks,
-                                       n_candidates=n_candidates,
-                                       block_size=BLOCK, scales=sc,
-                                       approx_topk=True, block_summ_t=bmt)
-            return qq + (s[:, 0] * 1e-9).astype(qq.dtype)[:, None, None], ()
-        qq, _ = jax.lax.scan(body, q, None, length=iters)
-        return qq[:1, :1, :1]
-    _ = np.asarray(run(q, index8, mask, summ, bsum, bsum_t, scales))
-    t0 = time.perf_counter()
-    _ = np.asarray(run(q, index8, mask, summ, bsum, bsum_t, scales))
-    dt_s = time.perf_counter() - t0
-    print(f"{name}: {B * iters / dt_s:.0f} QPS/chip "
-          f"({dt_s / iters * 1e3:.2f} ms/batch)", flush=True)
-
-
-timeit_hier("hier_1M_int8_B128_C1024", 128, 1024)
-timeit_hier("hier_1M_int8_B64_C256", 64, 256)
-timeit_hier("hier_1M_int8_B32_C256", 32, 256)
+H_ARGS = (index8, mask, summ, bsum, bsum_t, scales)
+for nb_, nc in ((128, 1024), (64, 256), (32, 256)):
+    timeit(f"hier_1M_int8_B{nb_}_C{nc}",
+           lambda qq, idx, m, sm, bm, bmt, sc, nb_=nb_, nc=nc:
+           hierarchical_search(
+               qq, idx, m, sm, bm, k=K, n_blocks=nb_, n_candidates=nc,
+               block_size=BLOCK, scales=sc,
+               approx_topk=True, block_summ_t=bmt), H_ARGS)

@@ -120,17 +120,22 @@ def slot_major(s):
 valid = jnp.ones((N,), jnp.float32)
 
 
-def timeit(name, qq, st, iters=32):
+def timeit(name, qq, st, dsc=None, iters=32):
+    """One timing harness for both sweep branches: dsc=None times the
+    float kernel, dsc=(N,) scales the int8 branch."""
+    extra = () if dsc is None else (dsc,)
+
     @jax.jit
-    def run(q0, st, v):
+    def run(q0, st, v, *ds):
         def body(qc, _):
-            s = coarse_sweep_pallas(qc, st, v)
+            s = coarse_sweep_pallas(qc, st, v,
+                                    dscale=ds[0] if ds else None)
             return qc + (s[:, 0] * 1e-9).astype(qc.dtype)[:, None, None], ()
         qc, _ = jax.lax.scan(body, q0, None, length=iters)
         return qc[:1, :1, :1]
-    _ = np.asarray(run(qq, st, valid))
+    _ = np.asarray(run(qq, st, valid, *extra))
     t0 = time.perf_counter()
-    _ = np.asarray(run(qq, st, valid))
+    _ = np.asarray(run(qq, st, valid, *extra))
     ms = (time.perf_counter() - t0) / iters * 1e3
     print(f"{name}: {ms:.2f} ms/batch", flush=True)
     return ms
@@ -145,22 +150,6 @@ def topc(qq, st, c=min(1024, N)):
     else:
         scores = coarse_sweep_pallas(qq, st, valid)
     return jax.lax.top_k(scores, c)[1]
-
-
-def timeit_i8(name, qq, st8, dsc, iters=32):
-    @jax.jit
-    def run(q0, st, ds, v):
-        def body(qc, _):
-            s = coarse_sweep_pallas(qc, st, v, dscale=ds)
-            return qc + (s[:, 0] * 1e-9).astype(qc.dtype)[:, None, None], ()
-        qc, _ = jax.lax.scan(body, q0, None, length=iters)
-        return qc[:1, :1, :1]
-    _ = np.asarray(run(qq, st8, dsc, valid))
-    t0 = time.perf_counter()
-    _ = np.asarray(run(qq, st8, dsc, valid))
-    ms = (time.perf_counter() - t0) / iters * 1e3
-    print(f"{name}: {ms:.2f} ms/batch", flush=True)
-    return ms
 
 
 @jax.jit
@@ -193,7 +182,7 @@ for d in dims:
     if not INTERPRET:
         from ravqa_tpu.ops.quant import quantize_summaries_t_int8
         st8, dsc = jax.block_until_ready(quantize_summaries_t_int8(st))
-        timeit_i8(f"coarse_sweep dim={d} int8", qd, st8, dsc)
+        timeit(f"coarse_sweep dim={d} int8", qd, st8, dsc)
         ci = np.asarray(topc_i8(qd, st8, dsc))
         hit_i8 = float(np.mean([(i in set(ci[i])) for i in range(B)]))
         keep_i8 = float(np.mean([len(set(ci[i]) & set(cands[DIM][i]))

@@ -104,7 +104,10 @@ for S in (4, 8):
     # check top-10 ranking containment vs the bf16 sweep alongside.
     from ravqa_tpu.ops.quant import quantize_summaries_t_int8
     st8, dsc = jax.block_until_ready(quantize_summaries_t_int8(summ_t))
-    for tile_n in (512, 1024, 2048):
+    # tiles must be distinct AFTER the wrapper's VMEM clamp: the int8
+    # path's extra f32 score block caps tile_n at 512 for this shape,
+    # so sweep downward (1024+ would silently re-time 512)
+    for tile_n in (128, 256, 512):
         try:
             timeit(f"sweep_int8_t{tile_n}",
                    lambda qq, smt, ds, t=tile_n: coarse_sweep_pallas(

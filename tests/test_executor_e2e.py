@@ -192,23 +192,29 @@ def test_evaluate_retrieval_two_stage(world):
 
 
 def test_evaluate_retrieval_two_stage_coarse_int8_flag(world):
-    """coarse_int8 plumbs through evaluate_retrieval (on the CPU backend
-    use_pallas is off so the flag is a no-op passthrough; the int8
-    kernel path itself is interpret-tested at the searcher level)."""
+    """coarse_int8 plumbs through evaluate_retrieval. On the CPU backend
+    use_pallas is off, so the flag cannot take effect — the searcher
+    must WARN instead of silently swallowing it (the int8 kernel path
+    itself is interpret-tested at the searcher level)."""
+    import warnings
     cfg, model, params = make_model(world)
     ex = FLMRExecutor(model, params, TrainConfig(lr=1e-3), quiet=True)
     qi, qm = world.qt.tensorize(world.queries)
     di, dm = world.dt.tensorize(world.passages)
-    m = ex.evaluate_retrieval(
-        [dict(query_input_ids=jnp.array(qi),
-              query_attention_mask=jnp.array(qm),
-              image_features=jnp.array(world.image_feats))],
-        [dict(doc_input_ids=jnp.array(di), doc_attention_mask=jnp.array(dm))],
-        passage_ids=[f"GS_{i}" for i in range(world.n_docs)],
-        pos_item_ids=[[f"GS_{i}"] for i in range(world.n_docs)],
-        ks=[1, 5], search_mode="two_stage", n_candidates=16,
-        coarse_int8=True)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        m = ex.evaluate_retrieval(
+            [dict(query_input_ids=jnp.array(qi),
+                  query_attention_mask=jnp.array(qm),
+                  image_features=jnp.array(world.image_feats))],
+            [dict(doc_input_ids=jnp.array(di),
+                  doc_attention_mask=jnp.array(dm))],
+            passage_ids=[f"GS_{i}" for i in range(world.n_docs)],
+            pos_item_ids=[[f"GS_{i}"] for i in range(world.n_docs)],
+            ks=[1, 5], search_mode="two_stage", n_candidates=16,
+            coarse_int8=True)
     assert "pos_item_ids_recall_at_5" in m
+    assert any("coarse_int8" in str(w.message) for w in rec)
 
 
 def test_evaluate_retrieval_hierarchical(world):
