@@ -64,9 +64,10 @@ class RagConfig:
     coarse_query_len: Optional[int] = None  # only the first L query rows
     #   drive the pruning stages (the reference's candidate-generation
     #   truncation, index_storage.py:68-77); the fine stage scores full Q
-    coarse_int8: bool = False             # int8-quantize the coarse-sweep
-    #   summary copies (MXU int8 = 2x bf16 throughput; candidate
-    #   generation only — the fine stages are untouched)
+    coarse_int8: bool = False             # int8-quantize the pruning-stage
+    #   summary copies (MXU int8 = 2x bf16 on the coarse sweep; in
+    #   hierarchical mode the stage-1 doc-summary gather moves half the
+    #   HBM bytes; candidate generation only — fine stages untouched)
     # published-config behaviors (reference rag_model_blip.py):
     n_docs_in_training: Optional[int] = None  # num_knowledge_passages_in_
     #   training (:552-557): randomly subsample this many of the top n_docs

@@ -401,7 +401,9 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
                         approx_recall: float = 0.95,
                         block_summ_t: Optional[jax.Array] = None,
                         centroid_prune: int = 0,
-                        block_summ_t_scale: Optional[jax.Array] = None):
+                        block_summ_t_scale: Optional[jax.Array] = None,
+                        summ_int8: Optional[jax.Array] = None,
+                        summ_scale: Optional[jax.Array] = None):
     """3-stage search: block summaries -> doc summaries -> exact MaxSim.
 
     Cuts the dominant coarse matmul by ~block_size/n_blocks-fold vs
@@ -423,11 +425,43 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
     block_summ_t_scale: (NB_pad,) f32 per-block scales when block_summ_t
     is int8 (quantize_summaries_t_int8 on the padded slot-major copy) —
     stage 0 then rides the MXU int8 path (see two_stage_search).
+    summ_int8/summ_scale: int8 doc-major summary copy + (N,) per-doc
+    scales (ops.quant.quantize_summaries_int8) — stage 1 then gathers
+    the int8 copy (HALF the HBM traffic of the bf16 gather, the dominant
+    term of the hierarchical pruning cost at 1M docs) and applies the
+    per-doc scale after the max/sum, which is order-exact. `summaries`
+    may be None when summ_int8 is given (it would be unused).
     Returns (scores (B, k), rows (B, k)).
     """
-    n, s, d = summaries.shape
+    src = summaries if summ_int8 is None else summ_int8
+    n, s, d = src.shape
     nb = n // block_size
-    summ_blocks = summaries.reshape(nb, block_size, s, d)
+    summ_blocks = src.reshape(nb, block_size, s, d)
+    scale_blocks = (None if summ_scale is None
+                    else summ_scale.reshape(nb, block_size))
+
+    def _stage1_scores(qc, blk_i):
+        """(g, Lqc, dim) f32 queries x (g, n_blocks) block rows ->
+        (g, n_blocks*block_size) validity-masked approx doc scores."""
+        g_ = qc.shape[0]
+        sg = jnp.take(summ_blocks, blk_i, axis=0)   # (g, nb, bs, S, d)
+        if scale_blocks is None:
+            s1 = jnp.einsum("gnbsd,gqd->gnbsq", sg.astype(jnp.float32),
+                            qc, preferred_element_type=jnp.float32)
+            approx = jnp.sum(jnp.max(s1, axis=3), axis=-1) \
+                .reshape(g_, n_blocks * block_size)
+        else:
+            # int8 stage-1: the dot runs bf16 (exact for int8 values);
+            # the strictly-positive per-doc scale commutes with the
+            # max-over-slots and sum-over-query (quantize_summaries_int8)
+            s1 = jnp.einsum("gnbsd,gqd->gnbsq", sg.astype(jnp.bfloat16),
+                            qc.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+            raw = jnp.sum(jnp.max(s1, axis=3), axis=-1)   # (g, nb, bs)
+            scl = jnp.take(scale_blocks, blk_i, axis=0)
+            approx = (raw * scl).reshape(g_, n_blocks * block_size)
+        valid = jnp.take(doc_valid_blocks, blk_i, axis=0).reshape(g_, -1)
+        return jnp.where(valid, approx, NEG_INF)
     # per-doc validity, blocked — pad rows' zero summaries must not win
     # coarse slots (see two_stage_search)
     doc_valid_blocks = jnp.any(mask != 0, axis=1).reshape(nb, block_size)
@@ -477,14 +511,7 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
             qi, blk_i = args                 # (g, Lq, d) f32, (g, n_blocks)
             qc = qi if coarse_query_len is None \
                 else qi[:, :coarse_query_len]
-            sg = jnp.take(summ_blocks, blk_i, axis=0)  # (g, nb, bs, S, d)
-            s1 = jnp.einsum("gnbsd,gqd->gnbsq", sg.astype(jnp.float32), qc,
-                            preferred_element_type=jnp.float32)
-            approx = jnp.sum(jnp.max(s1, axis=3), axis=-1) \
-                .reshape(g, n_blocks * block_size)
-            valid = jnp.take(doc_valid_blocks, blk_i, axis=0) \
-                .reshape(g, -1)
-            approx = jnp.where(valid, approx, NEG_INF)
+            approx = _stage1_scores(qc, blk_i)
             _, loc = jax.lax.top_k(approx, n_candidates)
             cand_i = jnp.take_along_axis(blk_i, loc // block_size, axis=1) \
                 * block_size + (loc % block_size)      # (g, n_candidates)
@@ -508,13 +535,7 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
     def per_group_s1(args):
         qi, blk_i = args                 # (g, Lq, d) f32, (g, n_blocks)
         qc = qi if coarse_query_len is None else qi[:, :coarse_query_len]
-        sg = jnp.take(summ_blocks, blk_i, axis=0)  # (g, nb, bs, S, d)
-        s1 = jnp.einsum("gnbsd,gqd->gnbsq", sg.astype(jnp.float32), qc,
-                        preferred_element_type=jnp.float32)
-        approx = jnp.sum(jnp.max(s1, axis=3), axis=-1) \
-            .reshape(g, n_blocks * block_size)
-        valid = jnp.take(doc_valid_blocks, blk_i, axis=0).reshape(g, -1)
-        approx = jnp.where(valid, approx, NEG_INF)
+        approx = _stage1_scores(qc, blk_i)
         _, loc = jax.lax.top_k(approx, n_candidates)
         return jnp.take_along_axis(blk_i, loc // block_size, axis=1) \
             * block_size + (loc % block_size)      # (g, n_candidates)

@@ -91,7 +91,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                         use_summ_t_scale: bool = False,
                         approx_topk: bool = False,
                         approx_recall: float = 0.95,
-                        centroid_prune: int = 0):
+                        centroid_prune: int = 0,
+                        use_summ_i8: bool = False):
     """Build a jitted collective search fn over `mesh`.
 
     Returned fn(q, tokens, mask[, summaries[, block_summaries]][, scales])
@@ -168,14 +169,21 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                 approx_recall=approx_recall)
         return _merge(q, s, i)
 
-    def _local_hier(q, tok, msk, summ, bsum, scl=None):
-        s, i = hierarchical_search(q, tok, msk, summ, bsum, k=k_local,
+    def _local_hier(q, tok, msk, summ, bsum, scl=None, summ_scale=None):
+        # use_summ_i8: the `summ` slot carries the int8 doc-major copy
+        # (quantize_summaries_int8) and `summ_scale` its per-doc scales —
+        # stage 1's gather then moves half the HBM bytes (coarse.py)
+        s, i = hierarchical_search(q, tok, msk,
+                                   None if use_summ_i8 else summ,
+                                   bsum, k=k_local,
                                    n_blocks=b_local, n_candidates=c_local,
                                    block_size=block_size, scales=scl,
                                    coarse_query_len=coarse_query_len,
                                    group_size=group_size,
                                    approx_topk=approx_topk,
-                                   approx_recall=approx_recall)
+                                   approx_recall=approx_recall,
+                                   summ_int8=summ if use_summ_i8 else None,
+                                   summ_scale=summ_scale)
         return _merge(q, s, i)
 
     # residual-codec variants: per-doc arrays (packed records) shard over
@@ -196,8 +204,11 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                 centroid_prune=cp_local)
         return _merge(q, s, i)
 
-    def _local_hier_res(q, msk, summ, bsum, recs, cent, bw):
-        s, i = hierarchical_search(q, None, msk, summ, bsum, k=k_local,
+    def _local_hier_res(q, msk, summ, bsum, recs, cent, bw,
+                        summ_scale=None):
+        s, i = hierarchical_search(q, None, msk,
+                                   None if use_summ_i8 else summ,
+                                   bsum, k=k_local,
                                    n_blocks=b_local, n_candidates=c_local,
                                    block_size=block_size,
                                    coarse_query_len=coarse_query_len,
@@ -206,14 +217,19 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                    bucket_weights=bw, nbits=residual_nbits,
                                    approx_topk=approx_topk,
                                    approx_recall=approx_recall,
-                                   centroid_prune=cp_local)
+                                   centroid_prune=cp_local,
+                                   summ_int8=summ if use_summ_i8 else None,
+                                   summ_scale=summ_scale)
         return _merge(q, s, i)
 
     if residual_nbits and hierarchical:
-        f = shard_map(_local_hier_res, mesh,
-                      in_specs=(P(), P(axis), P(axis), P(axis), P(axis),
-                                P(), P()),
-                      out_specs=(P(), P()))
+        specs = (P(), P(axis), P(axis), P(axis), P(axis), P(), P())
+        fn = _local_hier_res
+        if use_summ_i8:
+            specs += (P(axis),)
+            fn = (lambda q, m, s, b, r, c, w, ss:
+                  _local_hier_res(q, m, s, b, r, c, w, summ_scale=ss))
+        f = shard_map(fn, mesh, in_specs=specs, out_specs=(P(), P()))
         return jax.jit(f)
     if residual_nbits and two_stage:
         specs = (P(), P(axis), P(axis), P(axis), P(), P())
@@ -225,16 +241,22 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                       in_specs=specs, out_specs=(P(), P()))
         return jax.jit(f)
     if hierarchical and quantized:
-        f = shard_map(_local_hier, mesh,
-                      in_specs=(P(), P(axis), P(axis), P(axis), P(axis),
-                                P(axis)),
-                      out_specs=(P(), P()))
+        specs = (P(), P(axis), P(axis), P(axis), P(axis), P(axis))
+        fn = _local_hier
+        if use_summ_i8:
+            specs += (P(axis),)
+            fn = (lambda q, t, m, s, b, sc, ss:
+                  _local_hier(q, t, m, s, b, sc, summ_scale=ss))
+        f = shard_map(fn, mesh, in_specs=specs, out_specs=(P(), P()))
         return jax.jit(f)
     if hierarchical:
-        f = shard_map(lambda q, t, m, s, b: _local_hier(q, t, m, s, b),
-                      mesh,
-                      in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
-                      out_specs=(P(), P()))
+        specs = (P(), P(axis), P(axis), P(axis), P(axis))
+        fn = lambda q, t, m, s, b: _local_hier(q, t, m, s, b)
+        if use_summ_i8:
+            specs += (P(axis),)
+            fn = (lambda q, t, m, s, b, ss:
+                  _local_hier(q, t, m, s, b, summ_scale=ss))
+        f = shard_map(fn, mesh, in_specs=specs, out_specs=(P(), P()))
         return jax.jit(f)
     if two_stage and quantized:
         specs = (P(), P(axis), P(axis), P(axis), P(axis))
@@ -390,13 +412,30 @@ class LateInteractionSearcher:
                     block_summaries_t, pad_multiple=1024))(
                     index.block_summaries.astype(jnp.bfloat16))
             self._bsum_t = bt
+        # hierarchical stage 1 gathers the selected blocks' DOC-MAJOR
+        # summaries out of HBM every batch — the dominant pruning-cost
+        # term at 1M docs. coarse_int8 also builds an int8 copy + per-doc
+        # scales for that gather (half the bytes; order-exact rescale,
+        # ops.quant.quantize_summaries_int8). Pure-XLA path: applies on
+        # every backend and on the sharded searcher too.
+        self._summ_i8 = None
+        self._summ_i8_scale = None
+        if mode == "hierarchical" and coarse_int8 \
+                and index.summaries is not None:
+            from ..ops.quant import quantize_summaries_int8
+            si8, ss = quantize_summaries_int8(index.summaries)
+            if mesh is not None:
+                si8 = jax.device_put(si8, NamedSharding(mesh, P(axis)))
+                ss = jax.device_put(ss, NamedSharding(mesh, P(axis)))
+            self._summ_i8 = si8
+            self._summ_i8_scale = ss
         if coarse_int8 and self._summ_t_scale is None \
-                and self._bsum_t_scale is None:
+                and self._bsum_t_scale is None and self._summ_i8 is None:
             import warnings
             warnings.warn(
-                "coarse_int8=True had no effect: the int8 coarse sweep "
-                "only exists on the Pallas (TPU) two_stage path and the "
-                "single-device hierarchical path with summaries built "
+                "coarse_int8=True had no effect: the int8 paths only "
+                "exist on the Pallas (TPU) two_stage coarse sweep and "
+                "the hierarchical pruning stages with summaries built "
                 f"(mode={mode!r}, use_pallas={self.use_pallas}, "
                 f"mesh={'set' if mesh is not None else 'None'})",
                 stacklevel=2)
@@ -472,7 +511,8 @@ class LateInteractionSearcher:
                 approx_topk=self.approx_topk,
                 approx_recall=self.approx_recall,
                 centroid_prune=self.resolve_centroid_prune(
-                    k, self.resolve_candidates(k)))
+                    k, self.resolve_candidates(k)),
+                use_summ_i8=self._summ_i8 is not None)
         return self._sharded_fns[k]
 
     def search_device(self, q: jax.Array, k: int):
@@ -480,8 +520,12 @@ class LateInteractionSearcher:
         idx = self.index
         if self.mesh is not None:
             fn = self._search_fn(k)
+            # hierarchical + coarse_int8: the summaries slot carries the
+            # int8 doc-major copy, with its per-doc scales appended last
+            summ = idx.summaries if self._summ_i8 is None else \
+                self._summ_i8
             if idx.tokens is None:                  # residual codec
-                args = (q, idx.mask, idx.summaries)
+                args = (q, idx.mask, summ)
                 if self.mode == "hierarchical":
                     args += (idx.block_summaries,)
                 args += (idx.records, idx.codec_centroids,
@@ -490,10 +534,12 @@ class LateInteractionSearcher:
                     args += (self._summ_t,)
                     if self._summ_t_scale is not None:
                         args += (self._summ_t_scale,)
+                if self._summ_i8 is not None:
+                    args += (self._summ_i8_scale,)
                 return fn(*args)
             args = (q, idx.tokens, idx.mask)
             if self.mode in ("two_stage", "hierarchical"):
-                args += (idx.summaries,)
+                args += (summ,)
             if self.mode == "hierarchical":
                 args += (idx.block_summaries,)
             if idx.scales is not None:
@@ -502,12 +548,15 @@ class LateInteractionSearcher:
                 args += (self._summ_t,)
                 if self._summ_t_scale is not None:
                     args += (self._summ_t_scale,)
+            if self._summ_i8 is not None:
+                args += (self._summ_i8_scale,)
             return fn(*args)
         if self.mode == "hierarchical":
             from .coarse import hierarchical_search
             nb = idx.block_summaries.shape[0]
             return hierarchical_search(
-                q, idx.tokens, idx.mask, idx.summaries,
+                q, idx.tokens, idx.mask,
+                idx.summaries if self._summ_i8 is None else None,
                 idx.block_summaries, k=k,
                 n_blocks=min(self.resolve_blocks(k), nb),
                 n_candidates=min(self.resolve_candidates(k), idx.n_pad),
@@ -523,7 +572,9 @@ class LateInteractionSearcher:
                 block_summ_t=self._bsum_t,
                 block_summ_t_scale=self._bsum_t_scale,
                 centroid_prune=self.resolve_centroid_prune(
-                    k, min(self.resolve_candidates(k), idx.n_pad)))
+                    k, min(self.resolve_candidates(k), idx.n_pad)),
+                summ_int8=self._summ_i8,
+                summ_scale=self._summ_i8_scale)
         if self.mode == "two_stage":
             from .coarse import two_stage_search
             return two_stage_search(

@@ -201,3 +201,29 @@ for nb_, nc in ((128, 1024), (64, 256), (32, 256)):
                qq, idx, m, sm, bm, k=K, n_blocks=nb_, n_candidates=nc,
                block_size=BLOCK, scales=sc,
                approx_topk=True, block_summ_t=bmt), H_ARGS)
+
+# ---- stage-1 int8 summaries (coarse_int8): the stage-1 gather of the
+# selected blocks' doc summaries is the dominant hierarchical pruning
+# term (n_blocks*block_size*S*dim bytes/query out of HBM) — the int8
+# copy (ops.quant.quantize_summaries_int8) moves half the bf16 bytes,
+# with the per-doc scale applied order-exactly after the max/sum.
+from ravqa_tpu.ops.quant import quantize_summaries_int8
+
+si8, ssc = jax.block_until_ready(quantize_summaries_int8(summ))
+_, hrows_s1 = hierarchical_search(q, index8, mask, None, bsum, k=K,
+                                  n_blocks=128, n_candidates=1024,
+                                  block_size=BLOCK, scales=scales,
+                                  approx_topk=True, block_summ_t=bsum_t,
+                                  summ_int8=si8, summ_scale=ssc)
+htop1_s1 = float(np.mean(np.asarray(hrows_s1)[:, 0] == np.asarray(qidx)))
+print(f"hierarchical self-retrieval top-1 (int8 stage 1): {htop1_s1:.2f}",
+      flush=True)
+HS1_ARGS = (index8, mask, bsum, bsum_t, scales, si8, ssc)
+for nb_, nc in ((128, 1024), (64, 256), (32, 256)):
+    timeit(f"hier_1M_int8_B{nb_}_C{nc}_int8stage1",
+           lambda qq, idx, m, bm, bmt, sc, s8, ss, nb_=nb_, nc=nc:
+           hierarchical_search(
+               qq, idx, m, None, bm, k=K, n_blocks=nb_, n_candidates=nc,
+               block_size=BLOCK, scales=sc,
+               approx_topk=True, block_summ_t=bmt,
+               summ_int8=s8, summ_scale=ss), HS1_ARGS)

@@ -320,3 +320,36 @@ for nb_, nc in ((128, 1024), (64, 256)):
                bucket_weights=bw, nbits=NBITS,
                approx_topk=True, block_summ_t=bmt,
                block_summ_t_scale=ds), HI8_ARGS)
+
+# ---- full int8-pruning config (what the searcher's coarse_int8=True
+# runs): int8 stage 0 (bst8/bdsc) + int8 stage-1 summary gather
+# (quantize_summaries_int8 — half the dominant gather's bytes) +
+# centroid_prune on the fine stage.
+from ravqa_tpu.ops.quant import quantize_summaries_int8
+
+si8, ssc = jax.block_until_ready(quantize_summaries_int8(summ))
+_, hrows_full = hierarchical_search(q, None, mask, None, bsum, k=K,
+                                    n_blocks=128, n_candidates=1024,
+                                    block_size=BLOCK, centroid_prune=256,
+                                    use_pallas_residual=False,
+                                    records=records, centroids=centroids,
+                                    bucket_weights=weights, nbits=NBITS,
+                                    approx_topk=True, block_summ_t=bst8,
+                                    block_summ_t_scale=bdsc,
+                                    summ_int8=si8, summ_scale=ssc)
+htop1_full = float(np.mean(np.asarray(hrows_full)[:, 0] == qidx))
+print(f"hierarchical self-retrieval top-1 (int8 s0+s1, cp=256): "
+      f"{htop1_full:.2f}", flush=True)
+HF_ARGS = (mask, bsum, bst8, bdsc, si8, ssc, records, centroids, weights)
+for nb_, nc, cp in ((128, 1024, 0), (128, 1024, 256),
+                    (64, 256, 0), (64, 256, 64)):
+    timeit(f"hier_1M_residual_B{nb_}_C{nc}_cp{cp}_int8s0s1",
+           lambda qq, m, bm, bmt, ds, s8, ss, recs, cent, bw,
+           nb_=nb_, nc=nc, cp=cp: hierarchical_search(
+               qq, None, m, None, bm, k=K, n_blocks=nb_, n_candidates=nc,
+               block_size=BLOCK, use_pallas_residual=False,
+               records=recs, centroids=cent, centroid_prune=cp,
+               bucket_weights=bw, nbits=NBITS,
+               approx_topk=True, block_summ_t=bmt,
+               block_summ_t_scale=ds,
+               summ_int8=s8, summ_scale=ss), HF_ARGS)
