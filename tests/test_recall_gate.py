@@ -60,11 +60,14 @@ def test_two_stage_recall_gate(corpus, exact_rows):
     assert (np.asarray(rows)[:, 0] == exact_rows[:, 0]).mean() >= 0.99
 
 
-def test_hierarchical_recall_gate(corpus, exact_rows):
-    """Hierarchical search with the documented production recipe: docs
-    cluster-ordered (coarse.cluster_order) so blocks are coherent."""
+@pytest.fixture(scope="module")
+def hier_index(corpus):
+    """Cluster-ordered index for hierarchical mode (the documented
+    production recipe: coarse.cluster_order makes blocks coherent).
+    Returns (index, perm) — map retrieved rows through perm to get
+    original doc ids."""
     from ravqa_tpu.retrieval.coarse import cluster_order
-    index, q = corpus
+    index, _ = corpus
     perm = np.asarray(cluster_order(index.summaries[:N_DOCS],
                                     n_clusters=N_CLUSTERS))
     toks = np.asarray(index.tokens)[:N_DOCS][perm]
@@ -73,12 +76,43 @@ def test_hierarchical_recall_gate(corpus, exact_rows):
                                        dtype=jnp.float32)
     idx2.build_summaries(n_summary=2)
     idx2.build_block_summaries(block_size=64)
+    return idx2, perm
+
+
+def test_hierarchical_recall_gate(corpus, exact_rows, hier_index):
+    idx2, perm = hier_index
+    _, q = corpus
     s = LateInteractionSearcher(idx2, mode="hierarchical",
                                 use_pallas=False)
     _, rows = s.search_device(q, k=10)
     rows = perm[np.asarray(rows)]                  # map back to original ids
     r = _recall(rows, exact_rows, 10)
     assert r >= 0.9, f"hierarchical recall@10 vs exact = {r}"
+
+
+def test_hierarchical_coarse_int8_recall_gate_100k(corpus, exact_rows,
+                                                   hier_index):
+    """Gate the int8 STAGE-1 summary gather at scale (coarse_int8 in
+    hierarchical mode builds the quantize_summaries_int8 copy; on CPU
+    with use_pallas=False only that stage-1 path differs from the float
+    searcher). Recall@10 vs exact must hold the float hierarchical
+    gate's floor, and top-1 must agree with the float hierarchical
+    searcher — the final stage re-scores exactly either way, so only
+    candidate-tail perturbation is tolerated."""
+    idx2, perm = hier_index
+    _, q = corpus
+    ref = LateInteractionSearcher(idx2, mode="hierarchical",
+                                  use_pallas=False)
+    _, rows_f = ref.search_device(q, k=10)
+    s = LateInteractionSearcher(idx2, mode="hierarchical",
+                                use_pallas=False, coarse_int8=True)
+    assert s._summ_i8 is not None          # the stage-1 copy was built
+    _, rows = s.search_device(q, k=10)
+    rows_f, rows = np.asarray(rows_f), np.asarray(rows)
+    assert (rows[:, 0] == rows_f[:, 0]).mean() >= 0.99, \
+        "int8 stage-1 flipped hierarchical top-1"
+    r = _recall(perm[rows], exact_rows, 10)
+    assert r >= 0.89, f"hier coarse_int8 recall@10 vs exact = {r}"
 
 
 def test_auto_presets_scale_with_k(corpus):
