@@ -433,6 +433,8 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
     may be None when summ_int8 is given (it would be unused).
     Returns (scores (B, k), rows (B, k)).
     """
+    assert (summ_int8 is None) == (summ_scale is None), \
+        "summ_int8 and summ_scale must be passed together"
     src = summaries if summ_int8 is None else summ_int8
     n, s, d = src.shape
     nb = n // block_size

@@ -222,15 +222,22 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                    summ_scale=summ_scale)
         return _merge(q, s, i)
 
-    if residual_nbits and hierarchical:
-        specs = (P(), P(axis), P(axis), P(axis), P(axis), P(), P())
-        fn = _local_hier_res
+    def _hier_jit(fn0, specs):
+        """shard_map + jit a hierarchical leg; with use_summ_i8 the
+        int8 stage-1 per-doc scales ride as one extra trailing arg
+        sharded over `axis` (the summ slot already carries the int8
+        copy — see _local_hier)."""
+        fn = fn0
         if use_summ_i8:
-            specs += (P(axis),)
-            fn = (lambda q, m, s, b, r, c, w, ss:
-                  _local_hier_res(q, m, s, b, r, c, w, summ_scale=ss))
-        f = shard_map(fn, mesh, in_specs=specs, out_specs=(P(), P()))
-        return jax.jit(f)
+            specs = specs + (P(axis),)
+            fn = lambda *a: fn0(*a[:-1], summ_scale=a[-1])
+        return jax.jit(shard_map(fn, mesh, in_specs=specs,
+                                 out_specs=(P(), P())))
+
+    if residual_nbits and hierarchical:
+        return _hier_jit(_local_hier_res,
+                         (P(), P(axis), P(axis), P(axis), P(axis),
+                          P(), P()))
     if residual_nbits and two_stage:
         specs = (P(), P(axis), P(axis), P(axis), P(), P())
         if use_summ_t:
@@ -241,23 +248,13 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                       in_specs=specs, out_specs=(P(), P()))
         return jax.jit(f)
     if hierarchical and quantized:
-        specs = (P(), P(axis), P(axis), P(axis), P(axis), P(axis))
-        fn = _local_hier
-        if use_summ_i8:
-            specs += (P(axis),)
-            fn = (lambda q, t, m, s, b, sc, ss:
-                  _local_hier(q, t, m, s, b, sc, summ_scale=ss))
-        f = shard_map(fn, mesh, in_specs=specs, out_specs=(P(), P()))
-        return jax.jit(f)
+        return _hier_jit(_local_hier,
+                         (P(), P(axis), P(axis), P(axis), P(axis),
+                          P(axis)))
     if hierarchical:
-        specs = (P(), P(axis), P(axis), P(axis), P(axis))
-        fn = lambda q, t, m, s, b: _local_hier(q, t, m, s, b)
-        if use_summ_i8:
-            specs += (P(axis),)
-            fn = (lambda q, t, m, s, b, ss:
-                  _local_hier(q, t, m, s, b, summ_scale=ss))
-        f = shard_map(fn, mesh, in_specs=specs, out_specs=(P(), P()))
-        return jax.jit(f)
+        return _hier_jit(lambda q, t, m, s, b, **kw:
+                         _local_hier(q, t, m, s, b, **kw),
+                         (P(), P(axis), P(axis), P(axis), P(axis)))
     if two_stage and quantized:
         specs = (P(), P(axis), P(axis), P(axis), P(axis))
         if use_summ_t:

@@ -210,6 +210,10 @@ for nb_, nc in ((128, 1024), (64, 256), (32, 256)):
 from ravqa_tpu.ops.quant import quantize_summaries_int8
 
 si8, ssc = jax.block_until_ready(quantize_summaries_int8(summ))
+# the bf16 summaries are dead from here on (stage 1 reads the int8
+# copy, stage 0 the block summaries) — free 1 GiB of HBM
+summ.delete()
+del summ, H_ARGS
 _, hrows_s1 = hierarchical_search(q, index8, mask, None, bsum, k=K,
                                   n_blocks=128, n_candidates=1024,
                                   block_size=BLOCK, scales=scales,

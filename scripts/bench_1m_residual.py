@@ -328,6 +328,10 @@ for nb_, nc in ((128, 1024), (64, 256)):
 from ravqa_tpu.ops.quant import quantize_summaries_int8
 
 si8, ssc = jax.block_until_ready(quantize_summaries_int8(summ))
+# the bf16 summaries are dead from here on (stage 1 reads the int8
+# copy, stage 0 the block summaries) — residual HBM is the tight one
+summ.delete()
+del summ, H_ARGS, HI8_ARGS
 _, hrows_full = hierarchical_search(q, None, mask, None, bsum, k=K,
                                     n_blocks=128, n_candidates=1024,
                                     block_size=BLOCK, centroid_prune=256,

@@ -62,9 +62,10 @@ def stage1_fn(n_blocks, variant):
         qi, blk_i = args                        # (g, Lq, d), (g, n_blocks)
         sg = jnp.take(summ_blocks, blk_i, axis=0)   # (g, nb, bs, S, d)
         if variant == "noop":
-            # gather-only bound: a trivially cheap reduction over the
-            # gathered copy (sum of one slot's first lane per doc)
-            return jnp.sum(sg[..., 0, :8].astype(jnp.float32), axis=-1) \
+            # gather-only bound: the cheapest reduction that still READS
+            # every gathered byte (a partial slice would let XLA shrink
+            # the gather's slice_sizes and under-state the bound)
+            return jnp.sum(sg.astype(jnp.float32), axis=(3, 4)) \
                 .reshape(qi.shape[0], n_blocks * BS)
         if variant == "int8":
             s1 = jnp.einsum("gnbsd,gqd->gnbsq", sg.astype(jnp.bfloat16),

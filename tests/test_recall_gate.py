@@ -96,9 +96,10 @@ def test_hierarchical_coarse_int8_recall_gate_100k(corpus, exact_rows,
     hierarchical mode builds the quantize_summaries_int8 copy; on CPU
     with use_pallas=False only that stage-1 path differs from the float
     searcher). Recall@10 vs exact must hold the float hierarchical
-    gate's floor, and top-1 must agree with the float hierarchical
-    searcher — the final stage re-scores exactly either way, so only
-    candidate-tail perturbation is tolerated."""
+    gate's floor minus 1pt (the same tolerance the codec gates use for
+    quantization rounding), and top-1 must agree with the float
+    hierarchical searcher — the final stage re-scores exactly either
+    way, so only candidate-tail perturbation is tolerated."""
     idx2, perm = hier_index
     _, q = corpus
     ref = LateInteractionSearcher(idx2, mode="hierarchical",

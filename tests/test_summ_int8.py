@@ -48,12 +48,14 @@ def test_quantize_summaries_int8_roundtrip():
     recon = np.asarray(si8, np.float32) * np.asarray(scale)[:, None, None]
     np.testing.assert_allclose(recon[:-3], summ[:-3], atol=1.0 / 127)
     assert (np.asarray(si8[-3:]) == 0).all()
-    # order-exactness of the post-hoc rescale: for any query, the scaled
-    # sum-of-max equals the sum-of-max of scaled scores
+    # order-exactness of the post-hoc rescale: scoring the RAW int8
+    # codes and scaling after the max/sum must equal scoring the
+    # dequantized floats (scale * sum_q max_s x == sum_q max_s scale*x)
     q = normed(rng.normal(size=(8, 64))).astype(np.float32)
-    raw = np.einsum("nsd,qd->nsq", recon, q)
-    direct = np.einsum("nsd,qd->nsq", recon, q)
-    np.testing.assert_allclose(raw.max(1).sum(-1), direct.max(1).sum(-1))
+    raw = np.einsum("nsd,qd->nsq", np.asarray(si8, np.float32), q)
+    post = raw.max(1).sum(-1) * np.asarray(scale)[:, None]
+    deq = np.einsum("nsd,qd->nsq", recon, q).max(1).sum(-1)
+    np.testing.assert_allclose(post, deq, rtol=1e-5, atol=1e-6)
 
 
 def test_hierarchical_summ_int8_matches_float_token_path():
