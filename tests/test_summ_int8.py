@@ -53,7 +53,7 @@ def test_quantize_summaries_int8_roundtrip():
     # dequantized floats (scale * sum_q max_s x == sum_q max_s scale*x)
     q = normed(rng.normal(size=(8, 64))).astype(np.float32)
     raw = np.einsum("nsd,qd->nsq", np.asarray(si8, np.float32), q)
-    post = raw.max(1).sum(-1) * np.asarray(scale)[:, None]
+    post = raw.max(1).sum(-1) * np.asarray(scale)         # (n,)
     deq = np.einsum("nsd,qd->nsq", recon, q).max(1).sum(-1)
     np.testing.assert_allclose(post, deq, rtol=1e-5, atol=1e-6)
 
