@@ -403,6 +403,131 @@ def coarse_sweep_pallas(q: jax.Array, summaries_t: jax.Array,
     )(q_flat, summaries_t, valid_row)  # (B, N)
 
 
+def _stage1_sweep_kernel(blk_ref, q_ref, *refs, s: int, lq: int, tb: int):
+    """Fused gathered stage-1 sweep body (see stage1_sweep_pallas).
+
+    blk_ref: (B, n_blocks) int32 scalar-prefetch (consumed by the
+    index_maps — the kernel body never reads it); q_ref (1, Lq, dim);
+    refs[:-1]: tb views of summ_rows, each (1, S, bs, dim) — the k-th
+    spec's index_map DMAs block blk[b, t*tb+k]; refs[-1]: out
+    (1, tb*bs) f32 raw scores.
+
+    Same compute pattern as _coarse_sweep_kernel: the max over S is S-1
+    aligned elementwise maximums of (Lq, tb*bs) matmul outputs (never a
+    strided sublane reduce), and the sum over Lq is one (1, Lq) ones
+    matmul.
+    """
+    del blk_ref
+    out_ref = refs[-1]
+    d_refs = refs[:-1]
+    q = q_ref[0]                                    # (Lq, dim)
+    m = None
+    for si in range(s):
+        cols = [jax.lax.dot_general(
+            q, d_refs[k][0, si].astype(q.dtype),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) for k in range(tb)]
+        msi = cols[0] if tb == 1 else jnp.concatenate(cols, axis=1)
+        m = msi if m is None else jnp.maximum(m, msi)  # (Lq, tb*bs)
+    ones = jnp.ones((1, lq), jnp.float32)
+    out_ref[:] = jax.lax.dot_general(
+        ones, m, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (1, tb*bs)
+
+
+def stage1_rows(summaries: jax.Array, block_size: int) -> jax.Array:
+    """(N, S, dim) doc summaries -> (N/bs, S, bs, dim) block-slot-major
+    rows for stage1_sweep_pallas (each block's slot-s summaries are one
+    contiguous (bs, dim) tile, mirroring coarse_sweep_pallas's
+    slot-major layout)."""
+    n, s, d = summaries.shape
+    nb = n // block_size
+    return jnp.swapaxes(summaries.reshape(nb, block_size, s, d), 1, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b",))
+def stage1_sweep_pallas(q: jax.Array, summ_rows: jax.Array,
+                        blk: jax.Array, tile_b: int = 8,
+                        dscale: jax.Array | None = None) -> jax.Array:
+    """Fused hierarchical stage-1 sweep: score each query against the
+    doc summaries of ITS OWN selected blocks, streaming the blocks from
+    HBM straight into VMEM via scalar-prefetch indexed DMA.
+
+    q (B, Lq, dim); summ_rows (NB, S, bs, dim) — stage1_rows layout,
+    bf16 or int8; blk (B, n_blocks) int32 stage-0 winners;
+    dscale ((NB*bs,) f32 per-doc scales, required for int8 summ_rows —
+    ops.quant.quantize_summaries_int8). Returns (B, n_blocks*bs) f32
+    approx scores in gathered order (caller applies doc-validity
+    masking, exactly like the XLA stage-1 path).
+
+    Replaces the XLA stage-1 (jnp.take + einsum inside lax.map), which
+    materializes BOTH the gathered summary copy and the
+    (g, nb, bs, S, Lq) f32 dot intermediate in HBM; here only the
+    (B, n_blocks*bs) scores are written. tile_b: blocks DMA'd per grid
+    step (tb BlockSpecs over the same operand — no copies, one
+    index_map each reading blk[b, t*tb+k]); bigger tiles amortize the
+    per-step grid overhead, clamped so tb*bs stays lane-aligned and
+    divides n_blocks.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import math
+
+    b, lq, dim = q.shape
+    nb, s, bs, dim2 = summ_rows.shape
+    assert dim == dim2
+    n_blocks = blk.shape[1]
+    int8_path = summ_rows.dtype == jnp.int8
+    if int8_path:
+        assert dscale is not None, "int8 summ_rows requires dscale"
+    # tb*bs must be a multiple of 128 lanes (out block constraint) and
+    # divide n_blocks
+    req = 128 // math.gcd(bs, 128)
+    tb = max(tile_b - tile_b % req, req)
+    while n_blocks % tb:
+        tb -= req
+    assert tb >= req and n_blocks % tb == 0, (n_blocks, bs, tile_b)
+
+    cdt = jnp.bfloat16 if summ_rows.dtype != jnp.float32 else jnp.float32
+    qc = q.astype(cdt)
+
+    kernel = functools.partial(_stage1_sweep_kernel, s=s, lq=lq, tb=tb)
+    summ_specs = [
+        pl.BlockSpec((1, s, bs, dim),
+                     (lambda b_, t, blk_ref, k=k:
+                      (blk_ref[b_, t * tb + k], 0, 0, 0)),
+                     memory_space=pltpu.VMEM)
+        for k in range(tb)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_blocks // tb),
+        in_specs=[
+            pl.BlockSpec((1, lq, dim), lambda b_, t, blk_ref: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + summ_specs,
+        out_specs=pl.BlockSpec((1, tb * bs),
+                               lambda b_, t, blk_ref: (b_, t),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_blocks * bs), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_blocks * bs * s * lq * dim,
+            bytes_accessed=(b * n_blocks * bs * s * dim
+                            * summ_rows.dtype.itemsize
+                            + q.size * 2 + b * n_blocks * bs * 4),
+            transcendentals=0,
+        ),
+    )(blk.astype(jnp.int32), qc, *([summ_rows] * tb))
+    if dscale is not None:
+        scl = jnp.take(dscale.reshape(nb, bs), blk, axis=0)  # (B, nbl, bs)
+        out = out * scl.reshape(b, n_blocks * bs)
+    return out
+
+
 def maxsim_search(q: jax.Array, index_tokens: jax.Array,
                   index_mask: jax.Array,
                   q_mask: jax.Array | None = None,

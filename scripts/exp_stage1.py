@@ -135,6 +135,29 @@ def main():
                stage1_fn(n_blocks, "noop"), q, blk, (summ_blocks,))
         timeit(f"s1_nb{n_blocks}_gatheronly_int8",
                stage1_fn(n_blocks, "noop"), q, blk, (si8_blocks,))
+        # fused scalar-prefetch kernel (ops.maxsim.stage1_sweep_pallas):
+        # streams the selected blocks HBM->VMEM, writes only the scores
+        if jax.default_backend() == "tpu":
+            from ravqa_tpu.ops.maxsim import stage1_rows, \
+                stage1_sweep_pallas
+            rows_bf = jax.block_until_ready(jax.jit(
+                lambda sb: stage1_rows(
+                    sb.reshape(NB_TOT * BS, S, DIM), BS))(summ_blocks))
+            rows_i8 = jax.block_until_ready(jax.jit(
+                lambda sb: stage1_rows(
+                    sb.reshape(NB_TOT * BS, S, DIM), BS))(si8_blocks))
+            for tb in (8, 16):
+                timeit(f"s1_nb{n_blocks}_kernel_bf16_tb{tb}",
+                       lambda qq, bl, r, tb=tb:
+                       stage1_sweep_pallas(qq, r, bl, tile_b=tb),
+                       q, blk, (rows_bf,))
+                timeit(f"s1_nb{n_blocks}_kernel_int8_tb{tb}",
+                       lambda qq, bl, r, ds, tb=tb:
+                       stage1_sweep_pallas(qq, r, bl, tile_b=tb,
+                                           dscale=ds),
+                       q, blk, (rows_i8, ssc_blocks.reshape(-1)))
+            rows_bf.delete()
+            rows_i8.delete()
 
 
 if __name__ == "__main__":

@@ -223,3 +223,75 @@ def test_ib_loss_gradients_flow():
     g = jax.grad(f)(q)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_stage1_sweep_pallas_interpret_matches_numpy():
+    """Fused gathered stage-1 sweep (scalar-prefetch block DMA,
+    interpreter mode) == the hand-computed per-query gather + max/sum
+    over each query's own selected blocks."""
+    from ravqa_tpu.ops.maxsim import stage1_rows, stage1_sweep_pallas
+    import ml_dtypes
+    rng = np.random.default_rng(11)
+    n, s, bs, dim, b, lq, nbl = 512, 4, 64, 128, 4, 32, 4
+    summ = rng.normal(size=(n, s, dim)).astype(np.float32)
+    summ /= np.linalg.norm(summ, axis=-1, keepdims=True)
+    q = rng.normal(size=(b, lq, dim)).astype(np.float32)
+    blk = np.stack([rng.permutation(n // bs)[:nbl]
+                    for _ in range(b)]).astype(np.int32)
+    rows = stage1_rows(jnp.asarray(summ).astype(jnp.bfloat16), bs)
+
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(stage1_sweep_pallas(
+            jnp.asarray(q), rows, jnp.asarray(blk), tile_b=2))
+    # numpy replay at the kernel's dtypes (bf16 summaries and q)
+    sb = summ.astype(ml_dtypes.bfloat16).astype(np.float32)
+    qb = q.astype(ml_dtypes.bfloat16).astype(np.float32)
+    want = np.zeros((b, nbl * bs), np.float32)
+    for bi in range(b):
+        for t, blki in enumerate(blk[bi]):
+            docs = sb[blki * bs:(blki + 1) * bs]           # (bs, S, d)
+            sc = np.einsum("qd,jsd->jsq", qb[bi], docs)
+            want[bi, t * bs:(t + 1) * bs] = sc.max(1).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-2)
+    np.testing.assert_array_equal(np.argsort(-got, 1)[:, :10],
+                                  np.argsort(-want, 1)[:, :10])
+
+
+def test_stage1_sweep_pallas_int8_matches_xla_stage1():
+    """int8 stage-1 kernel path (int8 summ_rows + post-hoc per-doc
+    dscale) must produce the same scores as the XLA int8 stage-1 branch
+    of hierarchical_search's _stage1_scores (bf16 dot over int8 codes,
+    scale applied after max/sum)."""
+    from ravqa_tpu.ops.maxsim import stage1_rows, stage1_sweep_pallas
+    from ravqa_tpu.ops.quant import quantize_summaries_int8
+    import ml_dtypes
+    rng = np.random.default_rng(12)
+    n, s, bs, dim, b, lq, nbl = 256, 2, 32, 128, 4, 16, 4
+    summ = rng.normal(size=(n, s, dim)).astype(np.float32)
+    summ /= np.linalg.norm(summ, axis=-1, keepdims=True)
+    q = rng.normal(size=(b, lq, dim)).astype(np.float32)
+    blk = np.stack([rng.permutation(n // bs)[:nbl]
+                    for _ in range(b)]).astype(np.int32)
+    si8, ssc = quantize_summaries_int8(jnp.asarray(summ))
+    rows = stage1_rows(si8, bs)
+
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(stage1_sweep_pallas(
+            jnp.asarray(q), rows, jnp.asarray(blk), tile_b=4,
+            dscale=ssc))
+    # XLA int8 stage-1 replay: bf16 dot over the int8 codes, per-doc
+    # scale after the max/sum (coarse._stage1_scores int8 branch)
+    codes = np.asarray(si8, np.float32)
+    qb = q.astype(ml_dtypes.bfloat16).astype(np.float32)
+    scale = np.asarray(ssc, np.float32)
+    want = np.zeros((b, nbl * bs), np.float32)
+    for bi in range(b):
+        for t, blki in enumerate(blk[bi]):
+            sl = slice(blki * bs, (blki + 1) * bs)
+            sc = np.einsum("qd,jsd->jsq", qb[bi], codes[sl])
+            want[bi, t * bs:(t + 1) * bs] = sc.max(1).sum(-1) * scale[sl]
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-2)
+    np.testing.assert_array_equal(np.argsort(-got, 1)[:, :10],
+                                  np.argsort(-want, 1)[:, :10])
