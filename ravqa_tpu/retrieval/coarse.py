@@ -383,7 +383,8 @@ def block_summaries_t(block_summ: jax.Array,
                                              "use_pallas_residual", "nbits",
                                              "group_size", "approx_topk",
                                              "approx_recall",
-                                             "centroid_prune"))
+                                             "centroid_prune",
+                                             "stage1_tile_b"))
 def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
                         mask: jax.Array,
                         summaries: jax.Array, block_summ: jax.Array, *,
@@ -403,7 +404,9 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
                         centroid_prune: int = 0,
                         block_summ_t_scale: Optional[jax.Array] = None,
                         summ_int8: Optional[jax.Array] = None,
-                        summ_scale: Optional[jax.Array] = None):
+                        summ_scale: Optional[jax.Array] = None,
+                        summ_rows: Optional[jax.Array] = None,
+                        stage1_tile_b: int = 8):
     """3-stage search: block summaries -> doc summaries -> exact MaxSim.
 
     Cuts the dominant coarse matmul by ~block_size/n_blocks-fold vs
@@ -431,16 +434,32 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
     term of the hierarchical pruning cost at 1M docs) and applies the
     per-doc scale after the max/sum, which is order-exact. `summaries`
     may be None when summ_int8 is given (it would be unused).
+    summ_rows (+ stage1_tile_b): TPU-only alternative stage 1 — the
+    fused ops.maxsim.stage1_sweep_pallas kernel streams each query's
+    selected blocks HBM->VMEM via scalar-prefetch DMA (stage1_rows
+    layout, bf16 or int8 with summ_scale as dscale) and writes only the
+    scores; summaries/summ_int8 must be None.
     Returns (scores (B, k), rows (B, k)).
     """
-    assert (summ_int8 is None) == (summ_scale is None), \
-        "summ_int8 and summ_scale must be passed together"
-    src = summaries if summ_int8 is None else summ_int8
-    n, s, d = src.shape
-    nb = n // block_size
-    summ_blocks = src.reshape(nb, block_size, s, d)
-    scale_blocks = (None if summ_scale is None
-                    else summ_scale.reshape(nb, block_size))
+    if summ_rows is not None:
+        # kernel stage 1 (ops.maxsim.stage1_sweep_pallas, stage1_rows
+        # layout): summaries/summ_int8 are unused — pass None; for int8
+        # summ_rows, summ_scale carries the per-doc dscale
+        nb, s, bs_, d = summ_rows.shape
+        assert bs_ == block_size, (bs_, block_size)
+        n = nb * block_size
+        assert (summ_rows.dtype == jnp.int8) == (summ_scale is not None), \
+            "int8 summ_rows requires summ_scale (and float forbids it)"
+        summ_blocks = scale_blocks = None
+    else:
+        assert (summ_int8 is None) == (summ_scale is None), \
+            "summ_int8 and summ_scale must be passed together"
+        src = summaries if summ_int8 is None else summ_int8
+        n, s, d = src.shape
+        nb = n // block_size
+        summ_blocks = src.reshape(nb, block_size, s, d)
+        scale_blocks = (None if summ_scale is None
+                        else summ_scale.reshape(nb, block_size))
 
     def _stage1_scores(qc, blk_i):
         """(g, Lqc, dim) f32 queries x (g, n_blocks) block rows ->
@@ -495,6 +514,28 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
     # n_blocks exceeds the valid-block count; clamp so the stage-1
     # gathers stay in range (duplicate losing blocks are harmless)
     blk = jnp.minimum(blk, nb - 1)
+
+    if summ_rows is not None:
+        # fused stage 1: one batched kernel sweep over each query's own
+        # selected blocks (no gathered HBM copy, no dot intermediate),
+        # then the ordinary exact fine stage on the survivors
+        from ..ops.maxsim import stage1_sweep_pallas
+        qc = q if coarse_query_len is None else q[:, :coarse_query_len]
+        approx = stage1_sweep_pallas(qc, summ_rows, blk,
+                                     tile_b=stage1_tile_b,
+                                     dscale=summ_scale)
+        valid = jnp.take(doc_valid_blocks, blk, axis=0) \
+            .reshape(q.shape[0], -1)
+        approx = jnp.where(valid, approx, NEG_INF)
+        _, loc = jax.lax.top_k(approx, n_candidates)
+        cand = jnp.take_along_axis(blk, loc // block_size, axis=1) \
+            * block_size + (loc % block_size)          # (B, n_candidates)
+        return _fine_stage(q, cand, tokens, mask, k=k, scales=scales,
+                           records=records, centroids=centroids,
+                           bucket_weights=bucket_weights, nbits=nbits,
+                           use_pallas_residual=use_pallas_residual,
+                           group_size=group_size,
+                           centroid_prune=centroid_prune)
 
     if records is None:
         # token (bf16/int8) index: stages 1+2 MERGED into one grouped

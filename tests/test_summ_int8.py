@@ -197,3 +197,47 @@ def test_sharded_hierarchical_residual_coarse_int8():
     _, got = s.search(q, k=5)
     assert (got[:, 0] == want[:, 0]).all()
     assert (got[:, 0] == qsrc).all()
+
+
+@pytest.mark.parametrize("int8", [False, True])
+def test_hierarchical_summ_rows_kernel_matches_xla(int8):
+    """hierarchical_search with the fused stage-1 kernel (summ_rows,
+    interpret mode) must rank like the XLA stage-1 paths — both end in
+    the same exact fine stage, so rows must match exactly on a
+    separated corpus."""
+    from jax.experimental.pallas import tpu as pltpu
+    from ravqa_tpu.ops.maxsim import stage1_rows
+    from ravqa_tpu.ops.quant import quantize_index_int8
+    from ravqa_tpu.retrieval.coarse import (block_summaries,
+                                            hierarchical_search,
+                                            summarize_docs)
+    rng = np.random.default_rng(7)
+    toks, mask = make_corpus(rng, n_docs=512, dim=128)
+    summ = summarize_docs(jnp.asarray(toks), jnp.asarray(mask),
+                          n_summary=4, iters=4)
+    perm = np.asarray(cluster_order(summ, n_clusters=8, iters=4,
+                                    chunk=128))
+    toks, mask = toks[perm], mask[perm]
+    summ = jnp.asarray(np.asarray(summ)[perm])
+    bsum = block_summaries(summ, block_size=64, n_block_summary=4)
+    qsrc = rng.integers(512, size=4)
+    q = normed(toks[qsrc, :8] + 0.05 * rng.normal(size=(4, 8, 128))
+               ).astype(np.float32)
+    args = (jnp.asarray(q), jnp.asarray(toks), jnp.asarray(mask))
+    kw = dict(k=5, n_blocks=4, n_candidates=64, block_size=64)
+    _, want = hierarchical_search(*args, summ, bsum, **kw)
+    if int8:
+        si8, ssc = quantize_summaries_int8(summ)
+        rows, dsc = stage1_rows(si8, 64), ssc
+    else:
+        rows, dsc = stage1_rows(summ.astype(jnp.bfloat16), 64), None
+    with pltpu.force_tpu_interpret_mode():
+        _, got = hierarchical_search(*args, None, bsum, summ_rows=rows,
+                                     summ_scale=dsc, stage1_tile_b=2,
+                                     **kw)
+    got, want = np.asarray(got), np.asarray(want)
+    assert (got[:, 0] == want[:, 0]).all()
+    assert (got[:, 0] == qsrc).all()
+    overlap = np.mean([len(set(a) & set(b)) / 5
+                       for a, b in zip(got.tolist(), want.tolist())])
+    assert overlap >= 0.8, overlap
