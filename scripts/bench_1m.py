@@ -231,3 +231,30 @@ for nb_, nc in ((128, 1024), (64, 256), (32, 256)):
                block_size=BLOCK, scales=sc,
                approx_topk=True, block_summ_t=bmt,
                summ_int8=s8, summ_scale=ss), HS1_ARGS)
+
+# ---- fused stage-1 kernel (ops.maxsim.stage1_sweep_pallas): streams
+# each query's selected blocks HBM->VMEM via scalar-prefetch DMA — no
+# gathered copy, no dot intermediate. int8 rows + per-doc dscale.
+from ravqa_tpu.ops.maxsim import stage1_rows
+
+rows_i8 = jax.block_until_ready(
+    jax.jit(lambda s: stage1_rows(s, BLOCK))(si8))
+si8.delete()
+del si8, HS1_ARGS
+_, hrows_k = hierarchical_search(q, index8, mask, None, bsum, k=K,
+                                 n_blocks=128, n_candidates=1024,
+                                 block_size=BLOCK, scales=scales,
+                                 approx_topk=True, block_summ_t=bsum_t,
+                                 summ_rows=rows_i8, summ_scale=ssc)
+htop1_k = float(np.mean(np.asarray(hrows_k)[:, 0] == np.asarray(qidx)))
+print(f"hierarchical self-retrieval top-1 (stage-1 kernel): {htop1_k:.2f}",
+      flush=True)
+HK_ARGS = (index8, mask, bsum, bsum_t, scales, rows_i8, ssc)
+for nb_, nc in ((128, 1024), (64, 256), (32, 256)):
+    timeit(f"hier_1M_int8_B{nb_}_C{nc}_s1kernel",
+           lambda qq, idx, m, bm, bmt, sc, rw, ss, nb_=nb_, nc=nc:
+           hierarchical_search(
+               qq, idx, m, None, bm, k=K, n_blocks=nb_, n_candidates=nc,
+               block_size=BLOCK, scales=sc,
+               approx_topk=True, block_summ_t=bmt,
+               summ_rows=rw, summ_scale=ss), HK_ARGS)

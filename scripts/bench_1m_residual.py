@@ -357,3 +357,38 @@ for nb_, nc, cp in ((128, 1024, 0), (128, 1024, 256),
                approx_topk=True, block_summ_t=bmt,
                block_summ_t_scale=ds,
                summ_int8=s8, summ_scale=ss), HF_ARGS)
+
+# ---- fused stage-1 kernel on the residual index (scalar-prefetch
+# block DMA; int8 rows + per-doc dscale; stage 0 int8, fine stage with
+# and without the centroid prune)
+from ravqa_tpu.ops.maxsim import stage1_rows
+
+rows_i8 = jax.block_until_ready(
+    jax.jit(lambda s: stage1_rows(s, BLOCK))(si8))
+si8.delete()
+del si8, HF_ARGS
+_, hrows_k = hierarchical_search(q, None, mask, None, bsum, k=K,
+                                 n_blocks=128, n_candidates=1024,
+                                 block_size=BLOCK, centroid_prune=256,
+                                 use_pallas_residual=False,
+                                 records=records, centroids=centroids,
+                                 bucket_weights=weights, nbits=NBITS,
+                                 approx_topk=True, block_summ_t=bst8,
+                                 block_summ_t_scale=bdsc,
+                                 summ_rows=rows_i8, summ_scale=ssc)
+htop1_k = float(np.mean(np.asarray(hrows_k)[:, 0] == qidx))
+print(f"hierarchical self-retrieval top-1 (stage-1 kernel, cp=256): "
+      f"{htop1_k:.2f}", flush=True)
+HK_ARGS = (mask, bsum, bst8, bdsc, rows_i8, ssc, records, centroids,
+           weights)
+for nb_, nc, cp in ((128, 1024, 0), (128, 1024, 256), (64, 256, 64)):
+    timeit(f"hier_1M_residual_B{nb_}_C{nc}_cp{cp}_s1kernel",
+           lambda qq, m, bm, bmt, ds, rw, ss, recs, cent, bw,
+           nb_=nb_, nc=nc, cp=cp: hierarchical_search(
+               qq, None, m, None, bm, k=K, n_blocks=nb_, n_candidates=nc,
+               block_size=BLOCK, use_pallas_residual=False,
+               records=recs, centroids=cent, centroid_prune=cp,
+               bucket_weights=bw, nbits=NBITS,
+               approx_topk=True, block_summ_t=bmt,
+               block_summ_t_scale=ds,
+               summ_rows=rw, summ_scale=ss), HK_ARGS)
