@@ -235,6 +235,9 @@ for nb_, nc in ((128, 1024), (64, 256), (32, 256)):
 # ---- fused stage-1 kernel (ops.maxsim.stage1_sweep_pallas): streams
 # each query's selected blocks HBM->VMEM via scalar-prefetch DMA — no
 # gathered copy, no dot intermediate. int8 rows + per-doc dscale.
+if os.environ.get("RAVQA_SKIP_S1K"):
+    print("skipping stage-1 kernel section (RAVQA_SKIP_S1K)", flush=True)
+    sys.exit(0)
 from ravqa_tpu.ops.maxsim import stage1_rows
 
 rows_i8 = jax.block_until_ready(

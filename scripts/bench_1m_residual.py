@@ -361,6 +361,9 @@ for nb_, nc, cp in ((128, 1024, 0), (128, 1024, 256),
 # ---- fused stage-1 kernel on the residual index (scalar-prefetch
 # block DMA; int8 rows + per-doc dscale; stage 0 int8, fine stage with
 # and without the centroid prune)
+if os.environ.get("RAVQA_SKIP_S1K"):
+    print("skipping stage-1 kernel section (RAVQA_SKIP_S1K)", flush=True)
+    sys.exit(0)
 from ravqa_tpu.ops.maxsim import stage1_rows
 
 rows_i8 = jax.block_until_ready(

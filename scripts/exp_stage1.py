@@ -137,7 +137,8 @@ def main():
                stage1_fn(n_blocks, "noop"), q, blk, (si8_blocks,))
         # fused scalar-prefetch kernel (ops.maxsim.stage1_sweep_pallas):
         # streams the selected blocks HBM->VMEM, writes only the scores
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" \
+                and not os.environ.get("RAVQA_SKIP_S1K"):
             from ravqa_tpu.ops.maxsim import stage1_rows, \
                 stage1_sweep_pallas
             rows_bf = jax.block_until_ready(jax.jit(
