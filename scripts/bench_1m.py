@@ -13,6 +13,7 @@ Run: python scripts/bench_1m.py
 """
 
 import functools
+import os
 import sys
 import time
 
