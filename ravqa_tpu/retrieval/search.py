@@ -301,7 +301,8 @@ class LateInteractionSearcher:
                  approx_topk: Optional[bool] = None,
                  approx_recall: float = 0.95,
                  centroid_prune: Optional[int] = None,
-                 coarse_int8: bool = False):
+                 coarse_int8: bool = False,
+                 stage1_kernel: bool = False):
         """mode: "exact" (exhaustive MaxSim), "two_stage" (coarse over
         index.summaries -> exact re-score of top n_candidates; requires
         index.build_summaries()), or "hierarchical" (block summaries ->
@@ -426,8 +427,40 @@ class LateInteractionSearcher:
                 ss = jax.device_put(ss, NamedSharding(mesh, P(axis)))
             self._summ_i8 = si8
             self._summ_i8_scale = ss
+        # opt-in fused stage-1 kernel (ops.maxsim.stage1_sweep_pallas):
+        # streams each query's selected blocks HBM->VMEM via
+        # scalar-prefetch DMA instead of the XLA gather+einsum.
+        # Single-device hierarchical only (the sharded legs keep the XLA
+        # stage 1 until on-chip numbers justify the extra plumbing).
+        # Composes with coarse_int8: the rows are then the int8 copy and
+        # its per-doc scales ride as the kernel's dscale.
+        self._summ_rows = None
+        self._summ_rows_scale = None
+        if stage1_kernel:
+            if mode != "hierarchical" or mesh is not None \
+                    or index.summaries is None:
+                import warnings
+                warnings.warn(
+                    "stage1_kernel=True had no effect (single-device "
+                    "hierarchical mode with summaries built only)",
+                    stacklevel=2)
+            else:
+                from ..ops.maxsim import stage1_rows
+                bs = index.block_size
+                if self._summ_i8 is not None:
+                    self._summ_rows = jax.jit(
+                        stage1_rows, static_argnums=1)(self._summ_i8, bs)
+                    self._summ_rows_scale = self._summ_i8_scale
+                    # the rows subsume the doc-major int8 copy
+                    self._summ_i8 = None
+                    self._summ_i8_scale = None
+                else:
+                    self._summ_rows = jax.jit(
+                        stage1_rows, static_argnums=1)(
+                        index.summaries.astype(jnp.bfloat16), bs)
         if coarse_int8 and self._summ_t_scale is None \
-                and self._bsum_t_scale is None and self._summ_i8 is None:
+                and self._bsum_t_scale is None and self._summ_i8 is None \
+                and self._summ_rows_scale is None:
             import warnings
             warnings.warn(
                 "coarse_int8=True had no effect: the int8 paths only "
@@ -553,7 +586,8 @@ class LateInteractionSearcher:
             nb = idx.block_summaries.shape[0]
             return hierarchical_search(
                 q, idx.tokens, idx.mask,
-                idx.summaries if self._summ_i8 is None else None,
+                idx.summaries if (self._summ_i8 is None
+                                  and self._summ_rows is None) else None,
                 idx.block_summaries, k=k,
                 n_blocks=min(self.resolve_blocks(k), nb),
                 n_candidates=min(self.resolve_candidates(k), idx.n_pad),
@@ -571,7 +605,10 @@ class LateInteractionSearcher:
                 centroid_prune=self.resolve_centroid_prune(
                     k, min(self.resolve_candidates(k), idx.n_pad)),
                 summ_int8=self._summ_i8,
-                summ_scale=self._summ_i8_scale)
+                summ_scale=(self._summ_rows_scale
+                            if self._summ_rows is not None
+                            else self._summ_i8_scale),
+                summ_rows=self._summ_rows)
         if self.mode == "two_stage":
             from .coarse import two_stage_search
             return two_stage_search(

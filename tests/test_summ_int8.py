@@ -241,3 +241,42 @@ def test_hierarchical_summ_rows_kernel_matches_xla(int8):
     overlap = np.mean([len(set(a) & set(b)) / 5
                        for a, b in zip(got.tolist(), want.tolist())])
     assert overlap >= 0.8, overlap
+
+
+@pytest.mark.parametrize("int8", [False, True])
+def test_searcher_stage1_kernel(int8):
+    """LateInteractionSearcher(stage1_kernel=True) routes stage 1
+    through the fused kernel (interpret mode); top-1 must match the XLA
+    searcher, with and without coarse_int8."""
+    from jax.experimental.pallas import tpu as pltpu
+    rng = np.random.default_rng(8)
+    toks, mask = make_corpus(rng, n_docs=512, dim=128)
+    qsrc = rng.integers(512, size=4)
+    q = normed(toks[qsrc, :8] + 0.05 * rng.normal(size=(4, 8, 128))
+               ).astype(np.float32)
+
+    def build():
+        idx = build_index_from_embeddings(toks, mask, pad_multiple=64,
+                                          dtype=jnp.float32)
+        idx.build_summaries(n_summary=4, iters=4)
+        idx.build_block_summaries(block_size=64)
+        return idx
+
+    ref = LateInteractionSearcher(build(), mode="hierarchical",
+                                  use_pallas=False, n_candidates=64,
+                                  n_blocks=4)
+    _, want = ref.search(q, k=5)
+    with pltpu.force_tpu_interpret_mode():
+        s = LateInteractionSearcher(build(), mode="hierarchical",
+                                    use_pallas=False, n_candidates=64,
+                                    n_blocks=4, stage1_kernel=True,
+                                    coarse_int8=int8)
+        assert s._summ_rows is not None
+        assert (s._summ_rows.dtype == jnp.int8) == int8
+        assert (s._summ_rows_scale is not None) == int8
+        assert s._summ_i8 is None            # rows subsume the copy
+        _, got = s.search(q, k=5)
+    # contract: the kernel changes nothing vs the XLA searcher (this
+    # corpus is not cluster-ordered, so absolute self-retrieval is not
+    # guaranteed by either searcher)
+    assert (got[:, 0] == want[:, 0]).all()
