@@ -410,7 +410,10 @@ def _stage1_sweep_kernel(blk_ref, q_ref, *refs, s: int, lq: int, tb: int):
     index_maps — the kernel body never reads it); q_ref (1, Lq, dim);
     refs[:-1]: tb views of summ_rows, each (1, S, bs, dim) — the k-th
     spec's index_map DMAs block blk[b, t*tb+k]; refs[-1]: out
-    (1, tb*bs) f32 raw scores.
+    (1, 1, 1, tb*bs) f32 raw scores (4-D so the block's last two dims
+    exactly match the array dims — Mosaic rejects a (1, tb*bs) block
+    over a (B, n_blocks*bs) array because the sublane dim is neither
+    divisible by 8 nor full).
 
     Same compute pattern as _coarse_sweep_kernel: the max over S is S-1
     aligned elementwise maximums of (Lq, tb*bs) matmul outputs (never a
@@ -430,9 +433,10 @@ def _stage1_sweep_kernel(blk_ref, q_ref, *refs, s: int, lq: int, tb: int):
         msi = cols[0] if tb == 1 else jnp.concatenate(cols, axis=1)
         m = msi if m is None else jnp.maximum(m, msi)  # (Lq, tb*bs)
     ones = jnp.ones((1, lq), jnp.float32)
-    out_ref[:] = jax.lax.dot_general(
+    red = jax.lax.dot_general(
         ones, m, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)         # (1, tb*bs)
+    out_ref[:] = red.reshape(out_ref.shape)
 
 
 def stage1_rows(summaries: jax.Array, block_size: int) -> jax.Array:
@@ -506,14 +510,15 @@ def stage1_sweep_pallas(q: jax.Array, summ_rows: jax.Array,
             pl.BlockSpec((1, lq, dim), lambda b_, t, blk_ref: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + summ_specs,
-        out_specs=pl.BlockSpec((1, tb * bs),
-                               lambda b_, t, blk_ref: (b_, t),
+        out_specs=pl.BlockSpec((1, 1, 1, tb * bs),
+                               lambda b_, t, blk_ref: (b_, t, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, n_blocks * bs), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_blocks // tb, 1, tb * bs),
+                                       jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n_blocks * bs * s * lq * dim,
             bytes_accessed=(b * n_blocks * bs * s * dim
@@ -522,6 +527,7 @@ def stage1_sweep_pallas(q: jax.Array, summ_rows: jax.Array,
             transcendentals=0,
         ),
     )(blk.astype(jnp.int32), qc, *([summ_rows] * tb))
+    out = out.reshape(b, n_blocks * bs)
     if dscale is not None:
         scl = jnp.take(dscale.reshape(nb, bs), blk, axis=0)  # (B, nbl, bs)
         out = out * scl.reshape(b, n_blocks * bs)

@@ -1,0 +1,62 @@
+"""Single-shot on-chip smoke of the fused stage-1 kernel (tiny shapes).
+
+Run BEFORE the 1M benches after a TPU-server recovery: if this compile
+wedges the server again, only this small process is lost and the benches
+can run with RAVQA_SKIP_S1K=1.
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from ravqa_tpu.ops.maxsim import stage1_rows, stage1_sweep_pallas
+from ravqa_tpu.ops.quant import quantize_summaries_int8
+
+B, LQ, DIM = 8, 32, 128
+N, S, BS = 8192, 4, 128
+NB = N // BS
+N_BLOCKS = 16
+
+key = jax.random.PRNGKey(0)
+q = jax.random.normal(key, (B, LQ, DIM), jnp.bfloat16)
+summ = jax.random.normal(jax.random.fold_in(key, 1), (N, S, DIM),
+                         jnp.bfloat16)
+rows = stage1_rows(summ, BS)
+blk = jax.random.randint(jax.random.fold_in(key, 2), (B, N_BLOCKS), 0, NB,
+                         jnp.int32)
+
+t0 = time.time()
+out = stage1_sweep_pallas(q, rows, blk)
+out.block_until_ready()
+print(f"bf16 kernel compiled+ran in {time.time() - t0:.1f}s "
+      f"out={out.shape} {out.dtype}", flush=True)
+
+# XLA reference
+gat = jnp.take(rows, blk, axis=0)                     # (B, nb, S, bs, dim)
+ref = jnp.einsum("bqd,bnskd->bnskq", q.astype(jnp.float32),
+                 gat.astype(jnp.float32)).max(2).sum(-1)
+ref = ref.reshape(B, N_BLOCKS * BS)
+scale = float(jnp.max(jnp.abs(ref)))
+err = float(jnp.max(jnp.abs(out - ref))) / scale
+print(f"bf16 max rel err vs XLA: {err:.5f}", flush=True)
+assert err < 5e-3, err
+# top-10 SET overlap (random iid docs near-tie, so positional equality
+# is meaningless; exact semantics are pinned by the interpret tests)
+overlap = [len(set(a) & set(b)) / 10.0
+           for a, b in zip(jnp.argsort(-out, 1)[:, :10].tolist(),
+                           jnp.argsort(-ref, 1)[:, :10].tolist())]
+print(f"bf16 top-10 set overlap per query: {overlap}", flush=True)
+assert min(overlap) >= 0.8, overlap
+
+summ_i8, dscale = quantize_summaries_int8(summ)
+rows_i8 = stage1_rows(summ_i8, BS)
+t0 = time.time()
+out8 = stage1_sweep_pallas(q, rows_i8, blk, dscale=dscale)
+out8.block_until_ready()
+err8 = float(jnp.max(jnp.abs(out8 - ref)))
+print(f"int8 kernel compiled+ran in {time.time() - t0:.1f}s "
+      f"max |err| vs f32 XLA: {err8:.4f}", flush=True)
+print("SMOKE OK", flush=True)
