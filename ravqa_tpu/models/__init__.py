@@ -14,6 +14,10 @@ from .lora import count_lora_params, init_lora, merge_lora
 from .detection import AttrRCNN, DetectorConfig, convert_vinvl_params
 from .captioner import (CaptionerConfig, OscarCaptioner,
                         convert_oscar_captioner_params, greedy_caption)
+from .reranker import (CrossEncoderReranker, RerankerConfig,
+                       RerankerTokenizer,
+                       convert_hf_electra_reranker_params,
+                       convert_hf_seqcls_bert_params)
 
 __all__ = [
     "EncoderConfig", "TransformerEncoder", "quick_gelu",
@@ -32,4 +36,6 @@ __all__ = [
     "AttrRCNN", "DetectorConfig", "convert_vinvl_params",
     "CaptionerConfig", "OscarCaptioner", "convert_oscar_captioner_params",
     "greedy_caption",
+    "CrossEncoderReranker", "RerankerConfig", "RerankerTokenizer",
+    "convert_hf_electra_reranker_params", "convert_hf_seqcls_bert_params",
 ]

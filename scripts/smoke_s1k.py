@@ -56,7 +56,15 @@ rows_i8 = stage1_rows(summ_i8, BS)
 t0 = time.time()
 out8 = stage1_sweep_pallas(q, rows_i8, blk, dscale=dscale)
 out8.block_until_ready()
-err8 = float(jnp.max(jnp.abs(out8 - ref)))
+err8 = float(jnp.max(jnp.abs(out8 - ref))) / scale
 print(f"int8 kernel compiled+ran in {time.time() - t0:.1f}s "
-      f"max |err| vs f32 XLA: {err8:.4f}", flush=True)
+      f"max rel err vs f32 XLA: {err8:.4f}", flush=True)
+# per-doc int8 quantization of the summaries bounds the relative error
+# around 1/127 per term; 32 query-token sums keep it well under 2e-2
+assert err8 < 2e-2, err8
+overlap8 = [len(set(a) & set(b)) / 10.0
+            for a, b in zip(jnp.argsort(-out8, 1)[:, :10].tolist(),
+                            jnp.argsort(-ref, 1)[:, :10].tolist())]
+print(f"int8 top-10 set overlap per query: {overlap8}", flush=True)
+assert min(overlap8) >= 0.8, overlap8
 print("SMOKE OK", flush=True)
