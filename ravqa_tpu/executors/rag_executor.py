@@ -59,8 +59,9 @@ class RagConfig:
     #   (None -> on for TPU backends; see LateInteractionSearcher)
     approx_recall: float = 0.95           # approx_max_k recall_target
     centroid_prune: Optional[int] = None  # residual fine stage: PLAID-style
-    #   centroid-only intermediate cut (None -> searcher auto: C//4 when
-    #   the codebook has >= 4096 centroids, else off; 0 = always off)
+    #   centroid-only intermediate cut (None/0 = off — measured regression
+    #   at the C<=1024 presets, STATUS.md round-4; set explicitly for
+    #   capacity-bound C>=4k candidate sets)
     coarse_query_len: Optional[int] = None  # only the first L query rows
     #   drive the pruning stages (the reference's candidate-generation
     #   truncation, index_storage.py:68-77); the fine stage scores full Q

@@ -467,7 +467,7 @@ def build_server(cfg, data, mesh, log_dir: str):
         approx_topk=sv.get("approx_topk"),        # None -> on for TPU
         approx_recall=sv.get("approx_recall", 0.95),
         coarse_int8=sv.get("coarse_int8", False),
-        centroid_prune=sv.get("centroid_prune"),  # None -> auto (residual)
+        centroid_prune=sv.get("centroid_prune"),  # None = off (measured)
         coarse_query_len=sv.get("coarse_query_len"))
     id2content = {i: c for i, c in enumerate(corpus.contents)}
     # in-graph-vision retrievers take raw pixels per request (a zeroed

@@ -28,8 +28,8 @@ from ..ops.maxsim import maxsim_search_pallas, maxsim_search_xla
 from ..ops.quant import maxsim_search_int8_xla
 from .index import TokenIndex
 
-# resolve_centroid_prune auto-enables the centroid-only fine-stage cut
-# only above this codebook size (see its docstring)
+# codebook size below which an explicit centroid_prune is known to shuffle
+# near-ties (resolve_centroid_prune docstring); kept as guidance for callers
 CENTROID_PRUNE_MIN_CODEBOOK = 4096
 
 
@@ -497,25 +497,29 @@ class LateInteractionSearcher:
 
     def resolve_centroid_prune(self, k: int, n_candidates: int) -> int:
         """Intermediate candidate count for the residual fine stage's
-        centroid-only cut (0 = off). Auto: C//4, floored at 4k (the
-        survivors still re-score exactly, so k is always safe) — but only
-        when the codebook is big enough for centroid scores to rank
-        (CENTROID_PRUNE_MIN_CODEBOOK): with a small codebook, same-cluster
-        docs share identical code sequences and the cut shuffles near-ties
-        (the tight-cluster worst case of tests/test_recall_gate.py).
-        Production-scale indexes (the reference's 2^⌊log2(16√E)⌋ partition
-        rule, collection_indexer.py:85-116) are far above the threshold.
-        Off for non-residual indexes and when it would not actually cut;
-        an explicit `centroid_prune` always wins."""
+        centroid-only cut (0 = off; same staging as the reference's
+        IndexScorer.score_pids approximate-then-exact cut,
+        index_storage.py:141-171).
+
+        Auto (None) is OFF: measured on the real chip at 1M docs the cut
+        REGRESSES throughput 10-19% at every preset shape (C=256/1024,
+        two-stage + hierarchical, 2026-08-18 — see STATUS.md round-4
+        table): the (B, K, Lq) centroid-score table + per-token row
+        gathers cost more than the decompress they avoid at C <= 1024.
+        The knob stays for capacity-bound C >= 4k candidate sets where
+        decompress dominates again.
+
+        An explicit `centroid_prune` always wins (the caller owns the
+        recall trade-off — below CENTROID_PRUNE_MIN_CODEBOOK same-cluster
+        docs share identical code sequences and the cut shuffles
+        near-ties, the tight-cluster worst case of
+        tests/test_recall_gate.py), clamped off only for non-residual
+        indexes and when it would not actually cut."""
         if self.index.nbits == 0:
             return 0
         cp = self.centroid_prune
         if cp is None:
-            cents = self.index.codec_centroids
-            if cents is None or \
-                    cents.shape[0] < CENTROID_PRUNE_MIN_CODEBOOK:
-                return 0
-            cp = max(4 * k, n_candidates // 4)
+            return 0
         cp = min(cp, n_candidates)
         return 0 if cp >= n_candidates else cp
 

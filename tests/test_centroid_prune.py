@@ -77,7 +77,7 @@ def test_centroid_prune_relevance(clustered):
     assert hits / len(q) == 1.0
 
 
-def test_centroid_prune_resolution(clustered, monkeypatch):
+def test_centroid_prune_resolution(clustered):
     toks, mask, q, _, _ = clustered
     # non-residual index: always off, whatever was requested
     idx_full = build_index_from_embeddings(toks, mask, pad_multiple=64,
@@ -87,16 +87,11 @@ def test_centroid_prune_resolution(clustered, monkeypatch):
                                 use_pallas=False, centroid_prune=64)
     assert s.resolve_centroid_prune(10, 256) == 0
     idx = _residual_index(toks, mask, "two_stage")
-    # auto stays OFF below the codebook-size threshold (this fixture's
-    # 64-centroid codebook is exactly the degenerate tight-cluster case)
+    # auto (None) is OFF: on-chip 1M measurements showed the cut regresses
+    # throughput 10-19% at every preset shape (STATUS.md round-4 table)
     s = LateInteractionSearcher(idx, mode="two_stage", use_pallas=False)
     assert s.resolve_centroid_prune(10, 1024) == 0
-    # above the threshold: C//4 floored at 4k, off when it would not cut
-    import ravqa_tpu.retrieval.search as search_mod
-    monkeypatch.setattr(search_mod, "CENTROID_PRUNE_MIN_CODEBOOK", 64)
-    assert s.resolve_centroid_prune(10, 1024) == 256
-    assert s.resolve_centroid_prune(10, 128) == 40        # 4k floor
-    assert s.resolve_centroid_prune(64, 256) == 0         # 4k >= C: off
+    assert s.resolve_centroid_prune(10, 128) == 0
     # explicit values clamp and disable when not cutting
     s = LateInteractionSearcher(idx, mode="two_stage", use_pallas=False,
                                 centroid_prune=512)
