@@ -534,6 +534,28 @@ def stage1_sweep_pallas(q: jax.Array, summ_rows: jax.Array,
     return out
 
 
+def stage1_sweep_xla(q: jax.Array, summ_rows: jax.Array, blk: jax.Array,
+                     dscale: jax.Array | None = None) -> jax.Array:
+    """XLA twin of stage1_sweep_pallas — identical math over the same
+    stage1_rows layout (gather + bf16 dot + max-over-slots +
+    sum-over-query + post-hoc per-doc dscale), for non-TPU backends.
+    Keeps the summ_rows program portable: the sharded search built with
+    use_summ_rows runs everywhere, the fused kernel lowers only where
+    Mosaic does (interpret-mode pallas inside an 8-device CPU shard_map
+    deadlocks in jax 0.9's io_callback — measured, do not revisit)."""
+    b = q.shape[0]
+    nb, s, bs, d = summ_rows.shape
+    cdt = jnp.bfloat16 if summ_rows.dtype != jnp.float32 else jnp.float32
+    sg = jnp.take(summ_rows, blk, axis=0)           # (B, nbl, S, bs, d)
+    s1 = jnp.einsum("gnsbd,gqd->gnbsq", sg.astype(cdt), q.astype(cdt),
+                    preferred_element_type=jnp.float32)
+    out = jnp.sum(jnp.max(s1, axis=3), axis=-1).reshape(b, -1)
+    if dscale is not None:
+        scl = jnp.take(dscale.reshape(nb, bs), blk, axis=0)
+        out = out * scl.reshape(b, -1)
+    return out
+
+
 def maxsim_search(q: jax.Array, index_tokens: jax.Array,
                   index_mask: jax.Array,
                   q_mask: jax.Array | None = None,

@@ -518,12 +518,18 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
     if summ_rows is not None:
         # fused stage 1: one batched kernel sweep over each query's own
         # selected blocks (no gathered HBM copy, no dot intermediate),
-        # then the ordinary exact fine stage on the survivors
-        from ..ops.maxsim import stage1_sweep_pallas
+        # then the ordinary exact fine stage on the survivors. Non-TPU
+        # backends run the XLA twin of the kernel (same math/layout) so
+        # the summ_rows program stays portable/testable everywhere.
+        from ..ops.maxsim import stage1_sweep_pallas, stage1_sweep_xla
         qc = q if coarse_query_len is None else q[:, :coarse_query_len]
-        approx = stage1_sweep_pallas(qc, summ_rows, blk,
-                                     tile_b=stage1_tile_b,
-                                     dscale=summ_scale)
+        if jax.default_backend() == "tpu":
+            approx = stage1_sweep_pallas(qc, summ_rows, blk,
+                                         tile_b=stage1_tile_b,
+                                         dscale=summ_scale)
+        else:
+            approx = stage1_sweep_xla(qc, summ_rows, blk,
+                                      dscale=summ_scale)
         valid = jnp.take(doc_valid_blocks, blk, axis=0) \
             .reshape(q.shape[0], -1)
         approx = jnp.where(valid, approx, NEG_INF)

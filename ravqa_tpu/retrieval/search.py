@@ -92,7 +92,9 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                         approx_topk: bool = False,
                         approx_recall: float = 0.95,
                         centroid_prune: int = 0,
-                        use_summ_i8: bool = False):
+                        use_summ_i8: bool = False,
+                        use_summ_rows: bool = False,
+                        stage1_tile_b: int = 8):
     """Build a jitted collective search fn over `mesh`.
 
     Returned fn(q, tokens, mask[, summaries[, block_summaries]][, scales])
@@ -120,6 +122,18 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
         if n_blocks is None:
             n_blocks = max(n_candidates // 2, nshards)
         b_local = min(max(n_blocks // nshards, 1), nb_local)
+        if use_summ_rows:
+            # the fused stage-1 kernel's output block is (tb*bs,) lanes:
+            # the per-shard block count must be a multiple of
+            # 128/gcd(bs, 128) (ops.maxsim.stage1_sweep_pallas). Indexes
+            # too small to align fall through unaligned — the XLA twin
+            # (non-TPU backends) has no constraint, and on TPU the
+            # kernel's own trace-time assert reports the shape.
+            import math
+            req = 128 // math.gcd(block_size, 128)
+            if nb_local >= req:
+                b_local = min(-(-b_local // req) * req,
+                              (nb_local // req) * req)
         c_local = min(c_local, b_local * block_size)
 
     def _merge(q, s, i):
@@ -172,9 +186,14 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
     def _local_hier(q, tok, msk, summ, bsum, scl=None, summ_scale=None):
         # use_summ_i8: the `summ` slot carries the int8 doc-major copy
         # (quantize_summaries_int8) and `summ_scale` its per-doc scales —
-        # stage 1's gather then moves half the HBM bytes (coarse.py)
+        # stage 1's gather then moves half the HBM bytes (coarse.py).
+        # use_summ_rows: the slot carries stage1_rows layout instead and
+        # stage 1 runs the fused scalar-prefetch kernel per shard
+        # (ops.maxsim.stage1_sweep_pallas; on-chip 1M: 6030 vs 4962 QPS
+        # at B128/C1024 — STATUS.md round-4 table).
         s, i = hierarchical_search(q, tok, msk,
-                                   None if use_summ_i8 else summ,
+                                   None if (use_summ_i8 or use_summ_rows)
+                                   else summ,
                                    bsum, k=k_local,
                                    n_blocks=b_local, n_candidates=c_local,
                                    block_size=block_size, scales=scl,
@@ -182,8 +201,13 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                    group_size=group_size,
                                    approx_topk=approx_topk,
                                    approx_recall=approx_recall,
-                                   summ_int8=summ if use_summ_i8 else None,
-                                   summ_scale=summ_scale)
+                                   summ_int8=summ if (use_summ_i8 and
+                                                      not use_summ_rows)
+                                   else None,
+                                   summ_scale=summ_scale,
+                                   summ_rows=summ if use_summ_rows
+                                   else None,
+                                   stage1_tile_b=stage1_tile_b)
         return _merge(q, s, i)
 
     # residual-codec variants: per-doc arrays (packed records) shard over
@@ -207,7 +231,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
     def _local_hier_res(q, msk, summ, bsum, recs, cent, bw,
                         summ_scale=None):
         s, i = hierarchical_search(q, None, msk,
-                                   None if use_summ_i8 else summ,
+                                   None if (use_summ_i8 or use_summ_rows)
+                                   else summ,
                                    bsum, k=k_local,
                                    n_blocks=b_local, n_candidates=c_local,
                                    block_size=block_size,
@@ -218,8 +243,13 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                    approx_topk=approx_topk,
                                    approx_recall=approx_recall,
                                    centroid_prune=cp_local,
-                                   summ_int8=summ if use_summ_i8 else None,
-                                   summ_scale=summ_scale)
+                                   summ_int8=summ if (use_summ_i8 and
+                                                      not use_summ_rows)
+                                   else None,
+                                   summ_scale=summ_scale,
+                                   summ_rows=summ if use_summ_rows
+                                   else None,
+                                   stage1_tile_b=stage1_tile_b)
         return _merge(q, s, i)
 
     def _hier_jit(fn0, specs):
@@ -429,35 +459,41 @@ class LateInteractionSearcher:
             self._summ_i8_scale = ss
         # opt-in fused stage-1 kernel (ops.maxsim.stage1_sweep_pallas):
         # streams each query's selected blocks HBM->VMEM via
-        # scalar-prefetch DMA instead of the XLA gather+einsum.
-        # Single-device hierarchical only (the sharded legs keep the XLA
-        # stage 1 until on-chip numbers justify the extra plumbing).
-        # Composes with coarse_int8: the rows are then the int8 copy and
-        # its per-doc scales ride as the kernel's dscale.
+        # scalar-prefetch DMA instead of the XLA gather+einsum. Measured
+        # on-chip at 1M docs: int8 hierarchical 4962 -> 6030 QPS at
+        # B128/C1024, 13334 -> 16160 at B32/C256 (STATUS.md round-4).
+        # Works single-device and sharded (each shard's rows are its own
+        # contiguous blocks, so the global stage1_rows layout sharded on
+        # dim 0 IS the per-shard layout). Composes with coarse_int8: the
+        # rows are then the int8 copy and its per-doc scales ride as the
+        # kernel's dscale.
         self._summ_rows = None
         self._summ_rows_scale = None
         if stage1_kernel:
-            if mode != "hierarchical" or mesh is not None \
-                    or index.summaries is None:
+            if mode != "hierarchical" or index.summaries is None:
                 import warnings
                 warnings.warn(
-                    "stage1_kernel=True had no effect (single-device "
-                    "hierarchical mode with summaries built only)",
+                    "stage1_kernel=True had no effect (hierarchical "
+                    "mode with summaries built only)",
                     stacklevel=2)
             else:
                 from ..ops.maxsim import stage1_rows
                 bs = index.block_size
+                if mesh is not None:
+                    assert (index.n_pad // mesh_axis_size(mesh, axis)) \
+                        % bs == 0, "shard boundary must align to blocks"
+                src = self._summ_i8 if self._summ_i8 is not None \
+                    else index.summaries.astype(jnp.bfloat16)
+                rows_fn = jax.jit(stage1_rows, static_argnums=1,
+                                  **({} if mesh is None else
+                                     {"out_shardings": NamedSharding(
+                                         mesh, P(axis))}))
+                self._summ_rows = rows_fn(src, bs)
                 if self._summ_i8 is not None:
-                    self._summ_rows = jax.jit(
-                        stage1_rows, static_argnums=1)(self._summ_i8, bs)
                     self._summ_rows_scale = self._summ_i8_scale
                     # the rows subsume the doc-major int8 copy
                     self._summ_i8 = None
                     self._summ_i8_scale = None
-                else:
-                    self._summ_rows = jax.jit(
-                        stage1_rows, static_argnums=1)(
-                        index.summaries.astype(jnp.bfloat16), bs)
         if coarse_int8 and self._summ_t_scale is None \
                 and self._bsum_t_scale is None and self._summ_i8 is None \
                 and self._summ_rows_scale is None:
@@ -546,7 +582,9 @@ class LateInteractionSearcher:
                 approx_recall=self.approx_recall,
                 centroid_prune=self.resolve_centroid_prune(
                     k, self.resolve_candidates(k)),
-                use_summ_i8=self._summ_i8 is not None)
+                use_summ_i8=(self._summ_i8 is not None
+                             or self._summ_rows_scale is not None),
+                use_summ_rows=self._summ_rows is not None)
         return self._sharded_fns[k]
 
     def search_device(self, q: jax.Array, k: int):
@@ -555,9 +593,14 @@ class LateInteractionSearcher:
         if self.mesh is not None:
             fn = self._search_fn(k)
             # hierarchical + coarse_int8: the summaries slot carries the
-            # int8 doc-major copy, with its per-doc scales appended last
-            summ = idx.summaries if self._summ_i8 is None else \
-                self._summ_i8
+            # int8 doc-major copy (or its stage1_rows layout when the
+            # fused stage-1 kernel is on), with any per-doc scales
+            # appended last
+            summ = self._summ_rows if self._summ_rows is not None else \
+                (idx.summaries if self._summ_i8 is None else
+                 self._summ_i8)
+            tail_scale = self._summ_rows_scale \
+                if self._summ_rows is not None else self._summ_i8_scale
             if idx.tokens is None:                  # residual codec
                 args = (q, idx.mask, summ)
                 if self.mode == "hierarchical":
@@ -568,8 +611,8 @@ class LateInteractionSearcher:
                     args += (self._summ_t,)
                     if self._summ_t_scale is not None:
                         args += (self._summ_t_scale,)
-                if self._summ_i8 is not None:
-                    args += (self._summ_i8_scale,)
+                if tail_scale is not None:
+                    args += (tail_scale,)
                 return fn(*args)
             args = (q, idx.tokens, idx.mask)
             if self.mode in ("two_stage", "hierarchical"):
@@ -582,8 +625,8 @@ class LateInteractionSearcher:
                 args += (self._summ_t,)
                 if self._summ_t_scale is not None:
                     args += (self._summ_t_scale,)
-            if self._summ_i8 is not None:
-                args += (self._summ_i8_scale,)
+            if tail_scale is not None:
+                args += (tail_scale,)
             return fn(*args)
         if self.mode == "hierarchical":
             from .coarse import hierarchical_search

@@ -295,3 +295,33 @@ def test_stage1_sweep_pallas_int8_matches_xla_stage1():
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-2)
     np.testing.assert_array_equal(np.argsort(-got, 1)[:, :10],
                                   np.argsort(-want, 1)[:, :10])
+
+
+@pytest.mark.parametrize("int8", [False, True])
+def test_stage1_sweep_xla_twin_matches_kernel(int8):
+    """stage1_sweep_xla (the non-TPU twin) == stage1_sweep_pallas
+    (interpret mode) on the same rows/blk/dscale — pins the twin to the
+    kernel so sharded CPU tests of the summ_rows program certify the
+    TPU program's math."""
+    from jax.experimental.pallas import tpu as pltpu
+    from ravqa_tpu.ops.maxsim import (stage1_rows, stage1_sweep_pallas,
+                                      stage1_sweep_xla)
+    rng = np.random.default_rng(11)
+    n, s_, bs, d = 256, 4, 16, 64
+    summ = rng.normal(size=(n, s_, d)).astype(np.float32)
+    if int8:
+        from ravqa_tpu.ops.quant import quantize_summaries_int8
+        si8, dscale = quantize_summaries_int8(jnp.asarray(summ))
+        rows = stage1_rows(si8, bs)
+    else:
+        rows, dscale = stage1_rows(jnp.asarray(summ, jnp.bfloat16),
+                                   bs), None
+    q = jnp.asarray(rng.normal(size=(4, 8, d)), jnp.float32)
+    blk = jnp.asarray(rng.integers(0, n // bs, size=(4, 8)), jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        want = np.asarray(stage1_sweep_pallas(q, rows, blk, tile_b=8,
+                                              dscale=dscale))
+    got = np.asarray(stage1_sweep_xla(q, rows, blk, dscale=dscale))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-3)
+    # ranking-grade agreement: per-query argmax identical
+    assert (got.argmax(1) == want.argmax(1)).all()

@@ -280,3 +280,82 @@ def test_searcher_stage1_kernel(int8):
     # corpus is not cluster-ordered, so absolute self-retrieval is not
     # guaranteed by either searcher)
     assert (got[:, 0] == want[:, 0]).all()
+
+
+@pytest.mark.parametrize("coarse_int8", [False, True])
+def test_sharded_hierarchical_stage1_kernel(coarse_int8):
+    """8-device sharded hierarchical + stage1_kernel: each shard sweeps
+    its own stage1_rows slice (bf16 rows, or int8 rows + per-doc dscale
+    when coarse_int8); on CPU the XLA twin of the kernel runs (same
+    math/layout — stage1_sweep_xla); ranking must match the sharded
+    XLA-stage-1 searcher."""
+    from ravqa_tpu.parallel import make_mesh
+    rng = np.random.default_rng(5)
+    toks, mask = make_corpus(rng, n_docs=2048, ld=8, dim=64, n_topics=32)
+    summ0 = summarize_docs(jnp.asarray(toks), jnp.asarray(mask),
+                           n_summary=4, iters=4)
+    perm = np.asarray(cluster_order(summ0, n_clusters=16, iters=4,
+                                    chunk=256))
+    toks, mask = toks[perm], mask[perm]
+    qsrc = rng.integers(2048, size=4)
+    q = normed(toks[qsrc, :8] + 0.05 * rng.normal(size=(4, 8, 64))
+               ).astype(np.float32)
+    mesh = make_mesh({"index": 8})
+
+    def build():
+        idx = build_index_from_embeddings(toks, mask, pad_multiple=128,
+                                          dtype=jnp.float32, mesh=mesh)
+        idx.build_summaries(n_summary=4, iters=4, mesh=mesh)
+        idx.build_block_summaries(block_size=16, n_block_summary=4,
+                                  mesh=mesh)
+        return idx
+
+    ref = LateInteractionSearcher(build(), mesh=mesh, mode="hierarchical",
+                                  n_candidates=128, n_blocks=64,
+                                  use_pallas=False,
+                                  coarse_int8=coarse_int8)
+    _, want = ref.search(q, k=5)
+    s = LateInteractionSearcher(build(), mesh=mesh, mode="hierarchical",
+                                n_candidates=128, n_blocks=64,
+                                use_pallas=False, coarse_int8=coarse_int8,
+                                stage1_kernel=True)
+    assert s._summ_rows is not None
+    assert (s._summ_rows.dtype == jnp.int8) == coarse_int8
+    assert (s._summ_rows_scale is not None) == coarse_int8
+    _, got = s.search(q, k=5)
+    assert (got[:, 0] == want[:, 0]).all()
+    assert (got[:, 0] == qsrc).all()
+
+
+def test_sharded_hierarchical_residual_stage1_kernel():
+    """8-device sharded residual hierarchical + stage1_kernel + coarse_int8:
+    the rows ride the summaries slot of the residual leg; top-1 must
+    match the XLA-stage-1 sharded searcher."""
+    from ravqa_tpu.parallel import make_mesh
+    rng = np.random.default_rng(6)
+    toks, mask = make_corpus(rng, n_docs=2048, ld=8, dim=64, n_topics=32)
+    qsrc = rng.integers(2048, size=4)
+    q = normed(toks[qsrc, :8] + 0.05 * rng.normal(size=(4, 8, 64))
+               ).astype(np.float32)
+    mesh = make_mesh({"index": 8})
+
+    def build():
+        idx = build_index_from_embeddings(toks, mask, pad_multiple=128,
+                                          dtype=jnp.float32, mesh=mesh)
+        idx.build_summaries(n_summary=2, mesh=mesh)
+        idx.build_block_summaries(block_size=16, mesh=mesh)
+        idx.quantize_residual(n_centroids=64, nbits=4, mesh=mesh)
+        return idx
+
+    ref = LateInteractionSearcher(build(), mesh=mesh, mode="hierarchical",
+                                  use_pallas=False, n_candidates=128,
+                                  n_blocks=64, coarse_int8=True)
+    _, want = ref.search(q, k=5)
+    s = LateInteractionSearcher(build(), mesh=mesh, mode="hierarchical",
+                                use_pallas=False, n_candidates=128,
+                                n_blocks=64, coarse_int8=True,
+                                stage1_kernel=True)
+    assert s._summ_rows is not None and s._summ_rows.dtype == jnp.int8
+    _, got = s.search(q, k=5)
+    assert (got[:, 0] == want[:, 0]).all()
+    assert (got[:, 0] == qsrc).all()
