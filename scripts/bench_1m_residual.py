@@ -43,8 +43,8 @@ B, LQ, K = 32, 32, 10
 N_TOPICS = 8192
 SLAB = 62_528
 assert N % SLAB == 0
-NBITS = 2
-N_CENT = 8192
+NBITS = int(os.environ.get("BENCH_NBITS", 2))
+N_CENT = int(os.environ.get("BENCH_NCENT", 8192))
 dt = jnp.bfloat16
 
 
