@@ -97,14 +97,21 @@ def main():
             return maxsim_search_pallas(qq, idx, m, tile_d=64)
         return maxsim_search_xla(qq, idx, m)
 
+    # stage-1 rides the fused scalar-prefetch kernel (stage1_rows layout;
+    # the XLA twin runs off-TPU) — measured +10-38% over the XLA stage-1
+    # across the 112k/1M presets (STATUS.md round-4)
+    from ravqa_tpu.ops.maxsim import stage1_rows
+    summ_rows = jax.block_until_ready(
+        jax.jit(stage1_rows, static_argnums=1)(summ, block))
+
     # recall of hierarchical (the headline mode) vs exact
     exact_scores = np.asarray(exact_fn(q, index, mask))
     exact_top = np.argsort(-exact_scores, 1)[:, :k]
-    _, rows = hierarchical_search(q, index, mask, summ, bsum, k=k,
+    _, rows = hierarchical_search(q, index, mask, None, bsum, k=k,
                                   n_blocks=n_blocks,
                                   n_candidates=n_candidates,
                                   block_size=block, approx_topk=approx,
-                                  block_summ_t=bsum_t)
+                                  block_summ_t=bsum_t, summ_rows=summ_rows)
     rows = np.asarray(rows)
     recall = float(np.mean([len(set(rows[i]) & set(exact_top[i])) / k
                             for i in range(b)]))
@@ -131,12 +138,18 @@ def main():
             use_pallas_coarse=on_tpu, summaries_t=smt,
             approx_topk=approx)[0],
         (index, mask, summ, summ_t))
-    dt_hier = timeit(
+    dt_hier_xla = timeit(
         lambda qq, idx, m, sm, bm, bmt: hierarchical_search(
             qq, idx, m, sm, bm, k=k, n_blocks=n_blocks,
             n_candidates=n_candidates, block_size=block,
             approx_topk=approx, block_summ_t=bmt)[0],
         (index, mask, summ, bsum, bsum_t))
+    dt_hier = timeit(
+        lambda qq, idx, m, bm, bmt, rw: hierarchical_search(
+            qq, idx, m, None, bm, k=k, n_blocks=n_blocks,
+            n_candidates=n_candidates, block_size=block,
+            approx_topk=approx, block_summ_t=bmt, summ_rows=rw)[0],
+        (index, mask, bsum, bsum_t, summ_rows))
 
     qps_exact = b * iters / dt_exact
     qps_two = b * iters / dt_two
@@ -153,6 +166,8 @@ def main():
             "top1_agreement_vs_exact": round(top1, 4),
             "exact_qps": round(qps_exact, 1),
             "two_stage_qps": round(qps_two, 1),
+            "hierarchical_xla_stage1_qps": round(b * iters / dt_hier_xla,
+                                                 1),
             "exact_ms_per_batch32": round(dt_exact / iters * 1e3, 2),
             "hierarchical_ms_per_batch32": round(dt_hier / iters * 1e3, 2),
             "index_gib": round(n * ld * dim
