@@ -37,10 +37,19 @@ import numpy as np
 
 @dataclasses.dataclass
 class ResidualCodec:
-    centroids: jax.Array       # (K, dim) f32, L2-normalized
+    centroids: jax.Array       # (K, dim) f32 (L2-normalized for the flat
+    #                            codec; the additive coarse[h]+fine[l] table,
+    #                            not unit-norm, for the factored one)
     bucket_cutoffs: jax.Array  # (2^nbits - 1,) f32
     bucket_weights: jax.Array  # (2^nbits,) f32
     nbits: int = 2
+    # factored additive codebook (train_codec_factored): centroid of code
+    # h*k_fine+l is coarse[h] + fine[l]. `centroids` then holds the
+    # materialized flat table so compress/decompress/XLA scoring are
+    # format-identical to the flat codec; only the fused TPU kernel reads
+    # the factors (its in-VMEM centroid matmul drops from K to k1+k2 rows).
+    coarse: Optional[jax.Array] = None     # (k_coarse, dim) f32
+    fine: Optional[jax.Array] = None       # (k_fine, dim) f32
 
     @property
     def dim(self) -> int:
@@ -49,6 +58,10 @@ class ResidualCodec:
     @property
     def packed_dim(self) -> int:
         return self.dim * self.nbits // 8
+
+    @property
+    def factored(self) -> bool:
+        return self.coarse is not None
 
 
 def train_codec(tokens: np.ndarray, mask: np.ndarray, n_centroids: int = 256,
@@ -103,16 +116,153 @@ def _assign(x: jax.Array, centroids: jax.Array) -> jax.Array:
     return jnp.argmax(x @ centroids.T, axis=-1)
 
 
-def compress_flat(flat, centroids, cutoffs, weights, nbits: int):
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _kmeans_l2(x: jax.Array, k: int, iters: int) -> jax.Array:
+    """Plain (non-spherical) k-means — for residual distributions, which
+    are not unit-norm. Assignment is argmin ||x - c||^2, i.e.
+    argmax(x @ c^T - ||c||^2/2)."""
+    stride = max(x.shape[0] // k, 1)
+    cent = x[::stride][:k]
+
+    def step(c, _):
+        a = jnp.argmax(x @ c.T - 0.5 * jnp.sum(c * c, -1), axis=-1)
+        tot = jnp.zeros_like(c).at[a].add(x)
+        cnt = jnp.zeros((c.shape[0],), jnp.float32).at[a].add(1.0)
+        new = jnp.where(cnt[:, None] > 0,
+                        tot / jnp.maximum(cnt[:, None], 1.0), c)
+        return new, ()
+    cent, _ = jax.lax.scan(step, cent, None, length=iters)
+    return cent
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _refine_factored(x: jax.Array, coarse: jax.Array, fine: jax.Array,
+                     iters: int):
+    """Alternating refinement of the additive codebook under the GREEDY
+    (residual-VQ) assignment compress uses (assign_factored): assign,
+    then coordinate-descent mean updates of coarse and fine. Training
+    under the same assignment rule that compression applies is what makes
+    greedy near-optimal at convergence."""
+    k1 = coarse.shape[0]
+    k2 = fine.shape[0]
+
+    def step(carry, _):
+        c, f = carry
+        a = assign_factored(x, c, f)
+        hi, lo = a // k2, a % k2
+        tc = jnp.zeros_like(c).at[hi].add(x - f[lo])
+        cc = jnp.zeros((k1,), jnp.float32).at[hi].add(1.0)
+        c2 = jnp.where(cc[:, None] > 0,
+                       tc / jnp.maximum(cc[:, None], 1.0), c)
+        tf = jnp.zeros_like(f).at[lo].add(x - c2[hi])
+        cf = jnp.zeros((k2,), jnp.float32).at[lo].add(1.0)
+        f2 = jnp.where(cf[:, None] > 0,
+                       tf / jnp.maximum(cf[:, None], 1.0), f)
+        return (c2, f2), ()
+
+    (coarse, fine), _ = jax.lax.scan(step, (coarse, fine), None,
+                                     length=iters)
+    return coarse, fine
+
+
+def train_codec_factored(tokens: np.ndarray, mask: np.ndarray,
+                         k_coarse: int = 64, k_fine: int = 128,
+                         nbits: int = 2, iters: int = 8,
+                         refine_iters: int = 4, sample: int = 2 ** 16,
+                         heldout: int = 2 ** 14,
+                         seed: int = 0) -> ResidualCodec:
+    """Train a FACTORED additive codebook: effective K = k_coarse * k_fine
+    centroids, where centroid[h*k_fine + l] = coarse[h] + fine[l].
+
+    Same index format as the flat codec (the flat table is materialized
+    into `centroids`, codes are single ints) at the same compression ratio
+    — but the fused decompress+MaxSim TPU kernel
+    (maxsim_residual_pallas) can then compute its in-VMEM centroid-score
+    term as one "two-hot" matmul against a (k1+k2, Lq) table instead of a
+    one-hot against (K, Lq): the FLOPs drop K/(k1+k2)-fold (42x at
+    64x128), which un-gates the kernel at the large codebooks (K=8192)
+    that 1M-doc indexes need. The reference has no analogue — its
+    decompress runs on CPU/CUDA gather hardware
+    (decompress_residuals.cpp/.cu) where codebook size is free; on TPU
+    the factorization is what maps the gather onto the MXU.
+
+    Assignment is GREEDY residual-VQ (assign_factored: nearest coarse,
+    then nearest fine of the residual — k1+k2 dots per token, so both
+    training and compression get k1*k2/(k1+k2)-fold cheaper than a flat
+    codebook of the same effective size; a 256x256 factored codebook
+    compresses 16x FASTER than flat-8192 while offering 8x the effective
+    centroids). Training: spherical k-means coarse, l2 k-means fine on
+    the residuals, then `refine_iters` rounds of greedy assignment +
+    alternating mean updates — refined under the same rule compression
+    applies. Constrained-codebook quantization error lands between
+    flat-K and flat-(k1+k2); the nbits bucket layer absorbs the
+    difference (cutoffs/weights are fit to the ACTUAL post-codebook
+    residual distribution either way).
+    k_fine must be a power of two (codes split as hi*k_fine + lo with
+    shift/mask inside the kernel).
+    """
+    assert k_fine & (k_fine - 1) == 0, "k_fine must be a power of two"
+    valid = np.asarray(mask).reshape(-1) > 0
+    flat = np.asarray(tokens, np.float32).reshape(-1, tokens.shape[-1])[valid]
+    rng = np.random.default_rng(seed)
+    take = min(sample + heldout, len(flat))
+    heldout = max(1, min(heldout, take // 2))
+    pick = rng.choice(len(flat), take, replace=False)
+    train = jnp.asarray(flat[pick[:take - heldout]])
+    held = jnp.asarray(flat[pick[take - heldout:]])
+
+    coarse = _kmeans(train, k_coarse, iters)       # unit-norm init
+    resid0 = train - coarse[_assign(train, coarse)]
+    fine = _kmeans_l2(resid0, k_fine, iters)
+    coarse, fine = _refine_factored(train, coarse, fine, refine_iters)
+
+    table = jnp.reshape(coarse[:, None, :] + fine[None, :, :],
+                        (k_coarse * k_fine, coarse.shape[1]))
+    codes = assign_factored(held, coarse, fine)
+    resid = np.asarray(held - table[codes]).reshape(-1)
+    nb = 2 ** nbits
+    cutoffs = np.quantile(resid, np.arange(1, nb) / nb).astype(np.float32)
+    weights = np.quantile(resid, (np.arange(nb) + 0.5) / nb) \
+        .astype(np.float32)
+    return ResidualCodec(centroids=table,
+                         bucket_cutoffs=jnp.asarray(cutoffs),
+                         bucket_weights=jnp.asarray(weights), nbits=nbits,
+                         coarse=coarse, fine=fine)
+
+
+def assign_factored(flat, coarse, fine) -> jax.Array:
+    """Greedy (residual-VQ) assignment to the factored additive codebook:
+    nearest coarse centroid first, then nearest fine centroid of the
+    remaining residual — k1+k2 dot products per token instead of the
+    k1*k2 a flat table costs (16x cheaper at 256x256, which is what lets
+    factored codebooks scale past flat k-means sizes). Both argmins use
+    the l2 rule (argmax x@c^T - ||c||^2/2): the factors are NOT
+    unit-norm."""
+    hi = jnp.argmax(flat @ coarse.T - 0.5 * jnp.sum(coarse * coarse, -1),
+                    axis=-1)
+    r = flat - coarse[hi]
+    lo = jnp.argmax(r @ fine.T - 0.5 * jnp.sum(fine * fine, -1), axis=-1)
+    return hi * fine.shape[0] + lo
+
+
+def compress_flat(flat, centroids, cutoffs, weights, nbits: int,
+                  codes=None):
     """Codec core on flat (T, dim) f32 tokens -> (codes (T,) int32,
     packed (T, dim*nbits/8) uint8 planar bytes, scales (T,) f32).
 
     The single source of truth for the bit-pack layout + scale math —
     _compress_block (masked/batched driver) and the in-graph index builder
     in scripts/bench_1m_residual.py both call it; keep them bit-identical.
+
+    codes: optional precomputed (T,) centroid assignment (the factored
+    codec passes assign_factored's greedy codes — the flat argmax over
+    its k1*k2 table would cost k1*k2/(k1+k2) times more). Default is the
+    flat codec's dot-argmax (== nearest-neighbor for its unit centroids,
+    matching the reference's cosine assignment).
     """
     dim = flat.shape[-1]
-    codes = jnp.argmax(flat @ centroids.T, axis=-1)          # (T,)
+    if codes is None:
+        codes = jnp.argmax(flat @ centroids.T, axis=-1)      # (T,)
     resid = flat - centroids[codes]
     bucket = jnp.searchsorted(cutoffs, resid)                # 0..2^nbits-1
     rec = centroids[codes] + weights[bucket]
@@ -130,8 +280,8 @@ def compress_flat(flat, centroids, cutoffs, weights, nbits: int):
 
 
 @functools.partial(jax.jit, static_argnames=("nbits",))
-def _compress_block(tokens, mask, centroids, cutoffs, weights, *,
-                    nbits: int):
+def _compress_block(tokens, mask, centroids, cutoffs, weights,
+                    coarse=None, fine=None, *, nbits: int):
     """(N, Ld, dim) f32 -> codes (N, Ld) int32, packed (N, Ld, dim*nbits/8)
     uint8, scales (N, Ld) f32. Masked tokens compress to code 0 / zero
     residual bits (the mask is kept separately; search fills them with
@@ -147,8 +297,10 @@ def _compress_block(tokens, mask, centroids, cutoffs, weights, *,
     n, ld, dim = tokens.shape
     t = tokens.astype(jnp.float32) * mask[..., None].astype(jnp.float32)
     flat = t.reshape(-1, dim)
+    pre = (assign_factored(flat, coarse, fine)
+           if coarse is not None else None)
     codes, packed, scales = compress_flat(flat, centroids, cutoffs,
-                                          weights, nbits)
+                                          weights, nbits, codes=pre)
     per_byte = 8 // nbits
     codes = codes * mask.reshape(-1).astype(codes.dtype)
     packed = packed * mask.reshape(-1, 1).astype(jnp.uint8)
@@ -173,7 +325,9 @@ def compress(tokens, mask, codec: ResidualCodec, block: int = 65536):
                                                jnp.float32),
                                    jnp.asarray(msk[s:s + block]),
                                    codec.centroids, codec.bucket_cutoffs,
-                                   codec.bucket_weights, nbits=codec.nbits)
+                                   codec.bucket_weights,
+                                   codec.coarse, codec.fine,
+                                   nbits=codec.nbits)
         codes_out.append(np.asarray(c))
         packed_out.append(np.asarray(p))
         scales_out.append(np.asarray(sc))
@@ -285,13 +439,19 @@ def split_records(rg: jax.Array, ld: int):
 
 def _residual_maxsim_kernel(w_ref, q_ref, cs_ref, packed_ref,
                             m_ref, out_ref, *, tc: int, ld: int, lq: int,
-                            nbits: int, plane_w: int, n_cent: int):
+                            nbits: int, plane_w: int, n_cent: int,
+                            k_coarse: int = 0, k_fine: int = 0):
     """Grid (B, C//tc). Score tile: tc candidate docs of one query.
 
     w_ref: (1, 2^nbits) SMEM — bucket weights.
     q_ref: (Lq, dim) VMEM — this query (bf16).
-    cs_ref: (n_cent, Lq) bf16 VMEM — this query's full cq = centroids @ q^T
-      table; the centroid scores become one-hot(code) @ cq on the MXU.
+    cs_ref: (n_cent, Lq) bf16 VMEM — this query's centroid-score table.
+      Flat codec: the full cq = centroids @ q^T table (one-hot(code) @ cq
+      on the MXU). Factored codec (k_coarse/k_fine set): rows [0, k1) hold
+      coarse @ q^T and rows [k1, k1+k2) fine @ q^T (zero-padded to
+      n_cent); the centroid score of code hi*k2+lo is the SUM of rows hi
+      and k1+lo — one "TWO-hot" MXU matmul whose FLOPs scale with k1+k2,
+      not K = k1*k2, which is what lets the kernel run at K=8192.
     packed_ref: (tc*Ld, plane_w) uint8 VMEM — planar residual bytes.
     m_ref: (tc*Ld, 3) f32 VMEM — lane 0: token validity; lane 1: centroid
       code (as f32; exact for K < 2^24); lane 2: reconstruction-norm scale
@@ -302,15 +462,22 @@ def _residual_maxsim_kernel(w_ref, q_ref, cs_ref, packed_ref,
     packed = packed_ref[:].astype(jnp.int32)                # (T, P)
     lane_mask = (1 << nbits) - 1
 
-    # in-VMEM one-hot(code) @ cq — no HBM centroid-score intermediate; the
-    # one-hot FLOPs scale with n_cent, so the caller gates this kernel to
-    # small codebooks (the XLA row-gather alternative was measured slower
-    # than the plain decompress path at K=8192)
+    # in-VMEM selector @ cs — no HBM centroid-score intermediate; the
+    # selector FLOPs scale with n_cent, so the caller gates the FLAT
+    # one-hot to small codebooks (the XLA row-gather alternative was
+    # measured slower than the plain decompress path at K=8192); the
+    # factored two-hot has no such limit (n_cent = k1+k2 rows)
     codes = m_ref[:, 1:2].astype(jnp.int32)                 # (T, 1)
     iota = jax.lax.broadcasted_iota(jnp.int32, (t, n_cent), 1)
-    onehot = (iota == codes).astype(jnp.bfloat16)           # (T, K)
+    if k_fine:
+        hi = jax.lax.shift_right_logical(codes, k_fine.bit_length() - 1)
+        lo = (codes & (k_fine - 1)) + k_coarse
+        sel = jnp.logical_or(iota == hi, iota == lo) \
+            .astype(jnp.bfloat16)                           # (T, k1+k2)
+    else:
+        sel = (iota == codes).astype(jnp.bfloat16)          # (T, K)
     acc = jax.lax.dot_general(
-        onehot, cs_ref[:],
+        sel, cs_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                 # (T, Lq)
 
@@ -348,6 +515,8 @@ def maxsim_residual_pallas(q: jax.Array, codes_g: jax.Array,
                            packed_g: jax.Array, mask_g: jax.Array,
                            centroids: jax.Array, bucket_weights: jax.Array,
                            scales_g: Optional[jax.Array] = None,
+                           coarse: Optional[jax.Array] = None,
+                           fine: Optional[jax.Array] = None,
                            *, nbits: int, tile_c: int = 32,
                            interpret: bool = False) -> jax.Array:
     """Fused residual-decompress + MaxSim over per-query candidate sets.
@@ -355,7 +524,11 @@ def maxsim_residual_pallas(q: jax.Array, codes_g: jax.Array,
     q: (B, Lq, dim) queries; codes_g: (B, C, Ld) int32 GATHERED candidate
     codes; packed_g: (B, C, Ld, dim*nbits/8) uint8; mask_g: (B, C, Ld);
     scales_g: optional (B, C, Ld) reconstruction-norm scales (compress()).
-    Returns (B, C) f32 MaxSim scores. C must be a multiple of tile_c.
+    coarse/fine: the factored codec's additive factors
+    (train_codec_factored) — the in-kernel centroid term then costs
+    k_coarse+k_fine selector columns instead of K, removing the
+    small-codebook gate. Returns (B, C) f32 MaxSim scores. C must be a
+    multiple of tile_c.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -365,20 +538,40 @@ def maxsim_residual_pallas(q: jax.Array, codes_g: jax.Array,
     plane_w = packed_g.shape[-1]
     n_cent = centroids.shape[0]
     assert c % tile_c == 0, f"pad candidates to a multiple of {tile_c}"
-    assert n_cent <= 1024, \
-        ("the fused kernel's one-hot centroid matmul scales with n_cent; "
-         "use the XLA fine stage for larger codebooks")
 
     qb = q.astype(jnp.bfloat16)
-    cq = jnp.einsum("kd,bqd->bkq", centroids.astype(jnp.bfloat16), qb,
-                    preferred_element_type=jnp.float32)     # (B, K, Lq)
-    cs_flat = cq.astype(jnp.bfloat16).reshape(b * n_cent, lq)
+    if coarse is not None:
+        assert fine is not None
+        k1, k2 = coarse.shape[0], fine.shape[0]
+        assert k2 & (k2 - 1) == 0, "k_fine must be a power of two"
+        assert n_cent == k1 * k2, (n_cent, k1, k2)
+        cs1 = jnp.einsum("kd,bqd->bkq", coarse.astype(jnp.bfloat16), qb,
+                         preferred_element_type=jnp.float32)
+        cs2 = jnp.einsum("kd,bqd->bkq", fine.astype(jnp.bfloat16), qb,
+                         preferred_element_type=jnp.float32)
+        cs = jnp.concatenate([cs1, cs2], axis=1)        # (B, k1+k2, Lq)
+        pad = (-(k1 + k2)) % 16       # bf16 sublane tiling of the block
+        if pad:
+            cs = jnp.pad(cs, ((0, 0), (0, pad), (0, 0)))
+        cs_rows = k1 + k2 + pad
+        cs_flat = cs.astype(jnp.bfloat16).reshape(b * cs_rows, lq)
+        kc, kf = k1, k2
+    else:
+        assert n_cent <= 1024, \
+            ("the fused kernel's one-hot centroid matmul scales with "
+             "n_cent; use a FACTORED codec (train_codec_factored) or the "
+             "XLA fine stage for larger codebooks")
+        cq = jnp.einsum("kd,bqd->bkq", centroids.astype(jnp.bfloat16), qb,
+                        preferred_element_type=jnp.float32)  # (B, K, Lq)
+        cs_rows = n_cent
+        cs_flat = cq.astype(jnp.bfloat16).reshape(b * n_cent, lq)
+        kc = kf = 0
     if scales_g is None:
         scales_g = jnp.ones_like(mask_g, jnp.float32)
     mask2 = jnp.stack([mask_g.astype(jnp.float32),
                        codes_g.astype(jnp.float32),
                        scales_g.astype(jnp.float32)], axis=-1)
-    cs_spec_rows, cs_index = n_cent, (lambda i, j: (i, 0))
+    cs_spec_rows, cs_index = cs_rows, (lambda i, j: (i, 0))
     q_flat = qb.reshape(b * lq, dim)
     packed_flat = packed_g.reshape(b * c * ld, plane_w)
     mask_flat = mask2.reshape(b * c * ld, 3)
@@ -387,7 +580,7 @@ def maxsim_residual_pallas(q: jax.Array, codes_g: jax.Array,
     n_ctiles = c // tile_c
     kernel = functools.partial(
         _residual_maxsim_kernel, tc=tile_c, ld=ld, lq=lq, nbits=nbits,
-        plane_w=plane_w, n_cent=n_cent)
+        plane_w=plane_w, n_cent=cs_rows, k_coarse=kc, k_fine=kf)
     out = pl.pallas_call(
         kernel,
         grid=(b, n_ctiles),

@@ -127,7 +127,8 @@ def _fine_stage(q, cand, tokens, mask, *, k: int,
                 scales=None, records=None, centroids=None,
                 bucket_weights=None, nbits: int = 0,
                 use_pallas_residual: bool = False,
-                group_size: int = 0, centroid_prune: int = 0):
+                group_size: int = 0, centroid_prune: int = 0,
+                codec_coarse=None, codec_fine=None):
     """Exact re-score of per-query candidate sets -> (scores (B,k), rows).
 
     Shared by two_stage_search (fine stage) and hierarchical_search
@@ -187,17 +188,22 @@ def _fine_stage(q, cand, tokens, mask, *, k: int,
             pg = jnp.take_along_axis(pg, sel[:, :, None, None], axis=1)
             c = cp
 
-        if use_pallas_residual and centroids.shape[0] <= 1024:
+        if use_pallas_residual and (codec_coarse is not None
+                                    or centroids.shape[0] <= 1024):
             # fused decompress+MaxSim kernel: candidates stay packed all
             # the way into VMEM (ops.residual.maxsim_residual_pallas).
-            # Gated to small codebooks — its in-VMEM one-hot centroid
-            # matmul scales with K; the XLA path wins at K=8192.
+            # Flat codecs gate to <= 1024 centroids — the in-VMEM one-hot
+            # centroid matmul scales with K and the XLA path wins at
+            # K=8192; a FACTORED codec (codec_coarse/codec_fine,
+            # train_codec_factored) lifts the gate: its two-hot term
+            # costs k1+k2 columns regardless of K = k1*k2.
             tc = 32
             while c % tc:
                 tc //= 2
             sc = maxsim_residual_pallas(
                 q.astype(jnp.float32), cg, pg, mg, centroids,
-                bucket_weights, sg, nbits=nbits, tile_c=tc)
+                bucket_weights, sg, codec_coarse, codec_fine,
+                nbits=nbits, tile_c=tc)
             top_s, sel = jax.lax.top_k(sc, k)
             return top_s, jnp.take_along_axis(cand, sel, axis=1)
 
@@ -263,7 +269,9 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
                      approx_topk: bool = False,
                      approx_recall: float = 0.95,
                      centroid_prune: int = 0,
-                     summaries_t_scale: Optional[jax.Array] = None):
+                     summaries_t_scale: Optional[jax.Array] = None,
+                     codec_coarse: Optional[jax.Array] = None,
+                     codec_fine: Optional[jax.Array] = None):
     """Returns (scores (B, k), rows (B, k)) — exact scores on the coarse
     stage's top `n_candidates` docs.
 
@@ -322,7 +330,9 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
                            bucket_weights=bucket_weights, nbits=nbits,
                            use_pallas_residual=use_pallas_residual,
                            group_size=group_size,
-                           centroid_prune=centroid_prune)
+                           centroid_prune=centroid_prune,
+                           codec_coarse=codec_coarse,
+                           codec_fine=codec_fine)
     if use_pallas_coarse:
         from ..ops.maxsim import maxsim_search_pallas
         qc = q if coarse_query_len is None else q[:, :coarse_query_len]
@@ -342,7 +352,9 @@ def two_stage_search(q: jax.Array, tokens: Optional[jax.Array],
                        bucket_weights=bucket_weights, nbits=nbits,
                        use_pallas_residual=use_pallas_residual,
                        group_size=group_size,
-                       centroid_prune=centroid_prune)
+                       centroid_prune=centroid_prune,
+                       codec_coarse=codec_coarse,
+                       codec_fine=codec_fine)
 
 
 # ---------------------------------------------------------------------------
@@ -406,7 +418,9 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
                         summ_int8: Optional[jax.Array] = None,
                         summ_scale: Optional[jax.Array] = None,
                         summ_rows: Optional[jax.Array] = None,
-                        stage1_tile_b: int = 8):
+                        stage1_tile_b: int = 8,
+                        codec_coarse: Optional[jax.Array] = None,
+                        codec_fine: Optional[jax.Array] = None):
     """3-stage search: block summaries -> doc summaries -> exact MaxSim.
 
     Cuts the dominant coarse matmul by ~block_size/n_blocks-fold vs
@@ -541,7 +555,9 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
                            bucket_weights=bucket_weights, nbits=nbits,
                            use_pallas_residual=use_pallas_residual,
                            group_size=group_size,
-                           centroid_prune=centroid_prune)
+                           centroid_prune=centroid_prune,
+                           codec_coarse=codec_coarse,
+                           codec_fine=codec_fine)
 
     if records is None:
         # token (bf16/int8) index: stages 1+2 MERGED into one grouped
@@ -597,7 +613,9 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
                        records=records, centroids=centroids,
                        bucket_weights=bucket_weights, nbits=nbits,
                        use_pallas_residual=use_pallas_residual,
-                       centroid_prune=centroid_prune)
+                       centroid_prune=centroid_prune,
+                       codec_coarse=codec_coarse,
+                       codec_fine=codec_fine)
 
 
 @functools.partial(jax.jit, static_argnames=("n_clusters", "iters",

@@ -53,6 +53,11 @@ class TokenIndex:
     records: Optional[jax.Array] = None     # (N_pad, Ld*(4+dim*nbits/8))
     codec_centroids: Optional[jax.Array] = None   # (K, dim) f32
     codec_weights: Optional[jax.Array] = None     # (2^nbits,) f32
+    # factored codec factors (ops.residual.train_codec_factored):
+    # codec_centroids then holds the materialized coarse[h]+fine[l] table
+    # and these carry the additive factors for the fused TPU kernel
+    codec_coarse: Optional[jax.Array] = None      # (k_coarse, dim) f32
+    codec_fine: Optional[jax.Array] = None        # (k_fine, dim) f32
     nbits: int = 0
     meta: dict = dataclasses.field(default_factory=dict)
 
@@ -124,17 +129,31 @@ class TokenIndex:
         which re-score decompressed candidates) remain available. Build
         summaries first — the coarse stage needs them.
 
+        n_centroids: an int trains the flat codec; a (k_coarse, k_fine)
+        TUPLE trains the FACTORED additive codec
+        (ops.residual.train_codec_factored) — same index format and
+        compression ratio with K = k_coarse*k_fine effective centroids,
+        but the fused decompress+MaxSim TPU kernel then runs at any K
+        (its in-VMEM centroid matmul costs k_coarse+k_fine columns, not
+        K).
         codec: pass a pre-trained ops.residual.ResidualCodec to skip
         training and compress with EXTERNAL codec data (e.g. the exact
         centroids/buckets another engine's index uses, for cross-engine
         parity); n_centroids/nbits/seed/sample/heldout are ignored then."""
-        from ..ops.residual import compress, train_codec
+        from ..ops.residual import compress, train_codec, \
+            train_codec_factored
         assert self.tokens is not None, "already compressed"
         assert self.summaries is not None, \
             "build_summaries() before quantize_residual()"
         toks = np.asarray(self.tokens, np.float32)
         msk = np.asarray(self.mask)
-        if codec is None:
+        if codec is None and isinstance(n_centroids, (tuple, list)):
+            k1, k2 = n_centroids
+            codec = train_codec_factored(toks, msk, k_coarse=k1,
+                                         k_fine=k2, nbits=nbits,
+                                         seed=seed, sample=sample,
+                                         heldout=heldout)
+        elif codec is None:
             codec = train_codec(toks, msk, n_centroids=n_centroids,
                                 nbits=nbits, seed=seed, sample=sample,
                                 heldout=heldout)
@@ -160,6 +179,11 @@ class TokenIndex:
                                 if rep else codec.centroids)
         self.codec_weights = (jax.device_put(codec.bucket_weights, rep)
                               if rep else codec.bucket_weights)
+        if codec.factored:
+            self.codec_coarse = (jax.device_put(codec.coarse, rep)
+                                 if rep else codec.coarse)
+            self.codec_fine = (jax.device_put(codec.fine, rep)
+                               if rep else codec.fine)
         self.nbits = nbits
         self.meta["dim"] = int(codec.centroids.shape[1])
         self.tokens = None
@@ -351,6 +375,11 @@ def save_index(index: TokenIndex, path: str) -> None:
         arrays["codec_weights"] = np.asarray(index.codec_weights,
                                              np.float32)
         arrays["summaries"] = np.asarray(index.summaries, np.float32)
+        if index.codec_coarse is not None:        # factored codec
+            arrays["codec_coarse"] = np.asarray(index.codec_coarse,
+                                                np.float32)
+            arrays["codec_fine"] = np.asarray(index.codec_fine,
+                                              np.float32)
     np.savez(os.path.join(path, "index.npz"), **arrays)
     with open(os.path.join(path, "metadata.json"), "w") as f:
         extra = {}
@@ -422,6 +451,10 @@ def load_index(path: str, dtype=jnp.bfloat16, mesh: Optional[Mesh] = None,
             records=records,
             codec_centroids=jnp.asarray(z["codec_centroids"]),
             codec_weights=jnp.asarray(z["codec_weights"]),
+            codec_coarse=(jnp.asarray(z["codec_coarse"])
+                          if "codec_coarse" in z.files else None),
+            codec_fine=(jnp.asarray(z["codec_fine"])
+                        if "codec_fine" in z.files else None),
             summaries=jnp.asarray(z["summaries"], dtype),
             nbits=nbits, meta=meta)
         if sh is not None:

@@ -94,7 +94,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                         centroid_prune: int = 0,
                         use_summ_i8: bool = False,
                         use_summ_rows: bool = False,
-                        stage1_tile_b: int = 8):
+                        stage1_tile_b: int = 8,
+                        factored_codec: bool = False):
     """Build a jitted collective search fn over `mesh`.
 
     Returned fn(q, tokens, mask[, summaries[, block_summaries]][, scales])
@@ -213,7 +214,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
     # residual-codec variants: per-doc arrays (packed records) shard over
     # `axis`; the small codec tables (centroids / bucket weights) replicate
     def _local_two_stage_res(q, msk, summ, recs, cent, bw, summ_t=None,
-                             summ_ts=None):
+                             summ_ts=None, codec_coarse=None,
+                             codec_fine=None):
         s, i = two_stage_search(q, None, msk, summ, k=k_local,
                                 n_candidates=c_local,
                                 coarse_query_len=coarse_query_len,
@@ -225,11 +227,14 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                 summaries_t_scale=summ_ts,
                                 approx_topk=approx_topk,
                                 approx_recall=approx_recall,
-                                centroid_prune=cp_local)
+                                centroid_prune=cp_local,
+                                codec_coarse=codec_coarse,
+                                codec_fine=codec_fine)
         return _merge(q, s, i)
 
     def _local_hier_res(q, msk, summ, bsum, recs, cent, bw,
-                        summ_scale=None):
+                        summ_scale=None, codec_coarse=None,
+                        codec_fine=None):
         s, i = hierarchical_search(q, None, msk,
                                    None if (use_summ_i8 or use_summ_rows)
                                    else summ,
@@ -249,18 +254,35 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                    summ_scale=summ_scale,
                                    summ_rows=summ if use_summ_rows
                                    else None,
-                                   stage1_tile_b=stage1_tile_b)
+                                   stage1_tile_b=stage1_tile_b,
+                                   codec_coarse=codec_coarse,
+                                   codec_fine=codec_fine)
         return _merge(q, s, i)
 
     def _hier_jit(fn0, specs):
         """shard_map + jit a hierarchical leg; with use_summ_i8 the
         int8 stage-1 per-doc scales ride as one extra trailing arg
         sharded over `axis` (the summ slot already carries the int8
-        copy — see _local_hier)."""
-        fn = fn0
-        if use_summ_i8:
+        copy — see _local_hier); with factored_codec the codec factors
+        (coarse, fine) ride replicated after it."""
+        n_scale = 1 if use_summ_i8 else 0
+        n_fact = 2 if factored_codec else 0
+        if n_scale:
             specs = specs + (P(axis),)
-            fn = lambda *a: fn0(*a[:-1], summ_scale=a[-1])
+        if n_fact:
+            specs = specs + (P(), P())
+        if n_scale or n_fact:
+            def fn(*a):
+                base = len(a) - n_scale - n_fact
+                kw = {}
+                if n_scale:
+                    kw["summ_scale"] = a[base]
+                if n_fact:
+                    kw["codec_coarse"] = a[base + n_scale]
+                    kw["codec_fine"] = a[base + n_scale + 1]
+                return fn0(*a[:base], **kw)
+        else:
+            fn = fn0
         return jax.jit(shard_map(fn, mesh, in_specs=specs,
                                  out_specs=(P(), P())))
 
@@ -274,8 +296,12 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
             specs += (P(None, axis),)
             if use_summ_t_scale:
                 specs += (P(axis),)
-        f = shard_map(_local_two_stage_res, mesh,
-                      in_specs=specs, out_specs=(P(), P()))
+        f0 = _local_two_stage_res
+        if factored_codec:
+            specs += (P(), P())
+            f0 = lambda *a: _local_two_stage_res(
+                *a[:-2], codec_coarse=a[-2], codec_fine=a[-1])
+        f = shard_map(f0, mesh, in_specs=specs, out_specs=(P(), P()))
         return jax.jit(f)
     if hierarchical and quantized:
         return _hier_jit(_local_hier,
@@ -584,7 +610,8 @@ class LateInteractionSearcher:
                     k, self.resolve_candidates(k)),
                 use_summ_i8=(self._summ_i8 is not None
                              or self._summ_rows_scale is not None),
-                use_summ_rows=self._summ_rows is not None)
+                use_summ_rows=self._summ_rows is not None,
+                factored_codec=self.index.codec_coarse is not None)
         return self._sharded_fns[k]
 
     def search_device(self, q: jax.Array, k: int):
@@ -613,6 +640,8 @@ class LateInteractionSearcher:
                         args += (self._summ_t_scale,)
                 if tail_scale is not None:
                     args += (tail_scale,)
+                if idx.codec_coarse is not None:    # factored codec
+                    args += (idx.codec_coarse, idx.codec_fine)
                 return fn(*args)
             args = (q, idx.tokens, idx.mask)
             if self.mode in ("two_stage", "hierarchical"):
@@ -655,7 +684,9 @@ class LateInteractionSearcher:
                 summ_scale=(self._summ_rows_scale
                             if self._summ_rows is not None
                             else self._summ_i8_scale),
-                summ_rows=self._summ_rows)
+                summ_rows=self._summ_rows,
+                codec_coarse=idx.codec_coarse,
+                codec_fine=idx.codec_fine)
         if self.mode == "two_stage":
             from .coarse import two_stage_search
             return two_stage_search(
@@ -674,7 +705,9 @@ class LateInteractionSearcher:
                 approx_topk=self.approx_topk,
                 approx_recall=self.approx_recall,
                 centroid_prune=self.resolve_centroid_prune(
-                    k, min(self.resolve_candidates(k), idx.n_pad)))
+                    k, min(self.resolve_candidates(k), idx.n_pad)),
+                codec_coarse=idx.codec_coarse,
+                codec_fine=idx.codec_fine)
         return search_single_device(
             q, idx.tokens, idx.mask, idx.scales, k=k,
             use_pallas=self.use_pallas, tile_d=self.tile_d)

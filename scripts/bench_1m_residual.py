@@ -44,7 +44,18 @@ N_TOPICS = 8192
 SLAB = 62_528
 assert N % SLAB == 0
 NBITS = int(os.environ.get("BENCH_NBITS", 2))
-N_CENT = int(os.environ.get("BENCH_NCENT", 8192))
+# BENCH_FACTORED="256x256": train the FACTORED additive codebook
+# (ops.residual.train_codec_factored math, in-graph) instead of flat
+# k-means — greedy k1+k2-dot assignment makes compression ~16x cheaper
+# and the fused decompress+MaxSim kernel runs at ANY effective K (its
+# centroid term costs k1+k2 two-hot columns, not K), so the fused
+# variants time for real instead of being gated off at K=8192.
+FACTORED = os.environ.get("BENCH_FACTORED")
+if FACTORED:
+    K1, K2 = map(int, FACTORED.lower().split("x"))
+    N_CENT = K1 * K2
+else:
+    N_CENT = int(os.environ.get("BENCH_NCENT", 8192))
 dt = jnp.bfloat16
 
 
@@ -86,17 +97,44 @@ def codec_sample(key, topics):
 
 
 sample = codec_sample(key, topics)
-centroids = _kmeans(sample[:114688], N_CENT, 8)
 held = sample[114688:]
-codes_h = jnp.argmax(held @ centroids.T, axis=-1)
+if FACTORED:
+    from ravqa_tpu.ops.residual import (_kmeans_l2, _refine_factored,
+                                        assign_factored)
+    tr = sample[:114688]
+    coarse_f = _kmeans(tr, K1, 8)
+    resid0 = tr - coarse_f[jnp.argmax(tr @ coarse_f.T, axis=-1)]
+    fine_f = _kmeans_l2(resid0, K2, 8)
+    coarse_f, fine_f = _refine_factored(tr, coarse_f, fine_f, 4)
+    centroids = jnp.reshape(coarse_f[:, None, :] + fine_f[None, :, :],
+                            (N_CENT, DIM))
+    codes_h = assign_factored(held, coarse_f, fine_f)
+else:
+    coarse_f = fine_f = None
+    centroids = _kmeans(sample[:114688], N_CENT, 8)
+    codes_h = jnp.argmax(held @ centroids.T, axis=-1)
 resid = np.asarray(held - centroids[codes_h]).reshape(-1)
 nb = 2 ** NBITS
 cutoffs = jnp.asarray(np.quantile(resid, np.arange(1, nb) / nb)
                       .astype(np.float32))
 weights = jnp.asarray(np.quantile(resid, (np.arange(nb) + 0.5) / nb)
                       .astype(np.float32))
-print(f"codec trained ({N_CENT} centroids, nbits={NBITS}) "
-      f"in {time.time() - t0:.0f}s", flush=True)
+print(f"codec trained ({N_CENT} centroids"
+      + (f" = {K1}x{K2} factored" if FACTORED else "")
+      + f", nbits={NBITS}) in {time.time() - t0:.0f}s", flush=True)
+
+if FACTORED:
+    # bind the codec factors once: every search call below then routes
+    # its fine stage through the factored fused kernel when
+    # use_pallas_residual is set (the factors are ~128 KB — fine as jit
+    # closure constants, unlike the GiB index arrays)
+    import functools as _ft
+    two_stage_search = _ft.partial(two_stage_search,
+                                   codec_coarse=coarse_f,
+                                   codec_fine=fine_f)
+    hierarchical_search = _ft.partial(hierarchical_search,
+                                      codec_coarse=coarse_f,
+                                      codec_fine=fine_f)
 
 
 # ---- 2. build + compress the index in ONE jitted program -------------------
@@ -112,9 +150,12 @@ def build_index(key, topics, centroids, cutoffs, weights_d):
         records, smm = carry
         tn = slab_tokens(key, i, topics)
         flat = tn.astype(jnp.float32).reshape(-1, DIM)
-        # codec core shared with production compress (ops.residual)
+        # codec core shared with production compress (ops.residual);
+        # factored codecs pre-assign greedily (k1+k2 dots vs k1*k2)
+        pre = (assign_factored(flat, coarse_f, fine_f)
+               if FACTORED else None)
         code, pk, scale = compress_flat(flat, centroids, cutoffs,
-                                        weights_d, NBITS)
+                                        weights_d, NBITS, codes=pre)
         rec = pack_records(code.reshape(SLAB, LD),
                            scale.reshape(SLAB, LD).astype(jnp.bfloat16),
                            pk.reshape(SLAB, LD, -1))
@@ -159,15 +200,15 @@ qidx = np.arange(B)
 summ_t = jax.block_until_ready(jax.jit(lambda s: jnp.swapaxes(s, 0, 1))(summ))
 s, rows = two_stage_search(q, None, mask, summ, k=K, n_candidates=1024,
                            use_pallas_coarse=True, approx_topk=True, summaries_t=summ_t,
-                           use_pallas_residual=N_CENT <= 1024,
+                           use_pallas_residual=bool(FACTORED) or N_CENT <= 1024,
                            records=records, centroids=centroids,
                            bucket_weights=weights, nbits=NBITS)
 top1 = float(np.mean(np.asarray(rows)[:, 0] == qidx))
 print(f"two-stage self-retrieval top-1: {top1:.2f}", flush=True)
 _, rows_cp = two_stage_search(q, None, mask, summ, k=K, n_candidates=1024,
                               use_pallas_coarse=True, approx_topk=True,
-                              summaries_t=summ_t, centroid_prune=256,
-                              use_pallas_residual=N_CENT <= 1024,
+                              summaries_t=summ_t, centroid_prune=0 if FACTORED else 256,
+                              use_pallas_residual=bool(FACTORED) or N_CENT <= 1024,
                               records=records, centroids=centroids,
                               bucket_weights=weights, nbits=NBITS)
 top1_cp = float(np.mean(np.asarray(rows_cp)[:, 0] == qidx))
@@ -195,18 +236,20 @@ def timeit(name, fn, args, iters=32):
 
 
 TS_ARGS = (mask, summ, records, centroids, weights, summ_t)
-# the fused Pallas residual kernel is auto-gated to codebooks <= 1024
-# centroids (_fine_stage; its in-VMEM one-hot centroid matmul scales with
-# N_CENT) — at this bench's N_CENT the fused flag would silently time the
-# identical XLA path, so only run the honest variant
-FUSED_MODES = (True, False) if N_CENT <= 1024 else (False,)
-if N_CENT > 1024:
+# the fused Pallas residual kernel is auto-gated to FLAT codebooks
+# <= 1024 centroids (_fine_stage; its in-VMEM one-hot centroid matmul
+# scales with N_CENT) — at this bench's flat N_CENT the fused flag would
+# silently time the identical XLA path, so only run the honest variant.
+# FACTORED codebooks un-gate the kernel (two-hot term: k1+k2 columns).
+FUSED_MODES = (True, False) if (FACTORED or N_CENT <= 1024) else (False,)
+if not FACTORED and N_CENT > 1024:
     print(f"fused residual kernel gated off (N_CENT={N_CENT} > 1024); "
           "timing the XLA fine stage only", flush=True)
 for fused in FUSED_MODES:
     tag = "fused" if fused else "xla"
     # cp = PLAID-style centroid-only fine-stage cut (searcher auto: C//4)
-    for nc, cp in ((1024, 0), (1024, 256), (256, 0), (256, 64)):
+    for nc, cp in (((1024, 0), (256, 0)) if FACTORED else
+               ((1024, 0), (1024, 256), (256, 0), (256, 64))):
         timeit(f"two_stage_1M_residual_C{nc}_cp{cp}_{tag}",
                lambda qq, m, sm, recs, cent, bw, smt, nc=nc, cp=cp,
                fused=fused: two_stage_search(
@@ -236,7 +279,8 @@ top1_i8 = float(np.mean(np.asarray(rows_i8)[:, 0] == qidx))
 print(f"two-stage self-retrieval top-1 (int8 coarse): {top1_i8:.2f}",
       flush=True)
 I8_ARGS = (mask, summ, records, centroids, weights, st8, dsc)
-for nc, cp in ((1024, 0), (1024, 256), (256, 0), (256, 64)):
+for nc, cp in (((1024, 0), (256, 0)) if FACTORED else
+               ((1024, 0), (1024, 256), (256, 0), (256, 64))):
     timeit(f"two_stage_1M_residual_C{nc}_cp{cp}_int8coarse",
            lambda qq, m, sm, recs, cent, bw, smt, ds, nc=nc, cp=cp:
            two_stage_search(
@@ -263,7 +307,7 @@ bsum_t = jax.block_until_ready(jax.jit(block_summaries_t)(bsum))
 _, hrows = hierarchical_search(q, None, mask, summ, bsum, k=K,
                                n_blocks=128, n_candidates=1024,
                                block_size=BLOCK,
-                               use_pallas_residual=N_CENT <= 1024,
+                               use_pallas_residual=bool(FACTORED) or N_CENT <= 1024,
                                records=records, centroids=centroids,
                                bucket_weights=weights, nbits=NBITS,
                                approx_topk=True, block_summ_t=bsum_t)
@@ -271,8 +315,8 @@ htop1 = float(np.mean(np.asarray(hrows)[:, 0] == qidx))
 print(f"hierarchical self-retrieval top-1: {htop1:.2f}", flush=True)
 _, hrows_cp = hierarchical_search(q, None, mask, summ, bsum, k=K,
                                   n_blocks=128, n_candidates=1024,
-                                  block_size=BLOCK, centroid_prune=256,
-                                  use_pallas_residual=N_CENT <= 1024,
+                                  block_size=BLOCK, centroid_prune=0 if FACTORED else 256,
+                                  use_pallas_residual=bool(FACTORED) or N_CENT <= 1024,
                                   records=records, centroids=centroids,
                                   bucket_weights=weights, nbits=NBITS,
                                   approx_topk=True, block_summ_t=bsum_t)
@@ -283,8 +327,9 @@ print(f"hierarchical self-retrieval top-1 (centroid_prune=256): "
 H_ARGS = (mask, summ, bsum, bsum_t, records, centroids, weights)
 for fused in FUSED_MODES:
     tag = "fused" if fused else "xla"
-    for nb_, nc, cp in ((128, 1024, 0), (128, 1024, 256),
-                        (64, 256, 0), (64, 256, 64)):
+    for nb_, nc, cp in (((128, 1024, 0), (64, 256, 0)) if FACTORED else
+                        ((128, 1024, 0), (128, 1024, 256),
+                         (64, 256, 0), (64, 256, 64))):
         timeit(f"hier_1M_residual_B{nb_}_C{nc}_cp{cp}_{tag}",
                lambda qq, m, sm, bm, bmt, recs, cent, bw, nb_=nb_,
                nc=nc, cp=cp, fused=fused: hierarchical_search(
@@ -334,7 +379,7 @@ summ.delete()
 del summ, H_ARGS, HI8_ARGS
 _, hrows_full = hierarchical_search(q, None, mask, None, bsum, k=K,
                                     n_blocks=128, n_candidates=1024,
-                                    block_size=BLOCK, centroid_prune=256,
+                                    block_size=BLOCK, centroid_prune=0 if FACTORED else 256,
                                     use_pallas_residual=False,
                                     records=records, centroids=centroids,
                                     bucket_weights=weights, nbits=NBITS,
@@ -372,7 +417,7 @@ si8.delete()
 del si8, HF_ARGS
 _, hrows_k = hierarchical_search(q, None, mask, None, bsum, k=K,
                                  n_blocks=128, n_candidates=1024,
-                                 block_size=BLOCK, centroid_prune=256,
+                                 block_size=BLOCK, centroid_prune=0 if FACTORED else 256,
                                  use_pallas_residual=False,
                                  records=records, centroids=centroids,
                                  bucket_weights=weights, nbits=NBITS,
@@ -384,7 +429,9 @@ print(f"hierarchical self-retrieval top-1 (stage-1 kernel, cp=256): "
       f"{htop1_k:.2f}", flush=True)
 HK_ARGS = (mask, bsum, bst8, bdsc, rows_i8, ssc, records, centroids,
            weights)
-for nb_, nc, cp in ((128, 1024, 0), (128, 1024, 256), (64, 256, 64)):
+for nb_, nc, cp in (((128, 1024, 0), (64, 256, 0)) if FACTORED else
+                    ((128, 1024, 0), (128, 1024, 256),
+                     (64, 256, 64))):
     timeit(f"hier_1M_residual_B{nb_}_C{nc}_cp{cp}_s1kernel",
            lambda qq, m, bm, bmt, ds, rw, ss, recs, cent, bw,
            nb_=nb_, nc=nc, cp=cp: hierarchical_search(
