@@ -453,9 +453,11 @@ def _residual_maxsim_kernel(w_ref, q_ref, cs_ref, packed_ref,
       and k1+lo — one "TWO-hot" MXU matmul whose FLOPs scale with k1+k2,
       not K = k1*k2, which is what lets the kernel run at K=8192.
     packed_ref: (tc*Ld, plane_w) uint8 VMEM — planar residual bytes.
-    m_ref: (tc*Ld, 3) f32 VMEM — lane 0: token validity; lane 1: centroid
-      code (as f32; exact for K < 2^24); lane 2: reconstruction-norm scale
-      (the reference's post-decompress L2 normalization, residual.py:273).
+    m_ref: (tc*Ld, 2) f32 VMEM — lane 0: centroid code (as f32; exact for
+      K < 2^24); lane 1: reconstruction-norm scale (the reference's
+      post-decompress L2 normalization, residual.py:273) PRE-MASKED to 0
+      on invalid tokens — validity is scale > 0 (valid scales are
+      strictly positive rsqrt outputs), so no separate validity lane.
     out_ref: (tc, 1) f32 VMEM — per-doc MaxSim scores.
     """
     t = tc * ld
@@ -467,7 +469,7 @@ def _residual_maxsim_kernel(w_ref, q_ref, cs_ref, packed_ref,
     # one-hot to small codebooks (the XLA row-gather alternative was
     # measured slower than the plain decompress path at K=8192); the
     # factored two-hot has no such limit (n_cent = k1+k2 rows)
-    codes = m_ref[:, 1:2].astype(jnp.int32)                 # (T, 1)
+    codes = m_ref[:, 0:1].astype(jnp.int32)                 # (T, 1)
     iota = jax.lax.broadcasted_iota(jnp.int32, (t, n_cent), 1)
     if k_fine:
         hi = jax.lax.shift_right_logical(codes, k_fine.bit_length() - 1)
@@ -493,7 +495,8 @@ def _residual_maxsim_kernel(w_ref, q_ref, cs_ref, packed_ref,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)             # (T, Lq)
 
-    s = jnp.where(m_ref[:, 0:1] > 0, acc * m_ref[:, 2:3], -9999.0)
+    scale = m_ref[:, 1:2]
+    s = jnp.where(scale > 0, acc * scale, -9999.0)
     per_q = jnp.max(s.reshape(tc, ld, lq), axis=1)          # (tc, Lq)
     out_ref[:] = jnp.sum(per_q, axis=-1, keepdims=True)
 
@@ -566,15 +569,19 @@ def maxsim_residual_pallas(q: jax.Array, codes_g: jax.Array,
         cs_rows = n_cent
         cs_flat = cq.astype(jnp.bfloat16).reshape(b * n_cent, lq)
         kc = kf = 0
+    # fold the validity mask INTO the scale lane (masked tokens -> scale
+    # 0; valid reconstruction-norm scales are strictly positive): the
+    # kernel side-band is 2 f32 lanes per token, not 3
     if scales_g is None:
-        scales_g = jnp.ones_like(mask_g, jnp.float32)
-    mask2 = jnp.stack([mask_g.astype(jnp.float32),
-                       codes_g.astype(jnp.float32),
-                       scales_g.astype(jnp.float32)], axis=-1)
+        eff_scale = mask_g.astype(jnp.float32)
+    else:
+        eff_scale = scales_g.astype(jnp.float32) \
+            * mask_g.astype(jnp.float32)
+    mask2 = jnp.stack([codes_g.astype(jnp.float32), eff_scale], axis=-1)
     cs_spec_rows, cs_index = cs_rows, (lambda i, j: (i, 0))
     q_flat = qb.reshape(b * lq, dim)
     packed_flat = packed_g.reshape(b * c * ld, plane_w)
-    mask_flat = mask2.reshape(b * c * ld, 3)
+    mask_flat = mask2.reshape(b * c * ld, 2)
     w = bucket_weights.astype(jnp.float32).reshape(1, -1)
 
     n_ctiles = c // tile_c
@@ -594,7 +601,7 @@ def maxsim_residual_pallas(q: jax.Array, codes_g: jax.Array,
             pl.BlockSpec((tile_c * ld, plane_w),
                          lambda i, j: (i * n_ctiles + j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_c * ld, 3),
+            pl.BlockSpec((tile_c * ld, 2),
                          lambda i, j: (i * n_ctiles + j, 0),
                          memory_space=pltpu.VMEM),
         ],
