@@ -5,7 +5,16 @@ two-hot fused kernel runs at K=65536 but does NOT beat the XLA per-query
 decompress fine stage (hier B128/C1024: 2862 vs 3118 QPS). This script
 isolates where the fused path's time goes:
 
-  a) XLA fine stage (per-query lax.map decompress+einsum)  [baseline]
+  a)  XLA fine stage (per-query lax.map decompress+einsum)  [baseline]
+  a2) XLA fine, factored decompress: coarse[hi] + fine[lo] from two
+      128 KB tables instead of centroids[code] from the 33 MB product
+      table. MEASURED SLOWER (11.6 vs 8.3 ms at C=1024): two per-token
+      row gathers + adds cost more than one big-table gather — XLA's
+      gather cost here is per-op overhead, not table-size bound.
+  a3) XLA fine, bucket_weights[bits] replaced by a 2^nbits select
+      chain (what the Pallas kernel does). MEASURED 2x SLOWER
+      (15.5 ms at C=1024): XLA lowers the 4-entry per-element lookup
+      well; jnp.full + 3 wheres over (C, Ld, dim) f32 does not pay.
   b) full fused path: gather records -> split -> stack mask2 -> kernel
   c) kernel ONLY on pre-gathered/pre-staged inputs
   d) the gather+split+stack WITHOUT the kernel (feeds a cheap reduction)
@@ -211,7 +220,57 @@ for C in (256, 1024):
         return (jnp.sum(m2[..., 0], axis=(1, 2))
                 + jnp.sum(pg[..., 0].astype(jnp.float32), axis=(1, 2)))
 
+    def xla_fine_factored(qq, seed, recs, cf, ff, bw):
+        # decompress via the TWO SMALL factor tables (k1+k2 rows, cache/
+        # VMEM-resident) instead of the materialized (k1*k2, dim) product
+        # table — same math, 256x smaller gather working set
+        cand = make_cand(seed, C)
+        rg = jnp.take(recs, cand, axis=0)
+        cg, sg, pg = split_records(rg, LD)
+        from ravqa_tpu.ops.residual import unpack_bits
+
+        def fine_res(args):
+            qi, cgi, pgi, sgi = args
+            bits = unpack_bits(pgi, NBITS)
+            tok = (cf[cgi >> K2.bit_length() - 1]
+                   + ff[cgi & (K2 - 1)]
+                   + bw[bits.astype(jnp.int32)]).astype(jnp.bfloat16)
+            s = jnp.einsum("cld,qd->clq", tok, qi.astype(tok.dtype),
+                           preferred_element_type=jnp.float32)
+            s = s * sgi[:, :, None]
+            return jnp.sum(jnp.max(s, axis=1), axis=-1)    # (C,)
+        sc = jax.lax.map(fine_res, (qq, cg, pg, sg))
+        return jnp.max(sc, axis=1)
+
+    def xla_fine_selectw(qq, seed, recs, cent, bw):
+        # bucket_weights[bits] is a per-ELEMENT gather (C*Ld*dim = 8.4M
+        # scalars per query); replace it with a 2^nbits select chain
+        # (what the fused kernel does) and keep the big-table centroid
+        # row gather
+        cand = make_cand(seed, C)
+        rg = jnp.take(recs, cand, axis=0)
+        cg, sg, pg = split_records(rg, LD)
+        from ravqa_tpu.ops.residual import unpack_bits
+
+        def fine_res(args):
+            qi, cgi, pgi, sgi = args
+            bits = unpack_bits(pgi, NBITS)
+            w = jnp.full(bits.shape, bw[0], jnp.float32)
+            for v in range(1, 2 ** NBITS):
+                w = jnp.where(bits == v, bw[v], w)
+            tok = (cent[cgi] + w).astype(jnp.bfloat16)
+            s = jnp.einsum("cld,qd->clq", tok, qi.astype(tok.dtype),
+                           preferred_element_type=jnp.float32)
+            s = s * sgi[:, :, None]
+            return jnp.sum(jnp.max(s, axis=1), axis=-1)    # (C,)
+        sc = jax.lax.map(fine_res, (qq, cg, pg, sg))
+        return jnp.max(sc, axis=1)
+
     timeit(f"C{C}_a_xla_fine", xla_fine, (records, centroids, weights))
+    timeit(f"C{C}_a3_xla_fine_selectw", xla_fine_selectw,
+           (records, centroids, weights))
+    timeit(f"C{C}_a2_xla_fine_factored", xla_fine_factored,
+           (records, coarse, fine, weights))
     timeit(f"C{C}_b_fused_full", fused_full,
            (records, centroids, weights, coarse, fine))
     timeit(f"C{C}_d_gather_split_stack", gather_only,
