@@ -111,7 +111,8 @@ class FLMRExecutor(BaseExecutor):
         n_candidates: "int | None" = None,
         add_null_document: bool = False,
         coarse_query_len: "int | None" = None,
-        coarse_int8: bool = False,
+        coarse_int8: "bool | None" = None,
+        search_preset: str = "reference",
     ) -> dict:
         """Full reference eval loop (evaluate_outputs, FLMR_executor:722-973).
 
@@ -141,7 +142,7 @@ class FLMRExecutor(BaseExecutor):
             use_pallas=jax.default_backend() == "tpu",
             mode=search_mode, n_candidates=n_candidates,
             coarse_query_len=coarse_query_len,
-            coarse_int8=coarse_int8)
+            coarse_int8=coarse_int8, preset=search_preset)
         q = self.encode_queries(query_batches)
         k = max(ks)
         _, rows = searcher.search(q, k=min(k, index.num_docs))

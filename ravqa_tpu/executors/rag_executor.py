@@ -65,7 +65,11 @@ class RagConfig:
     coarse_query_len: Optional[int] = None  # only the first L query rows
     #   drive the pruning stages (the reference's candidate-generation
     #   truncation, index_storage.py:68-77); the fine stage scores full Q
-    coarse_int8: bool = False             # int8-quantize the pruning-stage
+    search_preset: str = "reference"      # LateInteractionSearcher preset:
+    #   "fast" = the measured rank-converged operating point (C>=256,
+    #   nb>=32, int8 pruning summaries, fused stage-1 kernel; STATUS.md
+    #   round-4 — 2-6x throughput at measured-lossless top-10)
+    coarse_int8: Optional[bool] = None    # int8-quantize the pruning-stage
     #   summary copies (MXU int8 = 2x bf16 on the coarse sweep; in
     #   hierarchical mode the stage-1 doc-summary gather moves half the
     #   HBM bytes; candidate generation only — fine stages untouched)
@@ -104,7 +108,8 @@ def _make_searcher(index: TokenIndex, mesh, rag_cfg: "RagConfig"):
         approx_recall=rag_cfg.approx_recall,
         centroid_prune=rag_cfg.centroid_prune,
         coarse_query_len=rag_cfg.coarse_query_len,
-        coarse_int8=rag_cfg.coarse_int8)
+        coarse_int8=rag_cfg.coarse_int8,
+        preset=rag_cfg.search_preset)
 
 
 class RagExecutor(BaseExecutor):

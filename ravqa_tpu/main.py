@@ -373,6 +373,7 @@ def run_eval(cfg, ex, data, log_dir: str, split: str = "valid"):
         pos_item_ids=[it.get("pos_item_ids", []) for it in ds.items],
         ks=ks,
         search_mode=search_mode,
+        search_preset=cfg.model_config.get("search_preset", "reference"),
         # NOTE exact reference parity (metrics_processors.py:225): the flag
         # DROPS position 0 before scoring. In the reference snapshot the
         # null-document INSERTER lives outside the shipped code (RAVQA-v1
@@ -466,9 +467,11 @@ def build_server(cfg, data, mesh, log_dir: str):
         n_candidates=sv.get("n_candidates"),
         approx_topk=sv.get("approx_topk"),        # None -> on for TPU
         approx_recall=sv.get("approx_recall", 0.95),
-        coarse_int8=sv.get("coarse_int8", False),
+        coarse_int8=sv.get("coarse_int8"),
         centroid_prune=sv.get("centroid_prune"),  # None = off (measured)
-        coarse_query_len=sv.get("coarse_query_len"))
+        coarse_query_len=sv.get("coarse_query_len"),
+        stage1_kernel=sv.get("stage1_kernel"),
+        preset=sv.get("preset", "reference"))
     id2content = {i: c for i, c in enumerate(corpus.contents)}
     # in-graph-vision retrievers take raw pixels per request (a zeroed
     # image_features vector would silently bypass the trained ViT)

@@ -357,8 +357,9 @@ class LateInteractionSearcher:
                  approx_topk: Optional[bool] = None,
                  approx_recall: float = 0.95,
                  centroid_prune: Optional[int] = None,
-                 coarse_int8: bool = False,
-                 stage1_kernel: bool = False):
+                 coarse_int8: Optional[bool] = None,
+                 stage1_kernel: Optional[bool] = None,
+                 preset: str = "reference"):
         """mode: "exact" (exhaustive MaxSim), "two_stage" (coarse over
         index.summaries -> exact re-score of top n_candidates; requires
         index.build_summaries()), or "hierarchical" (block summaries ->
@@ -375,13 +376,48 @@ class LateInteractionSearcher:
         (TPU PartialReduce) instead of exact top_k — None = on for TPU
         backends (where the exact (B, N) top_k costs 27-100+ ms/batch at
         1M docs, dominating the whole search), off elsewhere. The final
-        exact re-score top_k(k) is never approximated."""
+        exact re-score top_k(k) is never approximated.
+        preset: "reference" (default) keeps the reference's quality-first
+        ndocs rule (searcher.py:91-118) and leaves every acceleration
+        knob off unless set. "fast" applies the MEASURED rank-converged
+        operating point from the on-chip sweeps (STATUS.md round-4;
+        scripts/exp_1m_convergence.py, frontier_112k.py): candidates
+        max(256, k), n_blocks covering the candidates (>=32), int8
+        pruning-stage summaries, and the fused stage-1 kernel for
+        hierarchical indexes — top-10 overlap vs the reference preset
+        measured 1.0000 at 112k AND 1M docs on clustered corpora
+        (2-6x the throughput). Explicitly-passed knobs always win."""
+        if preset not in ("reference", "fast"):
+            raise ValueError(f"unknown preset {preset!r} "
+                             "(expected 'reference' or 'fast')")
+        self.preset = preset
         self.index = index
         self.mesh = mesh
         self.axis = axis
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        # preset-derived knob defaults (None = "preset decides"); only
+        # turned on where they have an effect, so the fast preset never
+        # trips the no-effect warnings below
+        if preset == "fast":
+            if coarse_int8 is None:
+                coarse_int8 = index.summaries is not None and (
+                    mode == "hierarchical"
+                    or (mode == "two_stage" and self.use_pallas))
+            if stage1_kernel is None:
+                stage1_kernel = (mode == "hierarchical"
+                                 and index.summaries is not None
+                                 and index.block_summaries is not None)
+                if stage1_kernel and mesh is not None:
+                    # the fused kernel needs shard boundaries aligned to
+                    # blocks; an implicit preset falls back to the XLA
+                    # stage 1 instead of asserting
+                    stage1_kernel = (index.n_pad % (
+                        mesh_axis_size(mesh, axis)
+                        * index.block_size)) == 0
+        coarse_int8 = bool(coarse_int8)
+        stage1_kernel = bool(stage1_kernel)
         if tile_d is None:
             # exact-kernel doc tile: 64 measured fastest on v5e at the
             # 112k x 128 x 128 shape (966 vs 926 QPS at 16; >64 fails to
@@ -550,12 +586,33 @@ class LateInteractionSearcher:
         defaults silently cost recall at large k)."""
         if self.n_candidates is not None:
             return self.n_candidates
+        if self.preset == "fast":
+            # measured rank-converged point: top-10 overlap 1.0000 vs
+            # C=4096 presets at 112k and 1M docs (STATUS.md round-4).
+            # The measurement is PER CHIP; the sharded program divides
+            # the global count by nshards (make_sharded_search c_local),
+            # so scale it back up so each shard runs the measured point.
+            return max(256 * self._nshards(), k)
         return 1024 if k <= 100 else max(4 * k, 4096)
 
     def resolve_blocks(self, k: int) -> Optional[int]:
         if self.n_blocks is not None:
             return self.n_blocks
-        return max(self.resolve_candidates(k) // 2, 1)
+        c = self.resolve_candidates(k)
+        if self.preset == "fast":
+            # stage-1 cost scales with n_blocks (it gathers
+            # n_blocks*block_size docs' summaries per query); 32 measured
+            # rank-converged at 1M (nb32/C256: 9,710 QPS/chip residual).
+            # Per-chip numbers again: sharded search uses n_blocks/nshards
+            # blocks per shard.
+            bs = self.index.block_size or 64
+            ns = self._nshards()
+            return max(32, -(-c // (bs * ns))) * ns
+        return max(c // 2, 1)
+
+    def _nshards(self) -> int:
+        return mesh_axis_size(self.mesh, self.axis) \
+            if self.mesh is not None else 1
 
     def resolve_centroid_prune(self, k: int, n_candidates: int) -> int:
         """Intermediate candidate count for the residual fine stage's
