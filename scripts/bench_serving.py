@@ -81,8 +81,10 @@ def main():
         index.summaries, block_size=64, n_block_summary=4).astype(dt)
     index.block_size = 64
     jax.block_until_ready(index.block_summaries)
+    # the shipped fast preset (C=max(256,k), covering n_blocks, int8
+    # stage-1 rows + fused kernel) — what a production server would run
     searcher = LateInteractionSearcher(index, mode="hierarchical",
-                                       n_candidates=256, n_blocks=16)
+                                       preset="fast")
     print("setup ok", flush=True)
 
     texts = [" ".join(rng.choice(WORDS, size=4, replace=False))
