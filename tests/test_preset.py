@@ -156,10 +156,13 @@ def test_fast_preset_exact_mode_is_a_noop():
     assert (got[:, 0] == qsrc).all()
 
 
-def test_fast_preset_sharded():
+@pytest.mark.parametrize("residual", [False, True])
+def test_fast_preset_sharded(residual):
     """8-device sharded hierarchical under the fast preset: the stage-1
     rows shard over the index axis (boundaries align to blocks by the
-    build recipe) and ranking matches the sharded reference preset."""
+    build recipe) and ranking matches the sharded reference preset —
+    for the token index AND the residual codec (whose sharded fine
+    stage decompresses from sharded packed records)."""
     from ravqa_tpu.parallel import make_mesh
     rng = np.random.default_rng(6)
     toks, mask = make_corpus(rng, n_docs=2048)
@@ -169,11 +172,13 @@ def test_fast_preset_sharded():
     # spread over 8 shards = 16 docs/shard measurably LOSES queries this
     # preset finds — the fast preset matched the exact oracle there)
     ref = LateInteractionSearcher(
-        build_hier(toks, mask, mesh=mesh, block_size=16), mesh=mesh,
+        build_hier(toks, mask, mesh=mesh, block_size=16,
+                   residual=residual), mesh=mesh,
         mode="hierarchical", use_pallas=False)
     _, want = ref.search(q, k=5)
     s = LateInteractionSearcher(
-        build_hier(toks, mask, mesh=mesh, block_size=16), mesh=mesh,
+        build_hier(toks, mask, mesh=mesh, block_size=16,
+                   residual=residual), mesh=mesh,
         mode="hierarchical", use_pallas=False, preset="fast")
     assert s._summ_rows is not None          # aligned -> kernel stage 1
     assert s._summ_rows.dtype == jnp.int8
