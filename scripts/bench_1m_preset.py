@@ -2,14 +2,15 @@
 
 The 1M operating-point numbers (STATUS.md round-4) were measured at the
 `hierarchical_search` function level with hand-resolved knobs. This
-script closes the last inch: it builds a 1M residual TokenIndex
-on-device, constructs `LateInteractionSearcher(..., preset="fast")` on
-a 1-device mesh (the exact shard_map production program), asserts the
-preset resolves to the measured operating point (C=256, n_blocks=32,
-int8 stage-1 rows via the fused kernel), and times the compiled
-program scan-chained (tunnel timing discipline — see bench_1m.py).
+script closes the last inch: it builds a 1M TokenIndex on-device
+(residual codec by default, int8 tokens with --codec int8), constructs
+`LateInteractionSearcher(..., preset="fast")` on a 1-device mesh (the
+exact shard_map production program), asserts the preset resolves to
+the measured operating point (C=256, n_blocks=32, int8 stage-1 rows
+via the fused kernel), and times the compiled program scan-chained
+(tunnel timing discipline — see bench_1m.py).
 
-Run: python scripts/bench_1m_preset.py
+Run: python scripts/bench_1m_preset.py [--codec residual|int8]
 """
 
 import sys
@@ -67,10 +68,44 @@ def codec_sample(key, topics):
     return flat[pick]
 
 
-def main():
+def build_int8_index(key, topics, sh):
+    """int8-token 1M index (the throughput codec), slabbed in one jit."""
+    @jax.jit
+    def build(key, topics):
+        def body(i, carry):
+            idx8, scl, smm = carry
+            tn = slab_tokens(key, i, topics)
+            t32 = tn.astype(jnp.float32)
+            sc = jnp.maximum(jnp.max(jnp.abs(t32), -1), 1e-8) / 127.0
+            q8 = jnp.round(t32 / sc[..., None]).astype(jnp.int8)
+            sm = summarize_docs(tn, jnp.ones((SLAB, LD), jnp.int8),
+                                n_summary=S_SUMM, iters=2).astype(dt)
+            start = i * SLAB
+            return (jax.lax.dynamic_update_slice(idx8, q8, (start, 0, 0)),
+                    jax.lax.dynamic_update_slice(
+                        scl, sc.astype(jnp.float32), (start, 0)),
+                    jax.lax.dynamic_update_slice(smm, sm, (start, 0, 0)))
+        init = (jnp.zeros((N, LD, DIM), jnp.int8),
+                jnp.zeros((N, LD), jnp.float32),
+                jnp.zeros((N, S_SUMM, DIM), dt))
+        return jax.lax.fori_loop(0, N // SLAB, body, init)
+
     t0 = time.time()
-    key = jax.random.PRNGKey(7)
-    topics = make_topics(key)
+    index8, scales, summ = jax.block_until_ready(build(key, topics))
+    print(f"int8 index built in {time.time() - t0:.0f}s", flush=True)
+    bsum = jax.jit(lambda s: block_summaries(
+        s, block_size=BLOCK, n_block_summary=4).astype(dt))(summ)
+    return TokenIndex(
+        tokens=jax.device_put(index8, sh),
+        mask=jax.device_put(jnp.ones((N, LD), jnp.int8), sh),
+        pids=np.arange(N, dtype=np.int64), num_docs=N,
+        scales=jax.device_put(scales, sh),
+        summaries=jax.device_put(summ, sh),
+        block_summaries=jax.device_put(bsum, sh), block_size=BLOCK)
+
+
+def build_residual_index(key, topics, sh):
+    t0 = time.time()
     sample = codec_sample(key, topics)
     held = sample[114688:]
     centroids = _kmeans(sample[:114688], N_CENT, 8)
@@ -108,19 +143,26 @@ def main():
     t0 = time.time()
     records, summ = build_index(key, topics, centroids, cutoffs, weights)
     records = jax.block_until_ready(records)
-    print(f"index built in {time.time() - t0:.0f}s", flush=True)
+    print(f"residual index built in {time.time() - t0:.0f}s", flush=True)
 
-    mesh = Mesh(np.array(jax.devices()[:1]), ("index",))
-    sh = NamedSharding(mesh, P("index"))
     bsum = jax.jit(lambda s: block_summaries(
         s, block_size=BLOCK, n_block_summary=4).astype(dt))(summ)
-    idx = TokenIndex(
+    return TokenIndex(
         tokens=None, mask=jax.device_put(jnp.ones((N, LD), jnp.int8), sh),
         pids=np.arange(N, dtype=np.int64), num_docs=N,
         summaries=jax.device_put(summ, sh),
         block_summaries=jax.device_put(bsum, sh), block_size=BLOCK,
         records=jax.device_put(records, sh),
         codec_centroids=centroids, codec_weights=weights, nbits=NBITS)
+
+
+def main(codec: str):
+    key = jax.random.PRNGKey(7)
+    topics = make_topics(key)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("index",))
+    sh = NamedSharding(mesh, P("index"))
+    idx = (build_residual_index(key, topics, sh) if codec == "residual"
+           else build_int8_index(key, topics, sh))
 
     @jax.jit
     def make_queries(qkey, key, topics):
@@ -144,8 +186,13 @@ def main():
     scores, rows = s.search(np.asarray(q), k=K)
     top1 = float(np.mean(rows[:, 0] == qidx))
     fn = s._search_fn(K)
-    args = (q, idx.mask, s._summ_rows, idx.block_summaries, idx.records,
-            idx.codec_centroids, idx.codec_weights, s._summ_rows_scale)
+    if codec == "residual":
+        args = (q, idx.mask, s._summ_rows, idx.block_summaries,
+                idx.records, idx.codec_centroids, idx.codec_weights,
+                s._summ_rows_scale)
+    else:
+        args = (q, idx.tokens, idx.mask, s._summ_rows,
+                idx.block_summaries, idx.scales, s._summ_rows_scale)
 
     import functools
 
@@ -162,10 +209,14 @@ def main():
     t0 = time.perf_counter()
     _ = np.asarray(run(iters, *args))
     dt_s = (time.perf_counter() - t0) / iters
-    print(f"searcher_api(preset=fast, 1-dev mesh) hier_1M_residual: "
+    print(f"searcher_api(preset=fast, 1-dev mesh) hier_1M_{codec}: "
           f"{B / dt_s:.0f} QPS/chip ({dt_s * 1e3:.2f} ms/batch) "
           f"self_top1 {top1:.2f}", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    codec = "residual"
+    if "--codec" in sys.argv:
+        codec = sys.argv[sys.argv.index("--codec") + 1]
+    assert codec in ("residual", "int8"), codec
+    main(codec)
