@@ -116,6 +116,33 @@ def test_hierarchical_coarse_int8_recall_gate_100k(corpus, exact_rows,
     assert r >= 0.89, f"hier coarse_int8 recall@10 vs exact = {r}"
 
 
+def test_fast_preset_recall_gate_100k(corpus, exact_rows, hier_index):
+    """Gate the shipped fast preset at scale: preset='fast' (C=256,
+    nb=32, int8 stage-1 rows through the stage-1 sweep — the XLA twin
+    on CPU, same math as the TPU kernel) must hold the float
+    hierarchical gate's floor minus 1pt vs exact, and its top-1 must
+    agree with the reference-preset hierarchical searcher (the fine
+    stage re-scores exactly either way). On-chip the same preset
+    measured top-10 overlap 1.0000 vs the reference preset at 112k and
+    1M docs (STATUS.md round-4)."""
+    idx2, perm = hier_index
+    _, q = corpus
+    ref = LateInteractionSearcher(idx2, mode="hierarchical",
+                                  use_pallas=False)
+    _, rows_f = ref.search_device(q, k=10)
+    s = LateInteractionSearcher(idx2, mode="hierarchical",
+                                use_pallas=False, preset="fast")
+    assert s.resolve_candidates(10) == 256
+    assert s.resolve_blocks(10) == 32
+    assert s._summ_rows is not None and s._summ_rows.dtype == jnp.int8
+    _, rows = s.search_device(q, k=10)
+    rows_f, rows = np.asarray(rows_f), np.asarray(rows)
+    assert (rows[:, 0] == rows_f[:, 0]).mean() >= 0.99, \
+        "fast preset flipped hierarchical top-1"
+    r = _recall(perm[rows], exact_rows, 10)
+    assert r >= 0.89, f"fast-preset recall@10 vs exact = {r}"
+
+
 def test_auto_presets_scale_with_k(corpus):
     index, q = corpus
     s = LateInteractionSearcher(index, mode="two_stage", use_pallas=False)
