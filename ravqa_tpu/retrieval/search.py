@@ -122,19 +122,27 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
         nb_local = n_local // block_size
         if n_blocks is None:
             n_blocks = max(n_candidates // 2, nshards)
-        b_local = min(max(n_blocks // nshards, 1), nb_local)
+        # the per-shard stage-1 cut must COVER k_local docs: c_local is
+        # clamped to the selected blocks' coverage below, and the fine
+        # stage's top_k(k_local) traces only when c_local >= k_local
+        # (a thin explicit n_blocks with a large k used to crash there)
+        b_need = -(-k_local // block_size)
+        b_local = min(max(n_blocks // nshards, b_need, 1), nb_local)
         if use_summ_rows:
             # the fused stage-1 kernel's output block is (tb*bs,) lanes:
             # the per-shard block count must be a multiple of
             # 128/gcd(bs, 128) (ops.maxsim.stage1_sweep_pallas). Indexes
             # too small to align fall through unaligned — the XLA twin
             # (non-TPU backends) has no constraint, and on TPU the
-            # kernel's own trace-time assert reports the shape.
+            # kernel's own trace-time assert reports the shape. Never
+            # align below the k-coverage floor.
             import math
             req = 128 // math.gcd(block_size, 128)
             if nb_local >= req:
-                b_local = min(-(-b_local // req) * req,
-                              (nb_local // req) * req)
+                b_aligned = min(-(-b_local // req) * req,
+                                (nb_local // req) * req)
+                if b_aligned >= b_need:
+                    b_local = b_aligned
         c_local = min(c_local, b_local * block_size)
 
     def _merge(q, s, i):
@@ -409,13 +417,20 @@ class LateInteractionSearcher:
                 stage1_kernel = (mode == "hierarchical"
                                  and index.summaries is not None
                                  and index.block_summaries is not None)
-                if stage1_kernel and mesh is not None:
+                if stage1_kernel:
                     # the fused kernel needs shard boundaries aligned to
-                    # blocks; an implicit preset falls back to the XLA
-                    # stage 1 instead of asserting
-                    stage1_kernel = (index.n_pad % (
-                        mesh_axis_size(mesh, axis)
-                        * index.block_size)) == 0
+                    # blocks AND a per-shard block count meeting its
+                    # lane requirement (128/gcd(bs,128), stage1_sweep_
+                    # pallas); an implicit preset falls back to the XLA
+                    # stage 1 instead of asserting on tiny indexes
+                    import math
+                    bs = index.block_size or 64
+                    ns = (mesh_axis_size(mesh, axis)
+                          if mesh is not None else 1)
+                    req = 128 // math.gcd(bs, 128)
+                    aligned = (index.n_pad % (ns * bs)) == 0
+                    stage1_kernel = aligned and (
+                        index.n_pad // ns // bs) >= req
         coarse_int8 = bool(coarse_int8)
         stage1_kernel = bool(stage1_kernel)
         if tile_d is None:
@@ -604,10 +619,13 @@ class LateInteractionSearcher:
             # n_blocks*block_size docs' summaries per query); 32 measured
             # rank-converged at 1M (nb32/C256: 9,710 QPS/chip residual).
             # Per-chip numbers again: sharded search uses n_blocks/nshards
-            # blocks per shard.
+            # blocks per shard — and each SHARD's selected blocks must
+            # cover k docs (per-shard candidates floor at k, so thinner
+            # coverage would clamp the fine stage below its top_k width).
             bs = self.index.block_size or 64
             ns = self._nshards()
-            return max(32, -(-c // (bs * ns))) * ns
+            k_local = min(k, self.index.n_pad // ns)
+            return max(32, -(-c // (bs * ns)), -(-k_local // bs)) * ns
         return max(c // 2, 1)
 
     def _nshards(self) -> int:

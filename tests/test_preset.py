@@ -112,13 +112,14 @@ def test_fast_preset_ranking_matches_reference(residual):
         build_hier(toks, mask, residual=residual), mode="hierarchical",
         use_pallas=False)
     _, want = ref.search(q, k=5)
-    from jax.experimental.pallas import tpu as pltpu
-    with pltpu.force_tpu_interpret_mode():
-        s = LateInteractionSearcher(
-            build_hier(toks, mask, residual=residual),
-            mode="hierarchical", use_pallas=False, preset="fast")
-        assert s._summ_rows is not None
-        _, got = s.search(q, k=5)
+    # off-TPU the summ_rows stage 1 runs stage1_sweep_xla, the kernel's
+    # XLA twin (identical math/layout; the Pallas kernel itself is
+    # covered by the on-chip benches + test_maxsim interpret tests)
+    s = LateInteractionSearcher(
+        build_hier(toks, mask, residual=residual),
+        mode="hierarchical", use_pallas=False, preset="fast")
+    assert s._summ_rows is not None
+    _, got = s.search(q, k=5)
     assert (got[:, 0] == want[:, 0]).all()
     assert (got[:, 0] == qsrc).all()
 
@@ -165,7 +166,12 @@ def test_fast_preset_sharded(residual):
     stage decompresses from sharded packed records)."""
     from ravqa_tpu.parallel import make_mesh
     rng = np.random.default_rng(6)
-    toks, mask = make_corpus(rng, n_docs=2048)
+    # 8192 docs over 8 shards = 1024 docs/shard: the preset's per-shard
+    # cuts are REAL here — stage 0 keeps 32 of 64 blocks/shard and the
+    # candidate cut keeps 256 of the 512 covered docs (at 2048 docs
+    # both cuts were exhaustive and the test could not catch
+    # candidate-cut bugs)
+    toks, mask = make_corpus(rng, n_docs=8192, n_topics=64)
     q, qsrc = queries_from(rng, toks)
     mesh = make_mesh({"index": 8})
     # true reference-preset defaults (an explicitly-thin C=128/nb=64 cut
@@ -185,3 +191,31 @@ def test_fast_preset_sharded(residual):
     _, got = s.search(q, k=5)
     assert (got[:, 0] == want[:, 0]).all()
     assert (got[:, 0] == qsrc).all()
+
+
+def test_sharded_large_k_covers_blocks():
+    """k above the per-shard block coverage: the sharded program must
+    widen the stage-1 block cut to cover k docs per shard (it used to
+    clamp c_local below k_local and crash the fine stage's top_k) —
+    for the fast preset AND an explicitly-thin reference-preset cut."""
+    from ravqa_tpu.parallel import make_mesh
+    rng = np.random.default_rng(8)
+    toks, mask = make_corpus(rng, n_docs=8192, n_topics=64)
+    q, qsrc = queries_from(rng, toks)
+    mesh = make_mesh({"index": 8})
+    k = 600   # > fast preset's 32*16=512-doc default coverage per shard
+    s = LateInteractionSearcher(
+        build_hier(toks, mask, mesh=mesh, block_size=16), mesh=mesh,
+        mode="hierarchical", use_pallas=False, preset="fast")
+    _, got = s.search(q, k=k)
+    assert got.shape == (q.shape[0], k)
+    assert (got[:, 0] == qsrc).all()
+    # explicit thin blocks (8 blocks = 16 docs/shard << k): the
+    # make_sharded_search coverage floor must widen them
+    thin = LateInteractionSearcher(
+        build_hier(toks, mask, mesh=mesh, block_size=16), mesh=mesh,
+        mode="hierarchical", use_pallas=False, n_candidates=1024,
+        n_blocks=8)
+    _, got2 = thin.search(q, k=k)
+    assert got2.shape == (q.shape[0], k)
+    assert (got2[:, 0] == qsrc).all()
