@@ -487,6 +487,14 @@ def stage1_sweep_pallas(q: jax.Array, summ_rows: jax.Array,
     # tb*bs must be a multiple of 128 lanes (out block constraint) and
     # divide n_blocks
     req = 128 // math.gcd(bs, 128)
+    if n_blocks % req:
+        # (previously this fell into a ZeroDivisionError in the tb
+        # search below — give the caller the actual constraint instead)
+        raise ValueError(
+            f"stage1_sweep_pallas: n_blocks={n_blocks} must be a "
+            f"multiple of 128/gcd(block_size={bs}, 128) = {req} (the "
+            "output block is tb*bs lanes); round the selected-block "
+            "count or use the XLA stage 1")
     tb = max(tile_b - tile_b % req, req)
     while n_blocks % tb:
         tb -= req

@@ -64,11 +64,9 @@ class ResidualCodec:
         return self.coarse is not None
 
 
-def train_codec(tokens: np.ndarray, mask: np.ndarray, n_centroids: int = 256,
-                nbits: int = 2, iters: int = 8, sample: int = 2 ** 16,
-                heldout: int = 2 ** 14, seed: int = 0) -> ResidualCodec:
-    """K-means + residual-quantile training (reference CollectionIndexer
-    .train, collection_indexer.py:206-314, on a token sample)."""
+def _sample_split(tokens, mask, sample: int, heldout: int, seed: int):
+    """Valid-token flatten + disjoint (train, heldout) sample — shared by
+    both codec trainers so the split rules never diverge."""
     valid = np.asarray(mask).reshape(-1) > 0
     flat = np.asarray(tokens, np.float32).reshape(-1, tokens.shape[-1])[valid]
     rng = np.random.default_rng(seed)
@@ -77,20 +75,34 @@ def train_codec(tokens: np.ndarray, mask: np.ndarray, n_centroids: int = 256,
     # split is ever empty (heldout default 2^14 >> tiny test corpora)
     heldout = max(1, min(heldout, take // 2))
     pick = rng.choice(len(flat), take, replace=False)
-    train, held = flat[pick[:take - heldout]], flat[pick[take - heldout:]]
+    return flat[pick[:take - heldout]], flat[pick[take - heldout:]]
+
+
+def _fit_buckets(resid: np.ndarray, nbits: int):
+    """nbits bucket layer fit to the actual post-codebook residual
+    distribution (cutoffs at the quantile edges, weights at the bucket
+    medians — reference residual.py bucketization)."""
+    nb = 2 ** nbits
+    cutoffs = np.quantile(resid, np.arange(1, nb) / nb).astype(np.float32)
+    weights = np.quantile(resid, (np.arange(nb) + 0.5) / nb) \
+        .astype(np.float32)
+    return jnp.asarray(cutoffs), jnp.asarray(weights)
+
+
+def train_codec(tokens: np.ndarray, mask: np.ndarray, n_centroids: int = 256,
+                nbits: int = 2, iters: int = 8, sample: int = 2 ** 16,
+                heldout: int = 2 ** 14, seed: int = 0) -> ResidualCodec:
+    """K-means + residual-quantile training (reference CollectionIndexer
+    .train, collection_indexer.py:206-314, on a token sample)."""
+    train, held = _sample_split(tokens, mask, sample, heldout, seed)
 
     cent = _kmeans(jnp.asarray(train), n_centroids, iters)
 
     codes = _assign(jnp.asarray(held), cent)
     resid = np.asarray(jnp.asarray(held) - cent[codes]).reshape(-1)
-    nb = 2 ** nbits
-    qs = np.arange(1, nb) / nb
-    cutoffs = np.quantile(resid, qs).astype(np.float32)
-    wqs = (np.arange(nb) + 0.5) / nb
-    weights = np.quantile(resid, wqs).astype(np.float32)
-    return ResidualCodec(centroids=cent,
-                         bucket_cutoffs=jnp.asarray(cutoffs),
-                         bucket_weights=jnp.asarray(weights), nbits=nbits)
+    cutoffs, weights = _fit_buckets(resid, nbits)
+    return ResidualCodec(centroids=cent, bucket_cutoffs=cutoffs,
+                         bucket_weights=weights, nbits=nbits)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "iters"))
@@ -202,14 +214,13 @@ def train_codec_factored(tokens: np.ndarray, mask: np.ndarray,
     shift/mask inside the kernel).
     """
     assert k_fine & (k_fine - 1) == 0, "k_fine must be a power of two"
-    valid = np.asarray(mask).reshape(-1) > 0
-    flat = np.asarray(tokens, np.float32).reshape(-1, tokens.shape[-1])[valid]
-    rng = np.random.default_rng(seed)
-    take = min(sample + heldout, len(flat))
-    heldout = max(1, min(heldout, take // 2))
-    pick = rng.choice(len(flat), take, replace=False)
-    train = jnp.asarray(flat[pick[:take - heldout]])
-    held = jnp.asarray(flat[pick[take - heldout:]])
+    # pack_records stores codes as uint16 — a larger effective codebook
+    # would WRAP silently and score against the wrong centroids
+    assert k_coarse * k_fine <= 65536, \
+        (f"k_coarse*k_fine = {k_coarse * k_fine} exceeds the uint16 "
+         "code range of the packed record layout (pack_records)")
+    train_np, held_np = _sample_split(tokens, mask, sample, heldout, seed)
+    train, held = jnp.asarray(train_np), jnp.asarray(held_np)
 
     coarse = _kmeans(train, k_coarse, iters)       # unit-norm init
     resid0 = train - coarse[_assign(train, coarse)]
@@ -220,13 +231,9 @@ def train_codec_factored(tokens: np.ndarray, mask: np.ndarray,
                         (k_coarse * k_fine, coarse.shape[1]))
     codes = assign_factored(held, coarse, fine)
     resid = np.asarray(held - table[codes]).reshape(-1)
-    nb = 2 ** nbits
-    cutoffs = np.quantile(resid, np.arange(1, nb) / nb).astype(np.float32)
-    weights = np.quantile(resid, (np.arange(nb) + 0.5) / nb) \
-        .astype(np.float32)
-    return ResidualCodec(centroids=table,
-                         bucket_cutoffs=jnp.asarray(cutoffs),
-                         bucket_weights=jnp.asarray(weights), nbits=nbits,
+    cutoffs, weights = _fit_buckets(resid, nbits)
+    return ResidualCodec(centroids=table, bucket_cutoffs=cutoffs,
+                         bucket_weights=weights, nbits=nbits,
                          coarse=coarse, fine=fine)
 
 

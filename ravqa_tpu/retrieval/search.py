@@ -28,11 +28,6 @@ from ..ops.maxsim import maxsim_search_pallas, maxsim_search_xla
 from ..ops.quant import maxsim_search_int8_xla
 from .index import TokenIndex
 
-# codebook size below which an explicit centroid_prune is known to shuffle
-# near-ties (resolve_centroid_prune docstring); kept as guidance for callers
-CENTROID_PRUNE_MIN_CODEBOOK = 4096
-
-
 def mesh_axis_size(mesh, axis) -> int:
     """Total shard count over `axis`, which may be one mesh axis name or a
     tuple of names (e.g. ("dcn", "ici") for a multi-pod sharded index —
@@ -142,6 +137,15 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                 b_aligned = min(-(-b_local // req) * req,
                                 (nb_local // req) * req)
                 if b_aligned >= b_need:
+                    if b_aligned < b_local:
+                        import warnings
+                        warnings.warn(
+                            f"stage-1 kernel alignment reduced the "
+                            f"per-shard block cut {b_local} -> "
+                            f"{b_aligned} of {nb_local} blocks "
+                            f"(multiple-of-{req} constraint) — a recall "
+                            "knob you set was narrowed; pass "
+                            "stage1_kernel=False to keep it exact")
                     b_local = b_aligned
         c_local = min(c_local, b_local * block_size)
 
@@ -647,10 +651,10 @@ class LateInteractionSearcher:
         decompress dominates again.
 
         An explicit `centroid_prune` always wins (the caller owns the
-        recall trade-off — below CENTROID_PRUNE_MIN_CODEBOOK same-cluster
-        docs share identical code sequences and the cut shuffles
-        near-ties, the tight-cluster worst case of
-        tests/test_recall_gate.py), clamped off only for non-residual
+        recall trade-off — with codebooks below ~4k centroids
+        same-cluster docs share identical code sequences and the cut
+        shuffles near-ties, the tight-cluster worst case of
+        tests/test_recall_gate.py), zeroed only for non-residual
         indexes and when it would not actually cut."""
         if self.index.nbits == 0:
             return 0

@@ -54,6 +54,8 @@ FACTORED = os.environ.get("BENCH_FACTORED")
 if FACTORED:
     K1, K2 = map(int, FACTORED.lower().split("x"))
     N_CENT = K1 * K2
+    assert N_CENT <= 65536, \
+        "pack_records stores codes as uint16 — k1*k2 > 65536 wraps silently"
 else:
     N_CENT = int(os.environ.get("BENCH_NCENT", 8192))
 dt = jnp.bfloat16

@@ -29,7 +29,11 @@ Measured decomposition (one v5e chip, 256x256 factored, nbits=2, B=32):
   C=1024:  a) 8.08  b) 9.46  c) 6.94  d) 2.26   ms/batch
 
 So the fused path loses to XLA at 256x256 because the KERNEL itself is
-the dominant term, not the staging. NEGATIVE RESULT (A/B'd in
+the dominant term, not the staging. CAVEAT on leg (d): it stages the
+PRE-aca4572 3-lane side-band (validity+codes+scales f32) while the
+production path now builds 2 lanes, so (d) OVERSTATES staging cost and
+the kernel's share is if anything larger — the conclusion only
+strengthens; legs (a)-(c) are unaffected. NEGATIVE RESULT (A/B'd in
 isolation): rewriting the per-plane unpack to one full-lane-width
 (T, dim) select chain + a single full-K residual matmul REGRESSES ~7%
 (C1024 4.66 -> 5.01 ms isolated) — the narrow per-plane matmuls were
@@ -66,6 +70,8 @@ SLAB = 62_528
 NBITS = 2
 K1, K2 = map(int, os.environ.get("BENCH_FACTORED", "256x256")
              .lower().split("x"))
+assert K1 * K2 <= 65536, \
+    "pack_records stores codes as uint16 — k1*k2 > 65536 wraps silently"
 dt = jnp.bfloat16
 
 

@@ -54,7 +54,11 @@ def pytest_collection_modifyitems(config, items):
     # used for tests sharing an expensive module/class-scoped fixture
     # (pytest bills the fixture to whichever test runs first, so the
     # whole sharing group must sit in the same tier)
-    prefixes = tuple(p + "::" for p in slow_ids if "[" not in p)
+    # "::"-suffixed prefixes cover files/classes; "["-suffixed ones let a
+    # bare function id mark all its parametrized children (a function id
+    # + "::" alone would never prefix "test_y[param]")
+    bare = [p for p in slow_ids if "[" not in p]
+    prefixes = tuple(p + "::" for p in bare) + tuple(p + "[" for p in bare)
     mark = pytest.mark.slow
     for item in items:
         if item.nodeid in slow_ids or item.nodeid.startswith(prefixes):
