@@ -65,6 +65,13 @@ class FLMRModelConfig:
     transformer_mapping_hidden: int = 768
     transformer_mapping_num_heads: int = 12
     vision_patch_dim: Optional[int] = None  # patch-feature dim (def: vision_dim)
+    # in-batch-negative loss memory/throughput knobs (ops.losses):
+    # ib_block_n > 0 scores the (B x B*nway) pair grid in doc blocks with
+    # per-block remat (bounds the token-score intermediate + residuals);
+    # ib_score_bf16 runs the scoring dot in bf16 (MXU-native; the
+    # reference scores docs in fp16 on GPU, colbert.py:204)
+    ib_block_n: int = 0
+    ib_score_bf16: bool = False
 
     @staticmethod
     def tiny(**kw) -> "FLMRModelConfig":
@@ -255,7 +262,9 @@ class FLMRRetriever(nn.Module):
         out = {"scores": scores, "loss": nway_loss,
                "ib_loss": jnp.zeros(())}
         if cfg.use_ib_negatives:
-            ib, _ = in_batch_negative_loss(q, d, d_mask, cfg.nway)
+            ib, _ = in_batch_negative_loss(
+                q, d, d_mask, cfg.nway, block_n=cfg.ib_block_n,
+                compute_dtype=jnp.bfloat16 if cfg.ib_score_bf16 else None)
             out["ib_loss"] = ib
             out["loss"] = nway_loss + ib
         return out

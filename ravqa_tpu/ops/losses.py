@@ -68,15 +68,28 @@ def nway_ce_loss(q: jax.Array, d: jax.Array, d_mask: jax.Array,
 
 
 def in_batch_negative_loss(q: jax.Array, d: jax.Array, d_mask: jax.Array,
-                           nway: int, q_mask: jax.Array | None = None):
+                           nway: int, q_mask: jax.Array | None = None,
+                           block_n: int = 0, compute_dtype=None):
     """Full cross-batch CE: every query vs every doc in the batch.
 
     Args:
       q: (B, Lq, dim); d: (B*nway, Ld, dim); positive doc of query i is row
          i*nway (reference colbert.py:96-101).
+      block_n: >0 scores in doc blocks with per-block rematerialization
+        (maxsim_all_pairs_blocked) — bounds both the forward intermediate
+        and the autodiff residuals to one block instead of the full
+        (B*nway, Ld, B, Lq) token-score tensor.
+      compute_dtype: dot dtype (jnp.bfloat16 = the MXU-native path,
+        matching the reference's fp16-on-GPU doc scoring, colbert.py:204).
     Returns: (loss, score matrix (B, B*nway)).
     """
-    scores = maxsim_all_pairs_xla(q, d, d_mask, q_mask)  # (B, B*nway)
+    if block_n or compute_dtype is not None:
+        from .maxsim import maxsim_all_pairs_blocked
+        scores = maxsim_all_pairs_blocked(q, d, d_mask, q_mask,
+                                          block_n=block_n,
+                                          compute_dtype=compute_dtype)
+    else:
+        scores = maxsim_all_pairs_xla(q, d, d_mask, q_mask)  # (B, B*nway)
     b = q.shape[0]
     labels = jnp.arange(b, dtype=jnp.int32) * nway
     loss = optax.softmax_cross_entropy_with_integer_labels(scores, labels)

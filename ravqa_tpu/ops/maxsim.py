@@ -86,6 +86,63 @@ def maxsim_all_pairs_xla(q: jax.Array, d: jax.Array, d_mask: jax.Array,
     return jnp.sum(per_q, axis=-1).T                    # (Bq, Bd)
 
 
+def maxsim_all_pairs_blocked(q: jax.Array, d: jax.Array, d_mask: jax.Array,
+                             q_mask: jax.Array | None = None, *,
+                             block_n: int = 0,
+                             compute_dtype=None) -> jax.Array:
+    """All-pairs MaxSim without the full (Bd, Ld, Bq, Lq) HBM intermediate.
+
+    Identical math to maxsim_all_pairs_xla, restructured for training
+    (the in-batch-negative loss, reference colbert.py:82-113): a lax.map
+    over doc blocks with jax.checkpoint on each block, so both the
+    forward intermediate AND the autodiff residuals are bounded by one
+    block's (block_n, Ld, Bq, Lq) tensor — the unblocked path saves the
+    entire token-score tensor for the max's backward (e.g. 253 MB f32 at
+    the reference bs30/nway5 config, 3.3 GB at the 9-ROI Lq=832 shape).
+
+    Args:
+      q: (Bq, Lq, dim); d: (Bd, Ld, dim); d_mask: (Bd, Ld).
+      block_n: docs per block (0 -> one block, i.e. just remat). Bd is
+        padded up to a multiple internally; padded docs are masked out.
+      compute_dtype: dtype for the dot (e.g. jnp.bfloat16 to ride the
+        MXU's native path — the reference scores docs in fp16 on GPU,
+        colbert.py:204). None keeps the input dtype; accumulation is
+        always f32.
+    Returns: (Bq, Bd) f32 scores.
+    """
+    bd, ld, dim = d.shape
+    bq = q.shape[0]
+    qc = q.astype(compute_dtype) if compute_dtype is not None else q
+    if block_n <= 0 or block_n >= bd:
+        block_n = bd
+    pad = (-bd) % block_n
+    if pad:
+        d = jnp.pad(d, ((0, pad), (0, 0), (0, 0)))
+        d_mask = jnp.pad(d_mask, ((0, pad), (0, 0)))
+    nb = d.shape[0] // block_n
+
+    @jax.checkpoint
+    def score_block(d_blk, m_blk):
+        dc = d_blk.astype(compute_dtype) if compute_dtype is not None \
+            else d_blk
+        s = jnp.einsum("nld,bqd->nlbq", dc, qc,
+                       preferred_element_type=jnp.float32)
+        s = jnp.where(m_blk[:, :, None, None], s, NEG_INF)
+        per_q = jnp.max(s, axis=1)                       # (blk, Bq, Lq)
+        if q_mask is not None:
+            per_q = per_q * q_mask.astype(per_q.dtype)[None]
+        return jnp.sum(per_q, axis=-1).T                 # (Bq, blk)
+
+    d_blocks = d.reshape(nb, block_n, ld, dim)
+    m_blocks = d_mask.astype(bool).reshape(nb, block_n, ld)
+    if nb == 1:
+        out = score_block(d_blocks[0], m_blocks[0])
+    else:
+        out = jax.lax.map(lambda a: score_block(*a), (d_blocks, m_blocks))
+        out = jnp.moveaxis(out, 0, 1).reshape(bq, nb * block_n)
+    return out[:, :bd]
+
+
 def maxsim_search_xla(q: jax.Array, index_tokens: jax.Array,
                       index_mask: jax.Array,
                       q_mask: jax.Array | None = None) -> jax.Array:

@@ -113,6 +113,7 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
         if centroid_prune else 0
     if cp_local >= c_local:
         cp_local = 0
+    rows_fallback = False
     if hierarchical:
         nb_local = n_local // block_size
         if n_blocks is None:
@@ -126,27 +127,29 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
         if use_summ_rows:
             # the fused stage-1 kernel's output block is (tb*bs,) lanes:
             # the per-shard block count must be a multiple of
-            # 128/gcd(bs, 128) (ops.maxsim.stage1_sweep_pallas). Indexes
-            # too small to align fall through unaligned — the XLA twin
-            # (non-TPU backends) has no constraint, and on TPU the
-            # kernel's own trace-time assert reports the shape. Never
-            # align below the k-coverage floor.
+            # 128/gcd(bs, 128) (ops.maxsim.stage1_sweep_pallas). When an
+            # aligned count cannot both fit the shard and cover k docs,
+            # this program disables the kernel stage 1 and reconstructs
+            # doc-major summaries from the rows layout inside the shard
+            # (an unaligned count would trace-fail the kernel on TPU;
+            # the XLA twin merely tolerates it).
             import math
             req = 128 // math.gcd(block_size, 128)
-            if nb_local >= req:
-                b_aligned = min(-(-b_local // req) * req,
-                                (nb_local // req) * req)
-                if b_aligned >= b_need:
-                    if b_aligned < b_local:
-                        import warnings
-                        warnings.warn(
-                            f"stage-1 kernel alignment reduced the "
-                            f"per-shard block cut {b_local} -> "
-                            f"{b_aligned} of {nb_local} blocks "
-                            f"(multiple-of-{req} constraint) — a recall "
-                            "knob you set was narrowed; pass "
-                            "stage1_kernel=False to keep it exact")
-                    b_local = b_aligned
+            b_aligned = min(-(-b_local // req) * req,
+                            (nb_local // req) * req)
+            if nb_local >= req and b_aligned >= b_need:
+                if b_aligned < b_local:
+                    import warnings
+                    warnings.warn(
+                        f"stage-1 kernel alignment reduced the "
+                        f"per-shard block cut {b_local} -> "
+                        f"{b_aligned} of {nb_local} blocks "
+                        f"(multiple-of-{req} constraint) — a recall "
+                        "knob you set was narrowed; pass "
+                        "stage1_kernel=False to keep it exact")
+                b_local = b_aligned
+            else:
+                rows_fallback = True
         c_local = min(c_local, b_local * block_size)
 
     def _merge(q, s, i):
@@ -196,6 +199,28 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                 approx_recall=approx_recall)
         return _merge(q, s, i)
 
+    def _summ_kwargs(summ, summ_scale):
+        """Map the summaries slot (+ optional per-doc scale) onto
+        hierarchical_search's summaries/summ_int8/summ_rows kwargs.
+        With rows_fallback the stage1_rows layout is undone in-shard
+        (cheap transpose) so stage 1 runs the plain XLA path."""
+        if use_summ_rows:
+            if not rows_fallback:
+                return dict(summaries=None, summ_int8=None,
+                            summ_scale=summ_scale, summ_rows=summ)
+            nb_r, s_r, bs_r, d_r = summ.shape
+            flat = jnp.swapaxes(summ, 1, 2).reshape(nb_r * bs_r, s_r, d_r)
+            if flat.dtype == jnp.int8:
+                return dict(summaries=None, summ_int8=flat,
+                            summ_scale=summ_scale, summ_rows=None)
+            return dict(summaries=flat, summ_int8=None, summ_scale=None,
+                        summ_rows=None)
+        if use_summ_i8:
+            return dict(summaries=None, summ_int8=summ,
+                        summ_scale=summ_scale, summ_rows=None)
+        return dict(summaries=summ, summ_int8=None, summ_scale=None,
+                    summ_rows=None)
+
     def _local_hier(q, tok, msk, summ, bsum, scl=None, summ_scale=None):
         # use_summ_i8: the `summ` slot carries the int8 doc-major copy
         # (quantize_summaries_int8) and `summ_scale` its per-doc scales —
@@ -205,22 +230,15 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
         # (ops.maxsim.stage1_sweep_pallas; on-chip 1M: 6030 vs 4962 QPS
         # at B128/C1024 — STATUS.md round-4 table).
         s, i = hierarchical_search(q, tok, msk,
-                                   None if (use_summ_i8 or use_summ_rows)
-                                   else summ,
-                                   bsum, k=k_local,
+                                   block_summ=bsum, k=k_local,
                                    n_blocks=b_local, n_candidates=c_local,
                                    block_size=block_size, scales=scl,
                                    coarse_query_len=coarse_query_len,
                                    group_size=group_size,
                                    approx_topk=approx_topk,
                                    approx_recall=approx_recall,
-                                   summ_int8=summ if (use_summ_i8 and
-                                                      not use_summ_rows)
-                                   else None,
-                                   summ_scale=summ_scale,
-                                   summ_rows=summ if use_summ_rows
-                                   else None,
-                                   stage1_tile_b=stage1_tile_b)
+                                   stage1_tile_b=stage1_tile_b,
+                                   **_summ_kwargs(summ, summ_scale))
         return _merge(q, s, i)
 
     # residual-codec variants: per-doc arrays (packed records) shard over
@@ -248,9 +266,7 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                         summ_scale=None, codec_coarse=None,
                         codec_fine=None):
         s, i = hierarchical_search(q, None, msk,
-                                   None if (use_summ_i8 or use_summ_rows)
-                                   else summ,
-                                   bsum, k=k_local,
+                                   block_summ=bsum, k=k_local,
                                    n_blocks=b_local, n_candidates=c_local,
                                    block_size=block_size,
                                    coarse_query_len=coarse_query_len,
@@ -260,15 +276,10 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                    approx_topk=approx_topk,
                                    approx_recall=approx_recall,
                                    centroid_prune=cp_local,
-                                   summ_int8=summ if (use_summ_i8 and
-                                                      not use_summ_rows)
-                                   else None,
-                                   summ_scale=summ_scale,
-                                   summ_rows=summ if use_summ_rows
-                                   else None,
                                    stage1_tile_b=stage1_tile_b,
                                    codec_coarse=codec_coarse,
-                                   codec_fine=codec_fine)
+                                   codec_fine=codec_fine,
+                                   **_summ_kwargs(summ, summ_scale))
         return _merge(q, s, i)
 
     def _hier_jit(fn0, specs):
@@ -611,7 +622,10 @@ class LateInteractionSearcher:
             # The measurement is PER CHIP; the sharded program divides
             # the global count by nshards (make_sharded_search c_local),
             # so scale it back up so each shard runs the measured point.
-            return max(256 * self._nshards(), k)
+            # The 256/chip floor is top-10-validated only — deeper cuts
+            # (Recall@50/100 in FLMRExecutor.evaluate) scale 4k/chip so
+            # the candidate pool never starves the metric depth.
+            return max(256, 4 * k) * self._nshards()
         return 1024 if k <= 100 else max(4 * k, 4096)
 
     def resolve_blocks(self, k: int) -> Optional[int]:
@@ -739,12 +753,39 @@ class LateInteractionSearcher:
         if self.mode == "hierarchical":
             from .coarse import hierarchical_search
             nb = idx.block_summaries.shape[0]
+            n_blocks = min(self.resolve_blocks(k), nb)
+            summ_rows = self._summ_rows
+            if summ_rows is not None:
+                # the fused stage-1 kernel's output block is tb*bs lanes:
+                # the selected-block count must be a multiple of
+                # 128/gcd(bs, 128) (ops.maxsim.stage1_sweep_pallas).
+                # Align up (clamped to nb); when no aligned count covers
+                # the k docs, run the XLA stage 1 over the full-precision
+                # summaries for this k instead of trace-failing on TPU.
+                import math
+                bs = idx.block_size
+                req = 128 // math.gcd(bs, 128)
+                b_need = -(-min(k, idx.n_pad) // bs)
+                aligned = min(-(-n_blocks // req) * req,
+                              (nb // req) * req)
+                if nb >= req and aligned >= b_need:
+                    n_blocks = aligned
+                else:
+                    summ_rows = None
+            if summ_rows is None and self._summ_rows is not None:
+                summaries, summ_int8, summ_scale = idx.summaries, None, None
+            else:
+                summaries = idx.summaries if (self._summ_i8 is None
+                                              and summ_rows is None) else None
+                summ_int8 = self._summ_i8
+                summ_scale = (self._summ_rows_scale
+                              if summ_rows is not None
+                              else self._summ_i8_scale)
             return hierarchical_search(
                 q, idx.tokens, idx.mask,
-                idx.summaries if (self._summ_i8 is None
-                                  and self._summ_rows is None) else None,
+                summaries,
                 idx.block_summaries, k=k,
-                n_blocks=min(self.resolve_blocks(k), nb),
+                n_blocks=n_blocks,
                 n_candidates=min(self.resolve_candidates(k), idx.n_pad),
                 block_size=idx.block_size, scales=idx.scales,
                 coarse_query_len=self.coarse_query_len,
@@ -759,11 +800,9 @@ class LateInteractionSearcher:
                 block_summ_t_scale=self._bsum_t_scale,
                 centroid_prune=self.resolve_centroid_prune(
                     k, min(self.resolve_candidates(k), idx.n_pad)),
-                summ_int8=self._summ_i8,
-                summ_scale=(self._summ_rows_scale
-                            if self._summ_rows is not None
-                            else self._summ_i8_scale),
-                summ_rows=self._summ_rows,
+                summ_int8=summ_int8,
+                summ_scale=summ_scale,
+                summ_rows=summ_rows,
                 codec_coarse=idx.codec_coarse,
                 codec_fine=idx.codec_fine)
         if self.mode == "two_stage":

@@ -325,3 +325,75 @@ def test_stage1_sweep_xla_twin_matches_kernel(int8):
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-3)
     # ranking-grade agreement: per-query argmax identical
     assert (got.argmax(1) == want.argmax(1)).all()
+
+
+@pytest.mark.parametrize("block_n,pad", [(0, False), (4, False), (4, True),
+                                         (16, True)])
+def test_blocked_all_pairs_matches_unblocked(block_n, pad):
+    """maxsim_all_pairs_blocked == maxsim_all_pairs_xla in values AND
+    grads (the training in-batch-negative loss's fused/blocked rewrite,
+    VERDICT r4 Next #2) — incl. non-divisible Bd (internal padding)."""
+    from ravqa_tpu.ops.maxsim import (maxsim_all_pairs_blocked,
+                                      maxsim_all_pairs_xla)
+
+    rng = np.random.default_rng(0)
+    bq, bd, lq, ld, dim = 3, 10 if pad else 8, 5, 7, 16
+    q = jnp.asarray(rng.normal(size=(bq, lq, dim)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(bd, ld, dim)), jnp.float32)
+    d_mask = jnp.asarray(rng.integers(0, 2, (bd, ld)), jnp.float32)
+    d_mask = d_mask.at[:, 0].set(1.0)  # every doc has >= 1 valid token
+    q_mask = jnp.asarray(rng.integers(0, 2, (bq, lq)), jnp.float32)
+
+    ref = maxsim_all_pairs_xla(q, d, d_mask, q_mask)
+    out = maxsim_all_pairs_blocked(q, d, d_mask, q_mask, block_n=block_n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_ref(q, d):
+        return jnp.sum(jnp.tanh(
+            maxsim_all_pairs_xla(q, d, d_mask, q_mask) / 10))
+
+    def loss_blk(q, d):
+        return jnp.sum(jnp.tanh(maxsim_all_pairs_blocked(
+            q, d, d_mask, q_mask, block_n=block_n) / 10))
+
+    gq_ref, gd_ref = jax.grad(loss_ref, argnums=(0, 1))(q, d)
+    gq, gd = jax.jit(jax.grad(loss_blk, argnums=(0, 1)))(q, d)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gq_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gd_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ib_loss_blocked_matches_xla():
+    """in_batch_negative_loss with block_n set matches the unblocked path
+    (loss value + grads through both towers' embeddings)."""
+    from ravqa_tpu.ops.losses import in_batch_negative_loss
+
+    rng = np.random.default_rng(1)
+    b, nway, lq, ld, dim = 4, 3, 5, 6, 8
+    q = jnp.asarray(rng.normal(size=(b, lq, dim)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(b * nway, ld, dim)), jnp.float32)
+    d_mask = jnp.ones((b * nway, ld), jnp.float32)
+
+    loss_ref, s_ref = in_batch_negative_loss(q, d, d_mask, nway)
+    loss_blk, s_blk = in_batch_negative_loss(q, d, d_mask, nway, block_n=5)
+    np.testing.assert_allclose(float(loss_blk), float(loss_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_blk), np.asarray(s_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    g_ref = jax.grad(lambda q, d: in_batch_negative_loss(
+        q, d, d_mask, nway)[0], argnums=(0, 1))(q, d)
+    g_blk = jax.jit(jax.grad(lambda q, d: in_batch_negative_loss(
+        q, d, d_mask, nway, block_n=5)[0], argnums=(0, 1)))(q, d)
+    for a, r in zip(g_blk, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-4, atol=1e-6)
+
+    # bf16 scoring: same ranking, tolerant values (the reference's
+    # half-precision doc scoring, colbert.py:204)
+    loss_bf, s_bf = in_batch_negative_loss(q, d, d_mask, nway, block_n=5,
+                                           compute_dtype=jnp.bfloat16)
+    assert np.isfinite(float(loss_bf))
+    np.testing.assert_allclose(np.asarray(s_bf), np.asarray(s_ref),
+                               rtol=0.05, atol=0.2)

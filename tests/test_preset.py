@@ -73,9 +73,9 @@ def test_fast_preset_resolves_knobs():
                                 mode="hierarchical", use_pallas=False,
                                 preset="fast")
     assert s.resolve_candidates(10) == 256
-    assert s.resolve_candidates(1000) == 1000      # k always covered
+    assert s.resolve_candidates(1000) == 4000      # deep k scales 4k/chip
     assert s.resolve_blocks(10) == 32              # max(32, ceil(256/64))
-    assert s.resolve_blocks(5000) == 79            # ceil(5000/64)
+    assert s.resolve_blocks(5000) == 313           # ceil(4*5000/64)
     # int8 pruning summaries ride the stage-1 rows layout
     assert s._summ_rows is not None
     assert s._summ_rows.dtype == jnp.int8
