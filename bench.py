@@ -21,6 +21,8 @@ HLO and shipped to the remote compiler.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -163,6 +165,76 @@ def main():
     qps_exact = b * iters / dt_exact
     qps_two = b * iters / dt_two
     qps_hier = b * iters / dt_hier
+
+    # ---- 1M-doc leg (the BASELINE.json north-star scale) through the
+    # shipped searcher API under preset="fast" (VERDICT r4 Next #4:
+    # BENCH_r*.json must record the target scale, not just 112k).
+    # int8 + residual codecs; disable with RAVQA_BENCH_1M=0.
+    extra_1m = {}
+    if on_tpu and os.environ.get("RAVQA_BENCH_1M", "1") != "0":
+        # free the 112k buffers first (the int8 1M index alone is 7.5 GiB)
+        for a in (index, mask, summ, bsum, summ_t, bsum_t, summ_rows):
+            a.delete()
+        del index, mask, summ, bsum, summ_t, bsum_t, summ_rows
+        import functools
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts"))
+        import synth1m
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from ravqa_tpu.retrieval import LateInteractionSearcher
+
+        key = jax.random.PRNGKey(7)
+        topics = synth1m.make_topics(key)
+        mesh = Mesh(np.array(jax.devices()[:1]), ("index",))
+        sh = NamedSharding(mesh, P("index"))
+
+        @jax.jit
+        def make_queries_1m(qkey, key, topics):
+            base = synth1m.slab_tokens(key, 0, topics)[:b, :lq] \
+                .astype(jnp.float32)
+            qt = base + 0.1 * jax.random.normal(qkey, (b, lq, synth1m.DIM))
+            qt = qt * jax.lax.rsqrt(
+                jnp.sum(qt ** 2, -1, keepdims=True) + 1e-9)
+            return qt.astype(jnp.float32)
+
+        q1m = jax.block_until_ready(
+            make_queries_1m(jax.random.PRNGKey(1), key, topics))
+        qidx = np.arange(b)
+
+        for codec in ("int8", "residual"):
+            idx1m = (synth1m.build_int8_index(key, topics, sh)
+                     if codec == "int8"
+                     else synth1m.build_residual_index(key, topics, sh))
+            s = LateInteractionSearcher(idx1m, mesh=mesh, axis="index",
+                                        mode="hierarchical", preset="fast",
+                                        approx_topk=True)
+            _, rows1m = s.search(np.asarray(q1m), k=k)
+            top1_1m = float(np.mean(rows1m[:, 0] == qidx))
+            fn = s._search_fn(k)
+            args1m = s.sharded_args(q1m)
+
+            @functools.partial(jax.jit, static_argnums=0)
+            def run1m(iters, qq0, *arrs):
+                def body(qq, _):
+                    sc, _ = fn(qq, *arrs)
+                    return qq + (sc[:, 0] * 1e-9).astype(
+                        qq.dtype)[:, None, None], ()
+                qq, _ = jax.lax.scan(body, qq0, None, length=iters)
+                return qq[:1, :1, :1]
+
+            it1m = 32
+            _ = np.asarray(run1m(it1m, *args1m))
+            t0 = time.perf_counter()
+            _ = np.asarray(run1m(it1m, *args1m))
+            dt1m = time.perf_counter() - t0
+            extra_1m[f"qps_1m_{codec}_preset_fast"] = round(
+                b * it1m / dt1m, 1)
+            extra_1m[f"self_top1_1m_{codec}"] = top1_1m
+            for leaf in jax.tree.leaves(idx1m.__dict__):
+                if isinstance(leaf, jax.Array):
+                    leaf.delete()
+            del idx1m, s, fn, args1m
+
     out = {
         "metric": f"late-interaction search QPS/chip ({n} docs x {ld} toks, "
                   f"hierarchical B={n_blocks} C={n_candidates}, top-{k})",
@@ -183,6 +255,7 @@ def main():
             "hierarchical_ms_per_batch32": round(dt_hier / iters * 1e3, 2),
             "index_gib": round(n * ld * dim
                                * (2 if on_tpu else 4) / 2 ** 30, 2),
+            **extra_1m,
         },
     }
     print(json.dumps(out))

@@ -83,6 +83,11 @@ def _flmr_config_from(mc):
         transformer_mapping_num_heads=mc.get(
             "transformer_mapping_num_heads", 12),
         vision_patch_dim=mc.get("vision_patch_dim"),
+        # blocked/remat in-batch-negative loss (ops.losses): +12.6%
+        # steps/s at the 9-ROI Lq=832 shape on v5e (scripts/bench_train
+        # SCALE=roi, round-5), parity-tested vs the unblocked path
+        ib_block_n=mc.get("ib_block_n", 0),
+        ib_score_bf16=mc.get("ib_score_bf16", False),
     )
 
 

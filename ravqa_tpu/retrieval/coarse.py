@@ -420,7 +420,9 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
                         summ_rows: Optional[jax.Array] = None,
                         stage1_tile_b: int = 8,
                         codec_coarse: Optional[jax.Array] = None,
-                        codec_fine: Optional[jax.Array] = None):
+                        codec_fine: Optional[jax.Array] = None,
+                        block_summ_int8: Optional[jax.Array] = None,
+                        block_summ_scale: Optional[jax.Array] = None):
     """3-stage search: block summaries -> doc summaries -> exact MaxSim.
 
     Cuts the dominant coarse matmul by ~block_size/n_blocks-fold vs
@@ -511,6 +513,19 @@ def hierarchical_search(q: jax.Array, tokens: Optional[jax.Array],
             else jnp.pad(blk_valid, (0, nb_pad - nb))
         s0 = coarse_sweep_pallas(qc, block_summ_t, v,    # (B, nb_pad)
                                  dscale=block_summ_t_scale)
+    elif block_summ_int8 is not None:
+        # int8 stage 0 (the sharded program's XLA path): bf16 dot over
+        # the int8 values is exact; the strictly-positive per-block
+        # scale commutes with the max-over-slots and sum-over-query
+        # (same argument as the stage-1 int8 path above)
+        qc = q if coarse_query_len is None else q[:, :coarse_query_len]
+        s = jnp.einsum("nsd,bqd->nsbq",
+                       block_summ_int8.astype(jnp.bfloat16),
+                       qc.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        s0 = jnp.sum(jnp.max(s, axis=1), axis=-1).T \
+            * block_summ_scale[None, :]
+        s0 = jnp.where(blk_valid[None, :], s0, NEG_INF)
     else:
         s0 = coarse_scores(q, block_summ, coarse_query_len)  # (B, nb)
         s0 = jnp.where(blk_valid[None, :], s0, NEG_INF)

@@ -90,7 +90,8 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                         use_summ_i8: bool = False,
                         use_summ_rows: bool = False,
                         stage1_tile_b: int = 8,
-                        factored_codec: bool = False):
+                        factored_codec: bool = False,
+                        use_bsum_i8: bool = False):
     """Build a jitted collective search fn over `mesh`.
 
     Returned fn(q, tokens, mask[, summaries[, block_summaries]][, scales])
@@ -221,7 +222,16 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
         return dict(summaries=summ, summ_int8=None, summ_scale=None,
                     summ_rows=None)
 
-    def _local_hier(q, tok, msk, summ, bsum, scl=None, summ_scale=None):
+    def _bsum_kwargs(bsum, bsum_scale):
+        """Stage-0 block summaries: int8 copy + per-block scale when
+        use_bsum_i8 (sharded stage-0 int8), else the bf16/f32 original."""
+        if use_bsum_i8:
+            return dict(block_summ=None, block_summ_int8=bsum,
+                        block_summ_scale=bsum_scale)
+        return dict(block_summ=bsum)
+
+    def _local_hier(q, tok, msk, summ, bsum, scl=None, summ_scale=None,
+                    bsum_scale=None):
         # use_summ_i8: the `summ` slot carries the int8 doc-major copy
         # (quantize_summaries_int8) and `summ_scale` its per-doc scales —
         # stage 1's gather then moves half the HBM bytes (coarse.py).
@@ -230,7 +240,7 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
         # (ops.maxsim.stage1_sweep_pallas; on-chip 1M: 6030 vs 4962 QPS
         # at B128/C1024 — STATUS.md round-4 table).
         s, i = hierarchical_search(q, tok, msk,
-                                   block_summ=bsum, k=k_local,
+                                   k=k_local,
                                    n_blocks=b_local, n_candidates=c_local,
                                    block_size=block_size, scales=scl,
                                    coarse_query_len=coarse_query_len,
@@ -238,6 +248,7 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                    approx_topk=approx_topk,
                                    approx_recall=approx_recall,
                                    stage1_tile_b=stage1_tile_b,
+                                   **_bsum_kwargs(bsum, bsum_scale),
                                    **_summ_kwargs(summ, summ_scale))
         return _merge(q, s, i)
 
@@ -263,10 +274,10 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
         return _merge(q, s, i)
 
     def _local_hier_res(q, msk, summ, bsum, recs, cent, bw,
-                        summ_scale=None, codec_coarse=None,
-                        codec_fine=None):
+                        summ_scale=None, bsum_scale=None,
+                        codec_coarse=None, codec_fine=None):
         s, i = hierarchical_search(q, None, msk,
-                                   block_summ=bsum, k=k_local,
+                                   k=k_local,
                                    n_blocks=b_local, n_candidates=c_local,
                                    block_size=block_size,
                                    coarse_query_len=coarse_query_len,
@@ -279,6 +290,7 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
                                    stage1_tile_b=stage1_tile_b,
                                    codec_coarse=codec_coarse,
                                    codec_fine=codec_fine,
+                                   **_bsum_kwargs(bsum, bsum_scale),
                                    **_summ_kwargs(summ, summ_scale))
         return _merge(q, s, i)
 
@@ -286,23 +298,30 @@ def make_sharded_search(mesh: Mesh, n_pad: int, *, k: int,
         """shard_map + jit a hierarchical leg; with use_summ_i8 the
         int8 stage-1 per-doc scales ride as one extra trailing arg
         sharded over `axis` (the summ slot already carries the int8
-        copy — see _local_hier); with factored_codec the codec factors
-        (coarse, fine) ride replicated after it."""
+        copy — see _local_hier); with use_bsum_i8 the per-BLOCK stage-0
+        scales follow (the bsum slot then carries the int8 block-summary
+        copy); with factored_codec the codec factors (coarse, fine) ride
+        replicated last."""
         n_scale = 1 if use_summ_i8 else 0
+        n_bscale = 1 if use_bsum_i8 else 0
         n_fact = 2 if factored_codec else 0
         if n_scale:
             specs = specs + (P(axis),)
+        if n_bscale:
+            specs = specs + (P(axis),)
         if n_fact:
             specs = specs + (P(), P())
-        if n_scale or n_fact:
+        if n_scale or n_bscale or n_fact:
             def fn(*a):
-                base = len(a) - n_scale - n_fact
+                base = len(a) - n_scale - n_bscale - n_fact
                 kw = {}
                 if n_scale:
                     kw["summ_scale"] = a[base]
+                if n_bscale:
+                    kw["bsum_scale"] = a[base + n_scale]
                 if n_fact:
-                    kw["codec_coarse"] = a[base + n_scale]
-                    kw["codec_fine"] = a[base + n_scale + 1]
+                    kw["codec_coarse"] = a[base + n_scale + n_bscale]
+                    kw["codec_fine"] = a[base + n_scale + n_bscale + 1]
                 return fn0(*a[:base], **kw)
         else:
             fn = fn0
@@ -405,7 +424,7 @@ class LateInteractionSearcher:
         knob off unless set. "fast" applies the MEASURED rank-converged
         operating point from the on-chip sweeps (STATUS.md round-4;
         scripts/exp_1m_convergence.py, frontier_112k.py): candidates
-        max(256, k), n_blocks covering the candidates (>=32), int8
+        max(256, 4k), n_blocks covering the candidates (>=32), int8
         pruning-stage summaries, and the fused stage-1 kernel for
         hierarchical indexes — top-10 overlap vs the reference preset
         measured 1.0000 at 112k AND 1M docs on clustered corpora
@@ -549,6 +568,21 @@ class LateInteractionSearcher:
                 ss = jax.device_put(ss, NamedSharding(mesh, P(axis)))
             self._summ_i8 = si8
             self._summ_i8_scale = ss
+        # sharded stage-0 int8: the mesh program's block-summary sweep is
+        # plain XLA (the slot-major kernel copy is single-device only);
+        # an int8 copy + per-block scales halves its HBM read and rides
+        # the MXU int8 path. Order-exact rescale (scale commutes with
+        # max/sum — coarse.hierarchical_search int8 stage-0 branch).
+        self._bsum_i8 = None
+        self._bsum_i8_scale = None
+        if mode == "hierarchical" and coarse_int8 and mesh is not None \
+                and index.block_summaries is not None:
+            from ..ops.quant import quantize_summaries_int8
+            bi8, bs_ = quantize_summaries_int8(index.block_summaries)
+            self._bsum_i8 = jax.device_put(
+                bi8, NamedSharding(mesh, P(axis)))
+            self._bsum_i8_scale = jax.device_put(
+                bs_, NamedSharding(mesh, P(axis)))
         # opt-in fused stage-1 kernel (ops.maxsim.stage1_sweep_pallas):
         # streams each query's selected blocks HBM->VMEM via
         # scalar-prefetch DMA instead of the XLA gather+einsum. Measured
@@ -588,7 +622,8 @@ class LateInteractionSearcher:
                     self._summ_i8_scale = None
         if coarse_int8 and self._summ_t_scale is None \
                 and self._bsum_t_scale is None and self._summ_i8 is None \
-                and self._summ_rows_scale is None:
+                and self._summ_rows_scale is None \
+                and self._bsum_i8 is None:
             import warnings
             warnings.warn(
                 "coarse_int8=True had no effect: the int8 paths only "
@@ -704,52 +739,66 @@ class LateInteractionSearcher:
                 use_summ_i8=(self._summ_i8 is not None
                              or self._summ_rows_scale is not None),
                 use_summ_rows=self._summ_rows is not None,
-                factored_codec=self.index.codec_coarse is not None)
+                factored_codec=self.index.codec_coarse is not None,
+                use_bsum_i8=self._bsum_i8 is not None)
         return self._sharded_fns[k]
 
-    def search_device(self, q: jax.Array, k: int):
-        """(B, Lq, dim) -> (scores (B,k), padded-index rows (B,k)), on device."""
+    def sharded_args(self, q: jax.Array) -> tuple:
+        """The exact positional arg tuple the sharded program
+        (_search_fn(k)) expects for this searcher's index layout —
+        public so benches/serving can scan-chain the compiled fn without
+        duplicating the assembly (which grows with codec features)."""
         idx = self.index
-        if self.mesh is not None:
-            fn = self._search_fn(k)
-            # hierarchical + coarse_int8: the summaries slot carries the
-            # int8 doc-major copy (or its stage1_rows layout when the
-            # fused stage-1 kernel is on), with any per-doc scales
-            # appended last
-            summ = self._summ_rows if self._summ_rows is not None else \
-                (idx.summaries if self._summ_i8 is None else
-                 self._summ_i8)
-            tail_scale = self._summ_rows_scale \
-                if self._summ_rows is not None else self._summ_i8_scale
-            if idx.tokens is None:                  # residual codec
-                args = (q, idx.mask, summ)
-                if self.mode == "hierarchical":
-                    args += (idx.block_summaries,)
-                args += (idx.records, idx.codec_centroids,
-                         idx.codec_weights)
-                if self._summ_t is not None:
-                    args += (self._summ_t,)
-                    if self._summ_t_scale is not None:
-                        args += (self._summ_t_scale,)
-                if tail_scale is not None:
-                    args += (tail_scale,)
-                if idx.codec_coarse is not None:    # factored codec
-                    args += (idx.codec_coarse, idx.codec_fine)
-                return fn(*args)
-            args = (q, idx.tokens, idx.mask)
-            if self.mode in ("two_stage", "hierarchical"):
-                args += (summ,)
+        # hierarchical + coarse_int8: the summaries slot carries the
+        # int8 doc-major copy (or its stage1_rows layout when the
+        # fused stage-1 kernel is on), with any per-doc scales
+        # appended last
+        summ = self._summ_rows if self._summ_rows is not None else \
+            (idx.summaries if self._summ_i8 is None else
+             self._summ_i8)
+        tail_scale = self._summ_rows_scale \
+            if self._summ_rows is not None else self._summ_i8_scale
+        bsum = (self._bsum_i8 if self._bsum_i8 is not None
+                else idx.block_summaries)
+        if idx.tokens is None:                  # residual codec
+            args = (q, idx.mask, summ)
             if self.mode == "hierarchical":
-                args += (idx.block_summaries,)
-            if idx.scales is not None:
-                args += (idx.scales,)
+                args += (bsum,)
+            args += (idx.records, idx.codec_centroids,
+                     idx.codec_weights)
             if self._summ_t is not None:
                 args += (self._summ_t,)
                 if self._summ_t_scale is not None:
                     args += (self._summ_t_scale,)
             if tail_scale is not None:
                 args += (tail_scale,)
-            return fn(*args)
+            if self._bsum_i8 is not None:
+                args += (self._bsum_i8_scale,)
+            if idx.codec_coarse is not None:    # factored codec
+                args += (idx.codec_coarse, idx.codec_fine)
+            return args
+        args = (q, idx.tokens, idx.mask)
+        if self.mode in ("two_stage", "hierarchical"):
+            args += (summ,)
+        if self.mode == "hierarchical":
+            args += (bsum,)
+        if idx.scales is not None:
+            args += (idx.scales,)
+        if self._summ_t is not None:
+            args += (self._summ_t,)
+            if self._summ_t_scale is not None:
+                args += (self._summ_t_scale,)
+        if tail_scale is not None:
+            args += (tail_scale,)
+        if self._bsum_i8 is not None:
+            args += (self._bsum_i8_scale,)
+        return args
+
+    def search_device(self, q: jax.Array, k: int):
+        """(B, Lq, dim) -> (scores (B,k), padded-index rows (B,k)), on device."""
+        idx = self.index
+        if self.mesh is not None:
+            return self._search_fn(k)(*self.sharded_args(q))
         if self.mode == "hierarchical":
             from .coarse import hierarchical_search
             nb = idx.block_summaries.shape[0]

@@ -68,14 +68,9 @@ def main(codec: str):
     scores, rows = s.search(np.asarray(q), k=K)
     top1 = float(np.mean(rows[:, 0] == qidx))
     fn = s._search_fn(K)
-    # the exact arg tuple search_device assembles for this index layout
-    if codec == "residual":
-        args = (q, idx.mask, s._summ_rows, idx.block_summaries,
-                idx.records, idx.codec_centroids, idx.codec_weights,
-                s._summ_rows_scale)
-    else:
-        args = (q, idx.tokens, idx.mask, s._summ_rows,
-                idx.block_summaries, idx.scales, s._summ_rows_scale)
+    # the exact arg tuple the sharded program expects (assembly owned by
+    # the searcher — it grows with codec features)
+    args = s.sharded_args(q)
 
     @functools.partial(jax.jit, static_argnums=0)
     def run(iters, qq0, *arrs):

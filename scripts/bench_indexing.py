@@ -1,0 +1,199 @@
+"""Indexing-phase throughput at 1M docs on ONE v5e chip (VERDICT r4 Next #3).
+
+The reference treats corpus indexing as a first-class 4-phase offline job
+(collection_indexer.py:56-426: setup/sample -> k-means train -> per-rank
+encode+compress -> IVF finalize). This measures the TPU-native equivalent
+end-to-end with the REAL BERT-base doc tower (not synthetic vectors):
+
+  leg int8     : encode 1M docs (Ld=64) -> int8 quantize -> doc summaries,
+                 all fused per-slab in ONE jitted program (the production
+                 bench_1m.py index layout: 7.5 GiB int8 + scales + S=8
+                 bf16 summaries).
+  leg residual : codec train (device k-means on an encoded sample + host
+                 residual quantiles) then encode -> compress -> packed
+                 records + S=4 summaries (the bench_1m_residual.py layout,
+                 ~3.1 GiB at nbits=2).
+  block summaries for the hierarchical mode are timed separately.
+
+Throughput is reported as docs/s and tokens/s; the encode tower's
+HLO-accounted TFLOP/s contextualizes how much of the job is the BERT
+forward (its flops dominate; quantize/summarize ride the same program).
+
+Run: python scripts/bench_indexing.py          (1M docs, ~5-10 min)
+     BENCH_N=125056 python scripts/bench_indexing.py   (1/8 scale smoke)
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from ravqa_tpu.models import BertConfig, FLMRModelConfig, FLMRRetriever
+from ravqa_tpu.ops.residual import _kmeans, compress_flat, pack_records, \
+    record_bytes
+from ravqa_tpu.retrieval.coarse import block_summaries, summarize_docs
+
+N = int(os.environ.get("BENCH_N", 1_000_448))
+LD, DIM = 64, 128
+SLAB = 7816                      # 1_000_448 / 128
+while N % SLAB:
+    SLAB //= 2
+NBITS = int(os.environ.get("BENCH_NBITS", 2))
+N_CENT = int(os.environ.get("BENCH_NCENT", 8192))
+dt = jnp.bfloat16
+
+cfg = FLMRModelConfig(bert=BertConfig(dtype=jnp.bfloat16), dim=DIM,
+                      vision_dim=768, prefix_len=32, nway=2,
+                      use_ib_negatives=False)
+model = FLMRRetriever(cfg)
+_init_batch = dict(
+    query_input_ids=jnp.ones((2, 8), jnp.int32),
+    query_attention_mask=jnp.ones((2, 8), jnp.int32),
+    image_features=jnp.ones((2, 768), jnp.float32),
+    doc_input_ids=jnp.ones((4, 8), jnp.int32),
+    doc_attention_mask=jnp.ones((4, 8), jnp.int32))
+params = model.init(jax.random.PRNGKey(0), **_init_batch)["params"]
+n_params = sum(x.size for x in jax.tree.leaves(params))
+print(f"doc tower: BERT-base ({n_params/1e6:.0f}M params incl. shared "
+      f"query tower), corpus {N} docs x {LD} tokens, slab {SLAB}",
+      flush=True)
+
+
+def encode_slab(params, key, i):
+    """One slab of synthetic-token REAL encodes: random ids -> doc()."""
+    ids = jax.random.randint(jax.random.fold_in(key, i), (SLAB, LD),
+                             1, 30000, jnp.int32)
+    am = jnp.ones((SLAB, LD), jnp.int32)
+    d, m = model.apply({"params": params}, ids, am,
+                       method=FLMRRetriever.doc)
+    return d.astype(dt), m
+
+
+# ---- leg 1: int8 index build (encode -> quantize -> summaries) ------------
+
+@jax.jit
+def build_int8(params, key):
+    def body(i, carry):
+        idx8, scl, smm = carry
+        tn, m = encode_slab(params, key, i)
+        t32 = tn.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(t32), -1)
+        sc = jnp.maximum(absmax, 1e-8) / 127.0
+        q8 = jnp.round(t32 / sc[..., None]).astype(jnp.int8)
+        sm = summarize_docs(tn, m.astype(jnp.int8), n_summary=8,
+                            iters=2).astype(dt)
+        start = i * SLAB
+        idx8 = jax.lax.dynamic_update_slice(idx8, q8, (start, 0, 0))
+        scl = jax.lax.dynamic_update_slice(scl, sc.astype(jnp.float32),
+                                           (start, 0))
+        smm = jax.lax.dynamic_update_slice(smm, sm, (start, 0, 0))
+        return idx8, scl, smm
+
+    init = (jnp.zeros((N, LD, DIM), jnp.int8),
+            jnp.zeros((N, LD), jnp.float32),
+            jnp.zeros((N, 8, DIM), dt))
+    return jax.lax.fori_loop(0, N // SLAB, body, init)
+
+
+# encode-phase HLO flops (per slab; the build is N/SLAB of these + the
+# quantize/summarize epilogue riding the same program)
+try:
+    cost = jax.jit(encode_slab).lower(
+        params, jax.random.PRNGKey(0), 0).compile().cost_analysis()
+    slab_flops = float(cost.get("flops", 0.0))
+except Exception:
+    slab_flops = 0.0
+
+t0 = time.time()
+idx8, scl, smm = build_int8(params, jax.random.PRNGKey(7))
+idx8 = jax.block_until_ready(idx8)
+dt_b = time.time() - t0
+enc_tflops = slab_flops * (N // SLAB) / dt_b / 1e12
+gib = (idx8.size + scl.size * 4 + smm.size * 2) / 2 ** 30
+print(f"int8 build (encode+quantize+summaries): {dt_b:.0f}s = "
+      f"{N/dt_b:,.0f} docs/s = {N*LD/dt_b/1e6:.2f}M tokens/s "
+      f"({gib:.1f} GiB, encode ~{enc_tflops:.0f} TFLOP/s)", flush=True)
+
+if N % 64 == 0:
+    t0 = time.time()
+    bsum = jax.block_until_ready(
+        jax.jit(lambda s: block_summaries(s, block_size=64,
+                                          n_block_summary=4).astype(dt))(smm))
+    print(f"block summaries (B=64, S=4): {time.time()-t0:.1f}s "
+          f"{tuple(bsum.shape)}", flush=True)
+    bsum.delete()
+    del bsum
+
+for a in (idx8, scl, smm):
+    a.delete()
+del idx8, scl, smm
+
+# ---- leg 2: residual-codec build (train + encode -> compress -> pack) -----
+
+@jax.jit
+def codec_sample(params, key):
+    t, _ = encode_slab(params, key, 0)
+    flat = t.astype(jnp.float32).reshape(-1, DIM)
+    pick = jax.random.choice(jax.random.fold_in(key, 99),
+                             flat.shape[0], (131072,), replace=False)
+    return flat[pick]
+
+
+t0 = time.time()
+key = jax.random.PRNGKey(7)
+sample = codec_sample(params, key)
+held = sample[114688:]
+centroids = _kmeans(sample[:114688], N_CENT, 8)
+codes_h = jnp.argmax(held @ centroids.T, axis=-1)
+resid = np.asarray(held - centroids[codes_h]).reshape(-1)
+nb = 2 ** NBITS
+cutoffs = jnp.asarray(np.quantile(resid, np.arange(1, nb) / nb)
+                      .astype(np.float32))
+weights = jnp.asarray(np.quantile(resid, (np.arange(nb) + 0.5) / nb)
+                      .astype(np.float32))
+dt_train = time.time() - t0
+print(f"codec train ({N_CENT} centroids, nbits={NBITS}): {dt_train:.0f}s "
+      "(sample encode + device k-means + host quantiles)", flush=True)
+
+REC = record_bytes(LD, DIM, NBITS)
+
+
+@jax.jit
+def build_residual(params, key, centroids, cutoffs, weights):
+    def body(i, carry):
+        records, smm = carry
+        tn, m = encode_slab(params, key, i)
+        flat = tn.astype(jnp.float32).reshape(-1, DIM)
+        code, pk, scale = compress_flat(flat, centroids, cutoffs,
+                                        weights, NBITS)
+        rec = pack_records(code.reshape(SLAB, LD),
+                           scale.reshape(SLAB, LD),
+                           pk.reshape(SLAB, LD, -1), NBITS)
+        sm = summarize_docs(tn, m.astype(jnp.int8), n_summary=4,
+                            iters=2).astype(dt)
+        start = i * SLAB
+        records = jax.lax.dynamic_update_slice(records, rec, (start, 0))
+        smm = jax.lax.dynamic_update_slice(smm, sm, (start, 0, 0))
+        return records, smm
+
+    init = (jnp.zeros((N, REC), jnp.uint8),
+            jnp.zeros((N, 4, DIM), dt))
+    return jax.lax.fori_loop(0, N // SLAB, body, init)
+
+
+t0 = time.time()
+records, smm_r = build_residual(params, key, centroids, cutoffs, weights)
+records = jax.block_until_ready(records)
+dt_r = time.time() - t0
+gib_r = (records.size + smm_r.size * 2) / 2 ** 30
+print(f"residual build (encode+compress+pack+summaries): {dt_r:.0f}s = "
+      f"{N/dt_r:,.0f} docs/s = {N*LD/dt_r/1e6:.2f}M tokens/s "
+      f"({gib_r:.1f} GiB records+summaries)", flush=True)
+print(f"TOTAL residual job incl. codec train: {dt_r + dt_train:.0f}s",
+      flush=True)

@@ -99,13 +99,7 @@ for name, kw in (("xla_stage1", dict(coarse_int8=True)),
         qq, _ = jax.lax.scan(body, qq0, None, length=iters)
         return qq[:1, :1, :1]
 
-    summ_arg = s._summ_rows if s._summ_rows is not None else s._summ_i8
-    args = (q.astype(jnp.float32), idx.tokens, idx.mask, summ_arg,
-            idx.block_summaries, idx.scales)
-    tail = (s._summ_rows_scale if s._summ_rows is not None
-            else s._summ_i8_scale)
-    if tail is not None:
-        args += (tail,)
+    args = s.sharded_args(q.astype(jnp.float32))
     iters = 64
     _ = np.asarray(run(iters, *args))
     t0 = time.perf_counter()

@@ -1,7 +1,7 @@
 """Searcher presets: "reference" (the reference's quality-first ndocs
 rule, searcher.py:91-118) vs "fast" (the measured rank-converged
 operating point from the on-chip sweeps — STATUS.md round-4,
-scripts/exp_1m_convergence.py / frontier_112k.py: C = max(256, k),
+scripts/exp_1m_convergence.py / frontier_112k.py: C = max(256, 4k),
 n_blocks covering C (>= 32), int8 pruning-stage summaries, fused
 stage-1 kernel). The fast preset is candidate generation only — the
 final stage still re-scores exactly — so on a separated corpus its
@@ -65,7 +65,7 @@ def test_invalid_preset_raises():
 
 
 def test_fast_preset_resolves_knobs():
-    """fast = C max(256,k), covering n_blocks >= 32, int8 stage-1 rows
+    """fast = C max(256,4k), covering n_blocks >= 32, int8 stage-1 rows
     via the fused kernel (all derived, none explicit)."""
     rng = np.random.default_rng(1)
     toks, mask = make_corpus(rng)

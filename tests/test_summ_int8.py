@@ -163,6 +163,9 @@ def test_sharded_hierarchical_coarse_int8(quantized):
                                 n_candidates=64, n_blocks=16,
                                 use_pallas=False, coarse_int8=True)
     assert s._summ_i8 is not None
+    # round 5: coarse_int8 on a mesh also int8-quantizes the stage-0
+    # block-summary sweep (per-block scales, order-exact rescale)
+    assert s._bsum_i8 is not None and s._bsum_i8_scale is not None
     _, got = s.search(q, k=5)
     assert (got[:, 0] == want[:, 0]).all()
     assert (got[:, 0] == qsrc).all()
