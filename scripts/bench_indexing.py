@@ -6,9 +6,11 @@ encode+compress -> IVF finalize). This measures the TPU-native equivalent
 end-to-end with the REAL BERT-base doc tower (not synthetic vectors):
 
   leg int8     : encode 1M docs (Ld=64) -> int8 quantize -> doc summaries,
-                 all fused per-slab in ONE jitted program (the production
-                 bench_1m.py index layout: 7.5 GiB int8 + scales + S=8
-                 bf16 summaries).
+                 fused per-slab in ONE jitted program with the device-
+                 resident index buffers DONATED (in-place slab writes — no
+                 double buffer of the 7.5 GiB index; the production
+                 bench_1m.py layout: int8 tokens + scales + S=8 bf16
+                 summaries).
   leg residual : codec train (device k-means on an encoded sample + host
                  residual quantiles) then encode -> compress -> packed
                  records + S=4 summaries (the bench_1m_residual.py layout,
@@ -18,6 +20,11 @@ end-to-end with the REAL BERT-base doc tower (not synthetic vectors):
 Throughput is reported as docs/s and tokens/s; the encode tower's
 HLO-accounted TFLOP/s contextualizes how much of the job is the BERT
 forward (its flops dominate; quantize/summarize ride the same program).
+
+Timing note (axon tunnel): block_until_ready can return before remote
+execution finishes, so each leg ends by fetching a tiny checksum computed
+INSIDE the final slab program — host receipt of that scalar proves the
+whole dependency chain executed.
 
 Run: python scripts/bench_indexing.py          (1M docs, ~5-10 min)
      BENCH_N=125056 python scripts/bench_indexing.py   (1/8 scale smoke)
@@ -77,29 +84,25 @@ def encode_slab(params, key, i):
 
 # ---- leg 1: int8 index build (encode -> quantize -> summaries) ------------
 
-@jax.jit
-def build_int8(params, key):
-    def body(i, carry):
-        idx8, scl, smm = carry
-        tn, m = encode_slab(params, key, i)
-        t32 = tn.astype(jnp.float32)
-        absmax = jnp.max(jnp.abs(t32), -1)
-        sc = jnp.maximum(absmax, 1e-8) / 127.0
-        q8 = jnp.round(t32 / sc[..., None]).astype(jnp.int8)
-        sm = summarize_docs(tn, m.astype(jnp.int8), n_summary=8,
-                            iters=2).astype(dt)
-        start = i * SLAB
-        idx8 = jax.lax.dynamic_update_slice(idx8, q8, (start, 0, 0))
-        scl = jax.lax.dynamic_update_slice(scl, sc.astype(jnp.float32),
-                                           (start, 0))
-        smm = jax.lax.dynamic_update_slice(smm, sm, (start, 0, 0))
-        return idx8, scl, smm
+def _int8_slab(idx8, scl, smm, params, key, i):
+    tn, m = encode_slab(params, key, i)
+    t32 = tn.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(t32), -1)
+    sc = jnp.maximum(absmax, 1e-8) / 127.0
+    q8 = jnp.round(t32 / sc[..., None]).astype(jnp.int8)
+    sm = summarize_docs(tn, m.astype(jnp.int8), n_summary=8,
+                        iters=2).astype(dt)
+    start = i * SLAB
+    idx8 = jax.lax.dynamic_update_slice(idx8, q8, (start, 0, 0))
+    scl = jax.lax.dynamic_update_slice(scl, sc.astype(jnp.float32),
+                                       (start, 0))
+    smm = jax.lax.dynamic_update_slice(smm, sm, (start, 0, 0))
+    chk = sc.astype(jnp.float32).sum() + q8[::31, 0, 0].astype(
+        jnp.float32).sum()
+    return idx8, scl, smm, chk
 
-    init = (jnp.zeros((N, LD, DIM), jnp.int8),
-            jnp.zeros((N, LD), jnp.float32),
-            jnp.zeros((N, 8, DIM), dt))
-    return jax.lax.fori_loop(0, N // SLAB, body, init)
 
+int8_slab = jax.jit(_int8_slab, donate_argnums=(0, 1, 2))
 
 # encode-phase HLO flops (per slab; the build is N/SLAB of these + the
 # quantize/summarize epilogue riding the same program)
@@ -111,8 +114,15 @@ except Exception:
     slab_flops = 0.0
 
 t0 = time.time()
-idx8, scl, smm = build_int8(params, jax.random.PRNGKey(7))
-idx8 = jax.block_until_ready(idx8)
+idx8 = jnp.zeros((N, LD, DIM), jnp.int8)
+scl = jnp.zeros((N, LD), jnp.float32)
+smm = jnp.zeros((N, 8, DIM), dt)
+key = jax.random.PRNGKey(7)
+chk = None
+for i in range(N // SLAB):
+    idx8, scl, smm, chk = int8_slab(idx8, scl, smm, params, key,
+                                    jnp.int32(i))
+_ = float(chk)       # host receipt of the last slab's checksum = job done
 dt_b = time.time() - t0
 enc_tflops = slab_flops * (N // SLAB) / dt_b / 1e12
 gib = (idx8.size + scl.size * 4 + smm.size * 2) / 2 ** 30
@@ -122,9 +132,11 @@ print(f"int8 build (encode+quantize+summaries): {dt_b:.0f}s = "
 
 if N % 64 == 0:
     t0 = time.time()
-    bsum = jax.block_until_ready(
-        jax.jit(lambda s: block_summaries(s, block_size=64,
-                                          n_block_summary=4).astype(dt))(smm))
+    bsum, bchk = jax.jit(lambda s: (
+        (b := block_summaries(s, block_size=64, n_block_summary=4)
+         .astype(dt)),
+        b[::37, 0].astype(jnp.float32).sum()))(smm)
+    _ = float(bchk)
     print(f"block summaries (B=64, S=4): {time.time()-t0:.1f}s "
           f"{tuple(bsum.shape)}", flush=True)
     bsum.delete()
@@ -146,7 +158,6 @@ def codec_sample(params, key):
 
 
 t0 = time.time()
-key = jax.random.PRNGKey(7)
 sample = codec_sample(params, key)
 held = sample[114688:]
 centroids = _kmeans(sample[:114688], N_CENT, 8)
@@ -164,32 +175,35 @@ print(f"codec train ({N_CENT} centroids, nbits={NBITS}): {dt_train:.0f}s "
 REC = record_bytes(LD, DIM, NBITS)
 
 
-@jax.jit
-def build_residual(params, key, centroids, cutoffs, weights):
-    def body(i, carry):
-        records, smm = carry
-        tn, m = encode_slab(params, key, i)
-        flat = tn.astype(jnp.float32).reshape(-1, DIM)
-        code, pk, scale = compress_flat(flat, centroids, cutoffs,
-                                        weights, NBITS)
-        rec = pack_records(code.reshape(SLAB, LD),
-                           scale.reshape(SLAB, LD),
-                           pk.reshape(SLAB, LD, -1), NBITS)
-        sm = summarize_docs(tn, m.astype(jnp.int8), n_summary=4,
-                            iters=2).astype(dt)
-        start = i * SLAB
-        records = jax.lax.dynamic_update_slice(records, rec, (start, 0))
-        smm = jax.lax.dynamic_update_slice(smm, sm, (start, 0, 0))
-        return records, smm
+def _residual_slab(records, smm, params, key, centroids, cutoffs, weights,
+                   i):
+    tn, m = encode_slab(params, key, i)
+    flat = tn.astype(jnp.float32).reshape(-1, DIM)
+    code, pk, scale = compress_flat(flat, centroids, cutoffs,
+                                    weights, NBITS)
+    rec = pack_records(code.reshape(SLAB, LD),
+                       scale.reshape(SLAB, LD),
+                       pk.reshape(SLAB, LD, -1))
+    sm = summarize_docs(tn, m.astype(jnp.int8), n_summary=4,
+                        iters=2).astype(dt)
+    start = i * SLAB
+    records = jax.lax.dynamic_update_slice(records, rec, (start, 0))
+    smm = jax.lax.dynamic_update_slice(smm, sm, (start, 0, 0))
+    chk = rec[::31, 0].astype(jnp.float32).sum()
+    return records, smm, chk
 
-    init = (jnp.zeros((N, REC), jnp.uint8),
-            jnp.zeros((N, 4, DIM), dt))
-    return jax.lax.fori_loop(0, N // SLAB, body, init)
 
+residual_slab = jax.jit(_residual_slab, donate_argnums=(0, 1))
 
 t0 = time.time()
-records, smm_r = build_residual(params, key, centroids, cutoffs, weights)
-records = jax.block_until_ready(records)
+records = jnp.zeros((N, REC), jnp.uint8)
+smm_r = jnp.zeros((N, 4, DIM), dt)
+chk = None
+for i in range(N // SLAB):
+    records, smm_r, chk = residual_slab(records, smm_r, params, key,
+                                        centroids, cutoffs, weights,
+                                        jnp.int32(i))
+_ = float(chk)
 dt_r = time.time() - t0
 gib_r = (records.size + smm_r.size * 2) / 2 ** 30
 print(f"residual build (encode+compress+pack+summaries): {dt_r:.0f}s = "
