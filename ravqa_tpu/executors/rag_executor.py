@@ -167,6 +167,11 @@ class RagExecutor(BaseExecutor):
         super().__init__(generator, params, train_cfg, mesh, log_dir, seed,
                          quiet=quiet, copy_params=copy_params)
         self._encode_query = jax.jit(self._encode_query_impl)
+        # one compiled program for the whole serve-time generate path —
+        # eagerly dispatching the generator encoder costs ~22 s/batch for
+        # the 2.8B flan-T5-XL shape over the axon tunnel (measured,
+        # scripts/bench_serving_vqa.py round 5) vs one device call here
+        self._generate_device = jax.jit(self._generate_device_impl)
 
     # -- param helpers --------------------------------------------------------
     def _gen_params(self, params):
@@ -359,43 +364,37 @@ class RagExecutor(BaseExecutor):
         return super().train_step(self.make_train_batch(batch))
 
     # -- generation -----------------------------------------------------------
-    def generate(self, batch) -> dict:
-        """Greedy decode per (question, doc); answer by joint score."""
+    def _generate_device_impl(self, params, qi, qm, feats, d, m, gi, gm_,
+                              px):
+        """Device side of generate() as ONE program: query encode -> doc
+        MaxSim -> LoRA merge -> generator encode -> greedy/beam decode.
+        Jitted in __init__ (self._generate_device); without this the
+        generator encoder dispatches eagerly op-by-op, which costs ~22 s
+        per batch at the flan-T5-XL serving shape through the axon tunnel
+        (only the decode scan traced). num_beams/generator_type are
+        closure-static: changing rag_cfg after construction will not
+        retrace."""
         cfg = self.rag_cfg
         gcfg = self._gcfg
-        ret = self.retrieve(batch)
-        gen_texts = self.input_builder.build(batch["questions"],
-                                             ret["contents"])
-        gi, gm = self._tensorize(gen_texts, cfg.gen_maxlen)
-        b, n_docs = len(batch["questions"]), cfg.n_docs
-
-        # doc scores (no grad needed)
-        q = self._encode_query(self.state.params,
-                               jnp.asarray(batch["query_input_ids"]),
-                               jnp.asarray(batch["query_attention_mask"]),
-                               jnp.asarray(batch["image_features"]))
+        b = qi.shape[0]
+        n_docs = d.shape[0] // b
+        q = self.retriever.apply({"params": params["retriever"]}, qi, qm,
+                                 feats, method=FLMRRetriever.query)
         q_rep = jnp.repeat(q, n_docs, axis=0)
-        d = jnp.asarray(ret["doc_tokens"]).reshape(
-            (b * n_docs,) + ret["doc_tokens"].shape[2:])
-        m = jnp.asarray(ret["doc_masks"]).reshape(b * n_docs, -1)
-        doc_scores = np.asarray(maxsim_pair_xla(q_rep, d, m)).reshape(
-            b, n_docs)
+        doc_scores = maxsim_pair_xla(q_rep, d, m).reshape(b, n_docs)
 
-        gp = self._gen_params(self.state.params)
+        gp = self._gen_params(params)
         if cfg.generator_type == "blip2":
             from ..models.blip2 import Blip2T5
-            px = jnp.repeat(jnp.asarray(batch["pixel_values"], jnp.float32),
-                            n_docs, axis=0)
+            px_rep = jnp.repeat(px, n_docs, axis=0)
             enc, enc_mask = self.generator.apply(
-                {"params": gp}, px, jnp.asarray(gi), jnp.asarray(gm),
-                method=Blip2T5.encode)
+                {"params": gp}, px_rep, gi, gm_, method=Blip2T5.encode)
             step_method, cache_method = Blip2T5.decode_step, \
                 Blip2T5.init_cache
         else:
-            enc = self.generator.apply({"params": gp}, jnp.asarray(gi),
-                                       jnp.asarray(gm),
+            enc = self.generator.apply({"params": gp}, gi, gm_,
                                        method=T5Model.encode)
-            enc_mask = jnp.asarray(gm)
+            enc_mask = gm_
             step_method, cache_method = T5Model.decode_step, \
                 T5Model.init_cache
 
@@ -433,6 +432,29 @@ class RagExecutor(BaseExecutor):
                 step, cache, batch=b * n_docs, max_len=cfg.max_decode_len,
                 start_id=gcfg.decoder_start_token_id,
                 eos_id=gcfg.eos_token_id, pad_id=gcfg.pad_token_id)
+        return doc_scores, toks, seq_lp
+
+    def generate(self, batch) -> dict:
+        """Greedy/beam decode per (question, doc); answer by joint score."""
+        cfg = self.rag_cfg
+        gcfg = self._gcfg
+        ret = self.retrieve(batch)
+        gen_texts = self.input_builder.build(batch["questions"],
+                                             ret["contents"])
+        gi, gm = self._tensorize(gen_texts, cfg.gen_maxlen)
+        b, n_docs = len(batch["questions"]), cfg.n_docs
+
+        d = jnp.asarray(ret["doc_tokens"]).reshape(
+            (b * n_docs,) + ret["doc_tokens"].shape[2:])
+        m = jnp.asarray(ret["doc_masks"]).reshape(b * n_docs, -1)
+        px = (jnp.asarray(batch["pixel_values"], jnp.float32)
+              if cfg.generator_type == "blip2" else None)
+        doc_scores, toks, seq_lp = self._generate_device(
+            self.state.params, jnp.asarray(batch["query_input_ids"]),
+            jnp.asarray(batch["query_attention_mask"]),
+            jnp.asarray(batch["image_features"]), d, m,
+            jnp.asarray(gi), jnp.asarray(gm), px)
+        doc_scores = np.asarray(doc_scores)
         toks = np.asarray(toks).reshape(b, n_docs, -1)
         seq_lp = np.asarray(seq_lp).reshape(b, n_docs)
         sel = select_answers_by_joint_score(doc_scores, seq_lp)

@@ -78,11 +78,21 @@ def make_queries(key, q8, scales):
 
 q = jax.block_until_ready(make_queries(jax.random.PRNGKey(1), q8, scales))
 
-for name, kw in (("xla_stage1", dict(coarse_int8=True)),
-                 ("s1kernel", dict(coarse_int8=True, stage1_kernel=True))):
+for name, kw, bsum_i8 in (
+        ("xla_stage1_bf16s0", dict(coarse_int8=True), False),
+        ("xla_stage1_i8s0", dict(coarse_int8=True), True),
+        ("s1kernel_bf16s0", dict(coarse_int8=True, stage1_kernel=True),
+         False),
+        ("s1kernel_i8s0", dict(coarse_int8=True, stage1_kernel=True), True)):
     s = LateInteractionSearcher(idx, mesh=mesh, axis="index",
                                 mode="hierarchical", n_candidates=1024,
                                 n_blocks=128, approx_topk=True, **kw)
+    if not bsum_i8:
+        # A/B the sharded stage-0 int8 block-summary sweep (VERDICT r4
+        # Next #6) against the bf16 original by nulling the int8 copy
+        # before the search program is built.
+        s._bsum_i8 = None
+        s._bsum_i8_scale = None
     scores, rows = s.search(np.asarray(q, np.float32), k=K)
     top1 = float(np.mean(rows[:, 0] == np.arange(B)))
     fn = s._search_fn(K)
