@@ -46,7 +46,7 @@ N_DOCS_IDX = 28160 if ON_TPU else 512      # corpus size (HBM headroom for XL)
 LD, DIM = 64, 128
 N_RETR_DOCS = 5                            # reference RAVQA-v2 passages
 MAX_DECODE = 8
-B_BATCH = 4                                # compiled generate batch
+B_BATCH = int(os.environ.get("VQA_BATCH", "4"))  # compiled generate batch
 dt = jnp.bfloat16 if ON_TPU else jnp.float32
 
 WORDS = ["cat", "dog", "sky", "sun", "tree", "fish", "bird", "car", "red",
@@ -150,10 +150,10 @@ serve = VQAServer(ex, qt, image_feature_dim=768,
 for nb in (1, 2, B_BATCH):
     _ = serve.answer_batch(questions[:nb], feats[:nb])
 
-for conc in (1, 4, 8):
+for conc in (1, B_BATCH, 2 * B_BATCH):
     lat = []
     lock = threading.Lock()
-    n_req = 32
+    n_req = max(32, conc * 8)
 
     def client(cid):
         r = np.random.default_rng(cid)
