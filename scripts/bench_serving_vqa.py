@@ -47,6 +47,7 @@ LD, DIM = 64, 128
 N_RETR_DOCS = 5                            # reference RAVQA-v2 passages
 MAX_DECODE = 8
 B_BATCH = int(os.environ.get("VQA_BATCH", "4"))  # compiled generate batch
+USE_LORA = os.environ.get("VQA_LORA", "1") != "0"  # serve-time LoRA merge
 dt = jnp.bfloat16 if ON_TPU else jnp.float32
 
 WORDS = ["cat", "dog", "sky", "sun", "tree", "fish", "bird", "car", "red",
@@ -108,7 +109,7 @@ print(f"generator: {n_gp/1e9:.2f}B params ({SCALE}), retriever index "
 ex = RagExecutor(
     retr, rp, gen, gp, gen_tokenizer=tok,
     rag_cfg=RagConfig(n_docs=N_RETR_DOCS, gen_maxlen=96, label_maxlen=8,
-                      max_decode_len=MAX_DECODE, use_lora=True,
+                      max_decode_len=MAX_DECODE, use_lora=USE_LORA,
                       lora_rank=8),
     train_cfg=TrainConfig(lr=1e-4),
     index=index, passage_contents=contents, quiet=True)
