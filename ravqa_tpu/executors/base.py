@@ -217,7 +217,8 @@ class BaseExecutor:
                  param_sharding: str = "replicated",
                  fsdp_min_size: int = 2 ** 18,
                  logger_backends: Sequence[str] = ("jsonl",),
-                 copy_params: bool = True):
+                 copy_params: bool = True,
+                 inference_only: bool = False):
         """param_sharding: 'replicated' (DP) or 'fsdp' (shard each large
         param's biggest divisible dim over the data axis — ZeRO-3-style;
         XLA inserts the all-gathers).
@@ -225,20 +226,28 @@ class BaseExecutor:
         copy_params=False skips the defensive param copy (the train step
         DONATES state, so the caller's passed-in arrays become invalid
         after the first step) — use for multi-billion-param models where
-        the transient 2x param memory of the copy would not fit HBM."""
+        the transient 2x param memory of the copy would not fit HBM.
+
+        inference_only=True skips the optimizer entirely (no Adam moments
+        — 8 bytes/param of f32 state a serving deployment never uses; at
+        the flan-T5-XL generator scale that init alone OOMs a 16 GiB
+        chip) and never builds the train step. fit()/train_step raise."""
         self.model = model
         self.train_cfg = train_cfg
         self.mesh = mesh
+        self.inference_only = inference_only
         if copy_params:
             # private copy: the train step donates its input state, which
             # would otherwise invalidate the caller's param buffers
             params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
-        self.tx = make_optimizer(train_cfg, params)
+        self.tx = None if inference_only else make_optimizer(train_cfg,
+                                                             params)
         self.logger = MetricsLogger(log_dir, quiet=quiet,
                                     backends=logger_backends)
         rng = jax.random.PRNGKey(seed)
+        opt_state = () if inference_only else self.tx.init(params)
         self.state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                                opt_state=self.tx.init(params), rng=rng)
+                                opt_state=opt_state, rng=rng)
         self._state_shardings = None
         if mesh is not None:
             rep = NamedSharding(mesh, P())
@@ -262,7 +271,8 @@ class BaseExecutor:
                                                      self.state)
             self.state = jax.tree.map(jax.device_put, self.state,
                                       self._state_shardings)
-        self._train_step = self._build_train_step()
+        self._train_step = None if inference_only \
+            else self._build_train_step()
 
     # -- to be overridden ---------------------------------------------------
     def loss_fn(self, params, batch, rng):
@@ -287,6 +297,11 @@ class BaseExecutor:
         return jax.jit(step_fn, donate_argnums=(0,))
 
     def train_step(self, batch) -> dict:
+        if self._train_step is None:
+            raise RuntimeError(
+                "executor is inference_only (or prepare_for_serving() was "
+                "called): no optimizer state — rebuild without "
+                "inference_only to train")
         if self.mesh is not None:
             from ..parallel import shard_batch
             batch = shard_batch(batch, self.mesh)

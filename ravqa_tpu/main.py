@@ -448,6 +448,13 @@ def build_server(cfg, data, mesh, log_dir: str):
     if cfg.executor.get("ExecutorClass") == "RagExecutor":
         ex = build_rag_executor(cfg, data, mesh, log_dir, quiet=True)
         load_ckpt(ex)
+        # deployment form: one-time LoRA merge + drop optimizer state
+        # (after the checkpoint load — checkpoints are in training form).
+        # At the flan-T5-XL generator shape this is the difference
+        # between VQA_BATCH=8 and 16 fitting a 16 GiB chip (measured,
+        # scripts/bench_serving_vqa.py).
+        if sv.get("prepare_for_serving", True):
+            ex.prepare_for_serving()
         # BLIP-2 generators take raw pixels per request
         pixel_shape = None
         if mc.get("generator", {}).get("type") == "blip2":

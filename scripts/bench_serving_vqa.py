@@ -47,7 +47,11 @@ LD, DIM = 64, 128
 N_RETR_DOCS = 5                            # reference RAVQA-v2 passages
 MAX_DECODE = 8
 B_BATCH = int(os.environ.get("VQA_BATCH", "4"))  # compiled generate batch
-USE_LORA = os.environ.get("VQA_LORA", "1") != "0"  # serve-time LoRA merge
+USE_LORA = os.environ.get("VQA_LORA", "1") != "0"  # LoRA-wrapped generator
+# serve-time LoRA pre-merge + no optimizer state (the deployment form);
+# PREMERGE=0 keeps the training-form executor (merge inside every
+# generate program + Adam moments over the LoRA tree) for A/B
+PREMERGE = os.environ.get("VQA_PREMERGE", "1") != "0"
 dt = jnp.bfloat16 if ON_TPU else jnp.float32
 
 WORDS = ["cat", "dog", "sky", "sun", "tree", "fish", "bird", "car", "red",
@@ -112,7 +116,11 @@ ex = RagExecutor(
                       max_decode_len=MAX_DECODE, use_lora=USE_LORA,
                       lora_rank=8),
     train_cfg=TrainConfig(lr=1e-4),
-    index=index, passage_contents=contents, quiet=True)
+    index=index, passage_contents=contents, quiet=True,
+    inference_only=PREMERGE)
+if PREMERGE:
+    ex.prepare_for_serving()
+    print("serving form: LoRA pre-merged, no optimizer state", flush=True)
 
 rng = np.random.default_rng(0)
 questions = [" ".join(rng.choice(WORDS, 4)) + " ?" for _ in range(256)]

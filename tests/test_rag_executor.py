@@ -222,3 +222,50 @@ def test_rag_live_pruned_search(rag_setup):
     assert np.isfinite(float(m["loss"]))
     out = ex.generate(batch)
     assert len(out["predictions"]) == 2
+
+
+def test_prepare_for_serving_parity(rag_setup):
+    """The serving form (inference_only + LoRA pre-merge) must generate
+    bit-identically to the training form: prepare_for_serving replaces
+    the per-program merge_lora with a one-time donated merge and drops
+    optimizer state (rag_executor.prepare_for_serving — the deploy
+    story behind scripts/bench_serving_vqa.py's VQA_BATCH=16 point)."""
+    world, retriever, rp, gen, gp, index, corpus = rag_setup
+    tok = world["tokenizer"]
+
+    def build(**kw):
+        return RagExecutor(
+            retriever, rp, gen, gp, gen_tokenizer=tok,
+            rag_cfg=RagConfig(n_docs=2, gen_maxlen=32, label_maxlen=4,
+                              max_decode_len=4, use_lora=True,
+                              lora_rank=2),
+            train_cfg=TrainConfig(lr=3e-3),
+            index=index, passage_contents=corpus.contents, quiet=True,
+            **kw)
+
+    ex = build()
+    batch = make_batch(world, [0, 1, 2])
+    # train a few steps so LoRA B != 0 and the merge actually matters
+    for _ in range(3):
+        ex.train_step_rag(batch)
+    before = ex.generate(batch)
+
+    ex.prepare_for_serving()
+    assert ex.state.opt_state == ()
+    assert "lora" not in ex.state.params["generator"]
+    after = ex.generate(batch)
+    assert after["predictions"] == before["predictions"]
+    np.testing.assert_allclose(after["doc_scores"], before["doc_scores"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(after["all_generations"],
+                                  before["all_generations"])
+    with pytest.raises(RuntimeError, match="inference_only"):
+        ex.train_step_rag(batch)
+
+    # inference_only construction: no optimizer state from the start
+    ex2 = build(inference_only=True)
+    assert ex2.state.opt_state == () and ex2.tx is None
+    out2 = ex2.generate(batch)
+    assert len(out2["predictions"]) == 3
+    with pytest.raises(RuntimeError, match="inference_only"):
+        ex2.train_step_rag(batch)
