@@ -296,6 +296,19 @@ class BaseExecutor:
 
         return jax.jit(step_fn, donate_argnums=(0,))
 
+    def prepare_for_serving(self) -> None:
+        """Shed training-only memory for an inference deployment: drop
+        the optimizer moments (8 bytes/param of f32 Adam state a server
+        never reads) and the compiled train step. Call after the
+        checkpoint load — checkpoints are in training form. After this,
+        fit()/train_step raise; encode/search/generate are unchanged.
+        Subclasses extend this with their own deploy-time folds
+        (RagExecutor adds the one-time LoRA merge)."""
+        self.state = self.state.replace(opt_state=())
+        self.tx = None
+        self._train_step = None
+        self.inference_only = True
+
     def train_step(self, batch) -> dict:
         if self._train_step is None:
             raise RuntimeError(

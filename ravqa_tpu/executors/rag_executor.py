@@ -213,11 +213,8 @@ class RagExecutor(BaseExecutor):
             gen = merge(gen["base"], gen["lora"])
             self._lora_premerged = True
         self.state = self.state.replace(
-            params={"retriever": params["retriever"], "generator": gen},
-            opt_state=())
-        self.tx = None
-        self._train_step = None
-        self.inference_only = True
+            params={"retriever": params["retriever"], "generator": gen})
+        super().prepare_for_serving()
 
     @property
     def _gcfg(self):

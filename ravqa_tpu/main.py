@@ -466,6 +466,9 @@ def build_server(cfg, data, mesh, log_dir: str):
                          config=sc)
     ex = build_executor(cfg, data, mesh, log_dir, quiet=True)
     load_ckpt(ex)
+    # retrieval deployments never train either: drop the Adam moments
+    if sv.get("prepare_for_serving", True):
+        ex.prepare_for_serving()
     corpus = data["passages"]["full_passages"]
     index = ex.build_index(
         corpus_doc_batches(corpus, data["doc_tokenizer"], batch_size=64))

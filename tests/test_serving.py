@@ -235,6 +235,11 @@ def test_http_server_search_and_vqa(tmp_path):
         dp = build_pipeline(cfg, cache_dir=str(tmp_path / "cache"))
         data = dp.get_data(cfg.data_pipeline_output_node, explode=True)
         server = build_server(cfg, data, None, str(tmp_path))
+        # build_server sheds training-only state (optimizer moments; for
+        # RAG also the per-generate LoRA merge) unless
+        # serve.prepare_for_serving=false
+        assert server.ex.inference_only
+        assert server.ex.state.opt_state == () and server.ex.tx is None
         httpd = make_http_server(server, "127.0.0.1", 0)
         port = httpd.server_address[1]
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
